@@ -1,0 +1,25 @@
+"""ztdf_spark — a from-scratch PySpark-native CDC ingest engine with the
+data-processing capabilities of the ``opentdf/nifi`` reference processors
+(ConvertToZTDF / ConvertFromZTDF / ConvertToNanoTDF / ConvertFromNanoTDF +
+SimpleOpenTDFControllerService), re-expressed Spark-first:
+
+- ``settings``   — engine configuration (analog of the NiFi controller
+                   service, reference ``SimpleOpenTDFControllerService.java``)
+- ``tdf``        — pure-Python TDF-style envelope crypto core (ZTDF + Nano),
+                   deterministic nonces, local KAS emulation via AES-KEK wrap
+- ``ops``        — vectorized Arrow/pandas-UDF operator layer + Catalyst-side
+                   routing (success / failure / exceeds_size_limit)
+- ``lake``       — minimal Iceberg-v2-semantics table format over Parquet
+                   (atomic snapshot commits, copy-on-write MERGE, additive
+                   schema evolution, time travel, batch-id fencing)
+- ``pipeline``   — Structured Streaming binlog tail → dedup → encrypt →
+                   MERGE → audit/lineage, exactly-once, checkpoint-resumable
+- ``datagen``    — deterministic synthetic binlog / tokens generators
+- ``textops``    — training-data text pipeline (dedup exact/minhash/simhash,
+                   n-gram jaccard, language-id, quality, token count,
+                   fingerprint) over the ``documents`` table
+- ``simops``     — embedding similarity search (brute-force cosine top-k +
+                   LSH-bucketed ANN) over the ``embeddings`` table
+"""
+
+__version__ = "0.1.0"

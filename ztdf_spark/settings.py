@@ -1,0 +1,98 @@
+"""Engine configuration — Spark analog of the NiFi controller service.
+
+The reference's ``SimpleOpenTDFControllerService`` captures platform
+endpoint / OIDC client id / client secret / usePlaintext on enable and
+fails enablement when required values are missing
+(/root/reference/nifi-tdf-processors/src/main/java/io/opentdf/nifi/
+SimpleOpenTDFControllerService.java:36-95,115-141; POJO at
+nifi-tdf-controller-services-api/src/main/java/io/opentdf/nifi/Config.java:4-53).
+
+Here the same contract is a frozen dataclass validated at construction,
+serialized into UDF closures once (executors get it via task pickling;
+key material is derived lazily per Python worker — the Spark analog of the
+reference's lazy per-process SDK singleton, AbstractTDFProcessor.java:139-161).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass, field
+
+# NanoTDF hard size cap, 16 MiB + 2 bytes
+# (/root/reference/nifi-tdf-processors/src/main/java/io/opentdf/nifi/
+#  ConvertToNanoTDF.java:72, gate at :110-112)
+NANO_MAX_SIZE = 16_777_218
+
+ZTDF_MIME = "application/ztdf+zip"  # ConvertToZTDF.java:228
+NANO_MIME = "application/nanotdf"
+
+_DEFAULT_TEST_SECRET = b"ztdf-spark-local-kas-master-secret"
+
+
+class ConfigurationError(ValueError):
+    """Raised on invalid engine configuration (analog of NiFi's
+    InitializationException on enable, SimpleOpenTDFControllerServiceTest.java:44-68)."""
+
+
+@dataclass(frozen=True)
+class Settings:
+    """Validated engine configuration.
+
+    ``platform_endpoint`` / ``client_id`` / ``client_secret`` mirror the
+    controller-service properties; ``default_kas_url`` mirrors the
+    processor-level ``KAS URL`` property that per-row ``kas_url`` attributes
+    override (AbstractToProcessor.java:56-70).
+    """
+
+    platform_endpoint: str = "http://localhost:8080"
+    client_id: str = "ztdf-spark"
+    client_secret: str = field(default="local-secret", repr=False)
+    use_plaintext: bool = True
+    default_kas_url: str | None = "https://kas1.example.com"
+    sign_assertions: bool = False
+    signing_key_pem: bytes | None = field(default=None, repr=False)
+    master_secret: bytes = field(default=_DEFAULT_TEST_SECRET, repr=False)
+
+    def __post_init__(self) -> None:
+        missing = [
+            name
+            for name, v in (
+                ("platform_endpoint", self.platform_endpoint),
+                ("client_id", self.client_id),
+                ("client_secret", self.client_secret),
+            )
+            if not v
+        ]
+        if missing:
+            raise ConfigurationError(f"missing required settings: {missing}")
+        if not self.master_secret:
+            raise ConfigurationError("master_secret must be non-empty")
+        if self.sign_assertions and not self.signing_key_pem:
+            raise ConfigurationError(
+                "sign_assertions=True requires signing_key_pem "
+                "(reference: Private Key Controller Service, ConvertToZTDF.java:91-98)"
+            )
+
+    @classmethod
+    def from_env(cls, **overrides) -> "Settings":
+        env = os.environ
+        kwargs = dict(
+            platform_endpoint=env.get("ZTDF_PLATFORM_ENDPOINT", "http://localhost:8080"),
+            client_id=env.get("ZTDF_CLIENT_ID", "ztdf-spark"),
+            client_secret=env.get("ZTDF_CLIENT_SECRET", "local-secret"),
+            use_plaintext=env.get("ZTDF_USE_PLAINTEXT", "1") == "1",
+            default_kas_url=env.get("ZTDF_DEFAULT_KAS_URL", "https://kas1.example.com"),
+            master_secret=env.get("ZTDF_MASTER_SECRET", "").encode() or _DEFAULT_TEST_SECRET,
+        )
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
+    def fingerprint(self) -> str:
+        """Stable id of the config (used in audit lineage rows)."""
+        h = hashlib.sha256()
+        h.update(self.platform_endpoint.encode())
+        h.update(self.client_id.encode())
+        h.update(self.master_secret)
+        h.update(str(self.default_kas_url).encode())
+        return h.hexdigest()[:16]

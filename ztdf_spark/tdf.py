@@ -1,0 +1,420 @@
+"""TDF-style envelope crypto core — pure Python, array-in / array-out.
+
+Reproduces the *observable* semantics of the OpenTDF SDK calls made by the
+reference processors (not their byte layout — SURVEY.md §1.2):
+
+- ZTDF envelope: JSON manifest (per-KAS wrapped DEK key-access objects,
+  policy of data-attribute FQNs, 0..n typed assertions, integrity hash)
+  + AES-256-GCM ciphertext of the little-endian-serialized token array.
+  Reference creation: ``TDF.createTDF`` at
+  /root/reference/nifi-tdf-processors/src/main/java/io/opentdf/nifi/ConvertToZTDF.java:218;
+  decryption: ``TDF.loadTDF`` + ``readPayload`` at ConvertFromZTDF.java:76-77.
+- NanoTDF: compact binary header + payload, single KAS, no assertions,
+  capped at 16 MiB + 2 (ConvertToNanoTDF.java:72,110-112; create at :121;
+  read at ConvertFromNanoTDF.java:51).
+
+Local KAS emulation: each KAS endpoint is emulated by an AES-256-GCM KEK
+derived from ``(master_secret, kas_url)``; "wrapping the DEK for a KAS" is
+an AES-GCM encryption of the DEK under that KEK with the policy JSON as
+AAD (the TDF "policy binding" — tampering with policy breaks unwrap).
+
+Determinism: DEK and all nonces are derived as SHA-256 of
+``(master_secret, doc_id, lsn)`` so a replayed batch produces byte-identical
+ciphertext — this makes the idempotent MERGE byte-stable (SURVEY.md §4.4).
+The correctness invariant vs the reference is token-array equality after a
+decrypt round trip (BASELINE.json ``input_hint``), which random nonces would
+also satisfy; determinism is an engine choice, not a format requirement.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import struct
+from dataclasses import dataclass
+from typing import Iterable, Sequence
+
+import numpy as np
+from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+from .settings import NANO_MAX_SIZE, ZTDF_MIME  # noqa: F401  (re-export)
+
+ZTDF_MAGIC = b"ZTDF1"
+NANO_MAGIC = b"NT01"
+
+# ---------------------------------------------------------------------------
+# Token-array payload serialization (the "content" bytes of a FlowFile)
+# ---------------------------------------------------------------------------
+
+
+def serialize_tokens(tokens: Sequence[int] | np.ndarray) -> bytes:
+    """tokens array<int32> → little-endian int32 byte stream."""
+    return np.asarray(tokens, dtype="<i4").tobytes()
+
+
+def deserialize_tokens(payload: bytes) -> list[int]:
+    return np.frombuffer(payload, dtype="<i4").tolist()
+
+
+# ---------------------------------------------------------------------------
+# Attribute / KAS resolution (AbstractToProcessor semantics)
+# ---------------------------------------------------------------------------
+
+
+class TdfError(ValueError):
+    """Per-record conversion error → routed to 'failure', never raised
+    across a batch (reference per-record try/catch, ConvertToZTDF.java:230-236)."""
+
+
+def resolve_kas_urls(row_kas_url: str | None, default_kas_url: str | None) -> list[str]:
+    """Row attribute overrides processor default; comma-split, drop empties,
+    error if none (AbstractToProcessor.java:56-70)."""
+    raw = row_kas_url if row_kas_url else default_kas_url
+    urls = [u.strip() for u in (raw or "").split(",") if u.strip()]
+    if not urls:
+        raise TdfError("no KAS URL provided via attribute or property")
+    return urls
+
+
+def resolve_data_attributes(row_attrs: str | None) -> list[str]:
+    """Comma-split ``tdf_attribute``; error if empty
+    (AbstractToProcessor.java:94-101; test ConvertToZTDFTest.java:49-50)."""
+    attrs = [a.strip() for a in (row_attrs or "").split(",") if a.strip()]
+    if not attrs:
+        raise TdfError("no data attribute(s) provided")
+    return attrs
+
+
+# ---------------------------------------------------------------------------
+# Assertions (ConvertToZTDF.java:128-178)
+# ---------------------------------------------------------------------------
+
+ASSERTION_TYPES = ("handling", "base")
+ASSERTION_SCOPES = ("tdo", "payload")
+ASSERTION_STATES = ("encrypted", "unencrypted")
+
+
+@dataclass(frozen=True)
+class Assertion:
+    id: str
+    type: str
+    scope: str
+    appliesToState: str
+    statement_value: str
+    statement_format: str
+
+    def to_manifest(self) -> dict:
+        return {
+            "id": self.id,
+            "type": self.type,
+            "scope": self.scope,
+            "appliesToState": self.appliesToState,
+            "statement": {"value": self.statement_value, "format": self.statement_format},
+        }
+
+
+def parse_assertion(doc: dict, assertion_id: str | None = None) -> Assertion:
+    """Validate one assertion JSON document.
+
+    Required-field order and enum domains mirror ConvertToZTDF.java:145-178
+    (scope, statement, statement.format, appliesToState, type) and the enum
+    values at :128-133.
+    """
+    if "scope" not in doc:
+        raise TdfError("assertion missing required field: scope")
+    if "statement" not in doc or not isinstance(doc["statement"], dict):
+        raise TdfError("assertion missing required field: statement")
+    stmt = doc["statement"]
+    if "format" not in stmt:
+        raise TdfError("assertion missing required field: statement.format")
+    if "appliesToState" not in doc:
+        raise TdfError("assertion missing required field: appliesToState")
+    if "type" not in doc:
+        raise TdfError("assertion missing required field: type")
+    if doc["type"] not in ASSERTION_TYPES:
+        raise TdfError(f"assertion type must be one of {ASSERTION_TYPES}")
+    if doc["scope"] not in ASSERTION_SCOPES:
+        raise TdfError(f"assertion scope must be one of {ASSERTION_SCOPES}")
+    if doc["appliesToState"] not in ASSERTION_STATES:
+        raise TdfError(f"assertion appliesToState must be one of {ASSERTION_STATES}")
+    return Assertion(
+        id=str(doc.get("id", assertion_id or "")),
+        type=doc["type"],
+        scope=doc["scope"],
+        appliesToState=doc["appliesToState"],
+        statement_value=str(stmt.get("value", "")),
+        statement_format=str(stmt["format"]),
+    )
+
+
+def parse_assertions_json(assertions_json: str | None) -> list[Assertion]:
+    """Parse the ``assertions`` column: a JSON array of assertion docs
+    (the columnar analog of 0..n ``tdf_assertion_<id>`` FlowFile attributes,
+    AbstractToProcessor.java:22, ConvertToZTDF.java:206-210)."""
+    if not assertions_json:
+        return []
+    try:
+        docs = json.loads(assertions_json)
+    except json.JSONDecodeError as e:
+        raise TdfError(f"invalid assertions JSON: {e}") from e
+    if isinstance(docs, dict):
+        docs = [docs]
+    return [parse_assertion(d) for d in docs]
+
+
+# ---------------------------------------------------------------------------
+# Key derivation (local KAS emulation)
+# ---------------------------------------------------------------------------
+
+
+def _h(*parts: bytes) -> bytes:
+    h = hashlib.sha256()
+    for p in parts:
+        h.update(struct.pack("<I", len(p)))
+        h.update(p)
+    return h.digest()
+
+
+def kek_for_kas(master_secret: bytes, kas_url: str) -> bytes:
+    """Per-KAS key-encryption key (the emulated KAS's private key)."""
+    return _h(b"ztdf-kek", master_secret, kas_url.encode())
+
+
+def derive_dek(master_secret: bytes, doc_id: str, lsn: int) -> bytes:
+    return _h(b"ztdf-dek", master_secret, doc_id.encode(), struct.pack("<q", lsn))
+
+
+def derive_iv(doc_id: str, lsn: int, label: bytes = b"payload") -> bytes:
+    return _h(b"ztdf-iv", label, doc_id.encode(), struct.pack("<q", lsn))[:12]
+
+
+def _sign_assertion_rs256(assertion: Assertion, signing_key_pem: bytes) -> str:
+    """RS256 signature over the canonical assertion JSON
+    (reference signing path: ConvertToZTDF.java:248-261)."""
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import padding
+
+    key = serialization.load_pem_private_key(signing_key_pem, password=None)
+    msg = json.dumps(assertion.to_manifest(), sort_keys=True, separators=(",", ":")).encode()
+    sig = key.sign(msg, padding.PKCS1v15(), hashes.SHA256())
+    return base64.b64encode(sig).decode()
+
+
+# ---------------------------------------------------------------------------
+# ZTDF envelope
+# ---------------------------------------------------------------------------
+
+
+def encrypt_ztdf(
+    payload: bytes,
+    *,
+    doc_id: str,
+    lsn: int,
+    kas_urls: Iterable[str],
+    data_attributes: Iterable[str],
+    assertions: Sequence[Assertion] = (),
+    master_secret: bytes,
+    signing_key_pem: bytes | None = None,
+) -> bytes:
+    """Build a ZTDF envelope: ``ZTDF1 | u32 manifest_len | manifest JSON |
+    AES-256-GCM ciphertext``.
+
+    Semantics parity: per-record DEK wrapped for each of 1..n KAS endpoints
+    (KASInfo list, AbstractToProcessor.java:78-84; Config.withKasInformation,
+    ConvertToZTDF.java:204), policy of data-attribute FQNs
+    (Config.withDataAttributes, :205), 0..n assertions optionally RS256-signed
+    (:248-261).
+    """
+    kas_urls = list(kas_urls)
+    attrs = list(data_attributes)
+    if not kas_urls:
+        raise TdfError("no KAS URL provided via attribute or property")
+    if not attrs:
+        raise TdfError("no data attribute(s) provided")
+
+    dek = derive_dek(master_secret, doc_id, lsn)
+    iv = derive_iv(doc_id, lsn)
+    policy = {"uuid": _h(b"policy", doc_id.encode())[:8].hex(), "body": {"dataAttributes": attrs}}
+    policy_bytes = json.dumps(policy, sort_keys=True, separators=(",", ":")).encode()
+
+    key_access = []
+    for i, url in enumerate(kas_urls):
+        kek = kek_for_kas(master_secret, url)
+        wrap_iv = derive_iv(doc_id, lsn, label=b"wrap%d" % i)
+        wrapped = AESGCM(kek).encrypt(wrap_iv, dek, policy_bytes)
+        key_access.append(
+            {
+                "type": "wrapped",
+                "url": url,
+                "protocol": "kas",
+                "wrappedKey": base64.b64encode(wrapped).decode(),
+                "iv": base64.b64encode(wrap_iv).decode(),
+            }
+        )
+
+    ciphertext = AESGCM(dek).encrypt(iv, payload, None)
+    manifest: dict = {
+        "encryptionInformation": {
+            "type": "split",
+            "keyAccess": key_access,
+            "policy": base64.b64encode(policy_bytes).decode(),
+            "method": {"algorithm": "AES-256-GCM", "iv": base64.b64encode(iv).decode()},
+            "integrityInformation": {
+                "rootSignature": {
+                    "alg": "HS256",
+                    "sig": base64.b64encode(_h(b"integrity", dek, ciphertext)).decode(),
+                }
+            },
+        },
+        "payload": {
+            "type": "reference",
+            "protocol": "zip",
+            "mimeType": "application/octet-stream",
+            "isEncrypted": True,
+        },
+    }
+    if assertions:
+        adocs = []
+        for a in assertions:
+            d = a.to_manifest()
+            if signing_key_pem is not None:
+                d["binding"] = {"method": "jws", "signature": _sign_assertion_rs256(a, signing_key_pem)}
+            adocs.append(d)
+        manifest["assertions"] = adocs
+
+    mbytes = json.dumps(manifest, separators=(",", ":")).encode()
+    return b"".join([ZTDF_MAGIC, struct.pack("<I", len(mbytes)), mbytes, ciphertext])
+
+
+def read_manifest(blob: bytes) -> dict:
+    if blob[:5] != ZTDF_MAGIC:
+        raise TdfError("not a ZTDF envelope (bad magic)")
+    (mlen,) = struct.unpack("<I", blob[5:9])
+    return json.loads(blob[9 : 9 + mlen])
+
+
+def decrypt_ztdf(blob: bytes, *, master_secret: bytes) -> bytes:
+    """Unwrap the DEK via the (emulated) KAS named in the manifest, verify
+    the policy binding, AES-GCM-open the payload.
+
+    Assertion verification is intentionally skipped, matching the reference's
+    ``withDisableAssertionVerification(true)`` (ConvertFromZTDF.java:76).
+    Requires the full envelope in memory, like the reference's seekable
+    in-memory channel (ConvertFromZTDF.java:73).
+    """
+    if blob[:5] != ZTDF_MAGIC:
+        raise TdfError("not a ZTDF envelope (bad magic)")
+    (mlen,) = struct.unpack("<I", blob[5:9])
+    manifest = json.loads(blob[9 : 9 + mlen])
+    ciphertext = blob[9 + mlen :]
+    enc = manifest["encryptionInformation"]
+    policy_bytes = base64.b64decode(enc["policy"])
+    last_err: Exception | None = None
+    for ka in enc["keyAccess"]:
+        kek = kek_for_kas(master_secret, ka["url"])
+        try:
+            dek = AESGCM(kek).decrypt(
+                base64.b64decode(ka["iv"]), base64.b64decode(ka["wrappedKey"]), policy_bytes
+            )
+            iv = base64.b64decode(enc["method"]["iv"])
+            return AESGCM(dek).decrypt(iv, ciphertext, None)
+        except Exception as e:  # try next KAS (split-key style fallback)
+            last_err = e
+    raise TdfError(f"unable to unwrap DEK with any KAS: {last_err}")
+
+
+# ---------------------------------------------------------------------------
+# NanoTDF envelope
+# ---------------------------------------------------------------------------
+
+
+def encrypt_nano(
+    payload: bytes,
+    *,
+    doc_id: str,
+    lsn: int,
+    kas_urls: Iterable[str],
+    data_attributes: Iterable[str],
+    master_secret: bytes,
+) -> bytes:
+    """Compact binary envelope, single effective KAS (first URL), no
+    assertions (NanoTDFConfig has KAS + attributes only,
+    ConvertToNanoTDF.java:97-121).
+
+    Layout: ``NT01 | u16 kas_len | kas | u16 policy_len | policy(csv attrs)
+    | iv(12) | u16 wrapped_len | wrapped_dek | ciphertext``.
+
+    The 16 MiB + 2 size gate is enforced Spark-side *before* this function
+    (ConvertToNanoTDF.java:110-112 routes oversize to ``exceeds_size_limit``
+    without touching content); it is also re-checked here defensively.
+    """
+    kas_urls = list(kas_urls)
+    attrs = list(data_attributes)
+    if not kas_urls:
+        raise TdfError("no KAS URL provided via attribute or property")
+    if not attrs:
+        raise TdfError("no data attribute(s) provided")
+    if len(payload) > NANO_MAX_SIZE:
+        raise TdfError("exceeds_size_limit")
+
+    kas = kas_urls[0].encode()
+    policy = ",".join(attrs).encode()
+    dek = derive_dek(master_secret, doc_id, lsn)
+    iv = derive_iv(doc_id, lsn, label=b"nano")
+    wrap_iv = derive_iv(doc_id, lsn, label=b"nanowrap")
+    wrapped = AESGCM(kek_for_kas(master_secret, kas_urls[0])).encrypt(wrap_iv, dek, policy)
+    ciphertext = AESGCM(dek).encrypt(iv, payload, None)
+    return b"".join(
+        [
+            NANO_MAGIC,
+            struct.pack("<H", len(kas)),
+            kas,
+            struct.pack("<H", len(policy)),
+            policy,
+            iv,
+            wrap_iv,
+            struct.pack("<H", len(wrapped)),
+            wrapped,
+            ciphertext,
+        ]
+    )
+
+
+def decrypt_nano(blob: bytes, *, master_secret: bytes) -> bytes:
+    """ConvertFromNanoTDF analog: whole-content read → plaintext
+    (ConvertFromNanoTDF.java:44-63)."""
+    if blob[:4] != NANO_MAGIC:
+        raise TdfError("not a NanoTDF envelope (bad magic)")
+    off = 4
+    (kas_len,) = struct.unpack_from("<H", blob, off)
+    off += 2
+    kas = blob[off : off + kas_len].decode()
+    off += kas_len
+    (plen,) = struct.unpack_from("<H", blob, off)
+    off += 2
+    policy = blob[off : off + plen]
+    off += plen
+    iv = blob[off : off + 12]
+    off += 12
+    wrap_iv = blob[off : off + 12]
+    off += 12
+    (wlen,) = struct.unpack_from("<H", blob, off)
+    off += 2
+    wrapped = blob[off : off + wlen]
+    off += wlen
+    ciphertext = blob[off:]
+    dek = AESGCM(kek_for_kas(master_secret, kas)).decrypt(wrap_iv, wrapped, bytes(policy))
+    return AESGCM(dek).decrypt(iv, bytes(ciphertext), None)
+
+
+def nano_policy_attributes(blob: bytes) -> list[str]:
+    """Read back the policy attribute FQNs from a nano envelope (test hook)."""
+    if blob[:4] != NANO_MAGIC:
+        raise TdfError("not a NanoTDF envelope (bad magic)")
+    off = 4
+    (kas_len,) = struct.unpack_from("<H", blob, off)
+    off += 2 + kas_len
+    (plen,) = struct.unpack_from("<H", blob, off)
+    off += 2
+    return blob[off : off + plen].decode().split(",")
