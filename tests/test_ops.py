@@ -1,0 +1,155 @@
+"""Operator-layer tests over Spark DataFrames — mirrors the reference's
+TestRunner assertions table-level (FIXTURES.md §4 routing cases)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ztdf_spark import ops, tdf
+from ztdf_spark.datagen import BINLOG_DDL, CANON_ATTR
+from ztdf_spark.settings import NANO_MAX_SIZE, NANO_MIME, ZTDF_MIME, Settings
+
+ASSERTION_JSON = json.dumps(
+    [
+        {
+            "id": "1111",
+            "type": "handling",
+            "scope": "payload",
+            "appliesToState": "unencrypted",
+            "statement": {"value": "a test assertion", "format": "sample"},
+        }
+    ]
+)
+
+
+def _rows_df(spark, rows):
+    return spark.createDataFrame(rows, schema=BINLOG_DDL)
+
+
+@pytest.fixture(scope="module")
+def routing_cases(spark):
+    rows = [
+        # (lsn, op, doc_id, tokens, n_tok, source, kas_url, tdf_attribute, assertions)
+        (1, "I", "ok", [1, 2, 3], 3, "web", None, CANON_ATTR, None),
+        (2, "I", "no-attrs", [4, 5], 2, "web", None, None, None),
+        (3, "I", "two-attrs", [6], 1, "web", None, f"{CANON_ATTR},https://a/attr/x/value/b", None),
+        (4, "I", "kas-override", [7], 1, "web", "https://kas2", CANON_ATTR, None),
+        (5, "I", "assertion", [8, 9], 2, "web", None, CANON_ATTR, ASSERTION_JSON),
+        (6, "D", "deleted", None, None, None, None, None, None),
+        (7, "I", "bad-assertion", [1], 1, "web", None, CANON_ATTR, '[{"type":"weird"}]'),
+    ]
+    return _rows_df(spark, rows)
+
+
+def test_routes_and_mime(routing_cases, settings):
+    out = ops.encrypt_batch(routing_cases, settings, fmt="ztdf")
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got["ok"]["route"] == "success" and got["ok"]["mime_type"] == ZTDF_MIME
+    # no-attrs → failure with original content preserved (ConvertToZTDFTest.java:49-50,67-71)
+    assert got["no-attrs"]["route"] == "failure"
+    assert got["no-attrs"]["error"] == ops.ERR_NO_ATTRS
+    assert got["no-attrs"]["tokens"] == [4, 5]
+    assert got["no-attrs"]["ciphertext"] is None
+    assert got["two-attrs"]["route"] == "success"
+    assert got["kas-override"]["route"] == "success"
+    assert got["assertion"]["route"] == "success"
+    # malformed assertion JSON → per-record failure, batch survives
+    assert got["bad-assertion"]["route"] == "failure"
+    # delete events pass through with no payload
+    assert got["deleted"]["route"] == "success" and got["deleted"]["ciphertext"] is None
+
+
+def test_policy_and_kas_in_envelope(routing_cases, settings):
+    out = ops.encrypt_batch(routing_cases, settings, fmt="ztdf")
+    rows = {r["doc_id"]: r for r in out.filter(F.col("route") == "success").collect()}
+    import base64
+
+    m = tdf.read_manifest(bytes(rows["two-attrs"]["ciphertext"]))
+    policy = json.loads(base64.b64decode(m["encryptionInformation"]["policy"]))
+    assert len(policy["body"]["dataAttributes"]) == 2  # ConvertToZTDFTest.java:173-179
+    m2 = tdf.read_manifest(bytes(rows["kas-override"]["ciphertext"]))
+    assert m2["encryptionInformation"]["keyAccess"][0]["url"] == "https://kas2"  # :54-55
+    m3 = tdf.read_manifest(bytes(rows["ok"]["ciphertext"]))
+    assert m3["encryptionInformation"]["keyAccess"][0]["url"] == Settings().default_kas_url
+    m4 = tdf.read_manifest(bytes(rows["assertion"]["ciphertext"]))
+    assert m4["assertions"][0]["id"] == "1111"
+
+
+def test_no_kas_anywhere_fails(spark):
+    s = Settings(default_kas_url=None)
+    df = _rows_df(spark, [(1, "I", "d", [1], 1, "web", None, CANON_ATTR, None)])
+    out = ops.encrypt_batch(df, s, fmt="ztdf").collect()[0]
+    assert out["route"] == "failure" and out["error"] == ops.ERR_NO_KAS
+
+
+def test_roundtrip_token_equality(routing_cases, settings):
+    enc = ops.encrypt_batch(routing_cases, settings, fmt="ztdf")
+    dec = ops.decrypt_batch(enc.filter(F.col("route") == "success"), settings, fmt="ztdf")
+    for r in dec.filter(F.col("ciphertext").isNotNull()).collect():
+        assert r["decrypt_error"] is None
+        assert list(r["tokens_out"]) == list(r["tokens"])
+
+
+def test_nano_roundtrip_and_oversize_gate(spark, settings):
+    big_n_tok = NANO_MAX_SIZE // 4 + 10
+    rows = [
+        (1, "I", "small", [1, 2], 2, "web", None, CANON_ATTR, None),
+        # oversize is gated Catalyst-side on n_tok*4 — no giant array materialized
+        (2, "I", "huge", [0], big_n_tok, "web", None, CANON_ATTR, None),
+    ]
+    df = _rows_df(spark, rows)
+    out = ops.encrypt_batch(df, settings, fmt="nano")
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got["small"]["route"] == "success" and got["small"]["mime_type"] == NANO_MIME
+    # oversize → exceeds_size_limit with content untouched (ConvertToNanoTDFTest.java:84-87,105-109)
+    assert got["huge"]["route"] == "exceeds_size_limit"
+    assert got["huge"]["ciphertext"] is None and got["huge"]["tokens"] == [0]
+    dec = ops.decrypt_batch(out.filter(F.col("doc_id") == "small"), settings, fmt="nano").collect()[0]
+    assert list(dec["tokens_out"]) == [1, 2]
+
+
+def test_corrupt_ciphertext_row_level_failure(spark, settings):
+    df = _rows_df(
+        spark,
+        [(1, "I", "a", [1, 2], 2, "web", None, CANON_ATTR, None),
+         (2, "I", "b", [3, 4], 2, "web", None, CANON_ATTR, None)],
+    )
+    enc = ops.encrypt_batch(df, settings, fmt="ztdf")
+    corrupted = enc.withColumn(
+        "ciphertext",
+        F.when(F.col("doc_id") == "b", F.expr("substring(ciphertext, 1, length(ciphertext)-1)")).otherwise(
+            F.col("ciphertext")
+        ),
+    )
+    dec = {r["doc_id"]: r for r in ops.decrypt_batch(corrupted, settings, "ztdf").collect()}
+    assert dec["a"]["decrypt_error"] is None and list(dec["a"]["tokens_out"]) == [1, 2]
+    assert dec["b"]["decrypt_error"] is not None and dec["b"]["tokens_out"] is None
+
+
+def test_split_routes(routing_cases, settings):
+    out = ops.encrypt_batch(routing_cases, settings, fmt="ztdf")
+    routes = ops.split_routes(out)
+    assert routes["success"].count() == 5
+    assert routes["failure"].count() == 2
+    assert routes["exceeds_size_limit"].count() == 0
+
+
+def test_latest_wins_dedup(spark):
+    rows = [
+        (1, "I", "a", [1], 1, "web", None, CANON_ATTR, None),
+        (5, "U", "a", [5], 1, "web", None, CANON_ATTR, None),
+        (3, "U", "a", [3], 1, "web", None, CANON_ATTR, None),
+        (2, "I", "b", [2], 1, "web", None, CANON_ATTR, None),
+    ]
+    out = ops.latest_wins(_rows_df(spark, rows))
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == 2
+    assert got["a"]["lsn"] == 5 and got["a"]["tokens"] == [5]
+    assert got["b"]["lsn"] == 2
+
+
+def test_deterministic_ciphertext_across_runs(routing_cases, settings):
+    a = {r["doc_id"]: r["ciphertext"] for r in ops.encrypt_batch(routing_cases, settings).collect()}
+    b = {r["doc_id"]: r["ciphertext"] for r in ops.encrypt_batch(routing_cases, settings).collect()}
+    assert a == b

@@ -1,0 +1,295 @@
+"""Vectorized operator layer — the Spark-first re-expression of the four
+reference processors (SURVEY.md §2.1).
+
+Design (idiomatic Spark, not a port of NiFi's record-at-a-time loop):
+
+- **Validity routing is Catalyst-side.** The reference's pre-flight checks
+  (no data attribute → failure, AbstractToProcessor.java:94-101; no KAS URL
+  anywhere → failure, :56-70; nano oversize → exceeds_size_limit,
+  ConvertToNanoTDF.java:110-112) are pure ``when/otherwise`` column
+  expressions evaluated inside whole-stage codegen *before* any Python is
+  invoked — rows that will fail never pay the Arrow transfer + crypto cost.
+- **Crypto is an iterator-of-batches pandas UDF** (Arrow transport, no
+  per-row Python dispatch). The iterator form gives a per-Python-worker
+  initialization point — the analog of the reference's lazy per-process SDK
+  singleton (AbstractTDFProcessor.java:139-161) — where KEK cipher objects
+  are derived once and cached.
+- **Per-record failure isolation**: exceptions are caught *inside* the UDF
+  per row and surfaced as an ``error`` column; a raised exception would kill
+  the Spark task, unlike NiFi's per-record try/catch
+  (ConvertToZTDF.java:230-236). Failed rows keep their original content,
+  matching the reference's failure-route contract
+  (ConvertToZTDFTest.java:67-71).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import tdf
+from .settings import NANO_MAX_SIZE, NANO_MIME, ZTDF_MIME, Settings
+
+ERR_NO_ATTRS = "no data attribute(s) provided"
+ERR_NO_KAS = "no KAS URL provided via attribute or property"
+ERR_OVERSIZE = "exceeds_size_limit"
+
+ROUTE_SUCCESS = "success"
+ROUTE_FAILURE = "failure"
+ROUTE_OVERSIZE = "exceeds_size_limit"
+
+_ENCRYPT_RESULT = T.StructType(
+    [
+        T.StructField("ciphertext", T.BinaryType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+_DECRYPT_RESULT = T.StructType(
+    [
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def _csv_nonempty(col: Column) -> Column:
+    """Comma-split, trim, drop empties — the columnar analog of the
+    reference's ``Arrays.stream(s.split(",")).filter(not empty)``
+    (AbstractToProcessor.java:56-70, :94-101)."""
+    return F.filter(F.transform(F.split(col, ","), F.trim), lambda x: x != "")
+
+
+def resolved_kas(settings: Settings, kas_col: str = "kas_url") -> Column:
+    """Row attribute overrides the job-level default (AbstractToProcessor.java:56-62)."""
+    default = F.lit(settings.default_kas_url) if settings.default_kas_url else F.lit(None).cast("string")
+    return _csv_nonempty(F.coalesce(F.nullif(F.trim(F.col(kas_col)), F.lit("")), default))
+
+
+def resolved_attrs(attr_col: str = "tdf_attribute") -> Column:
+    return _csv_nonempty(F.coalesce(F.col(attr_col), F.lit("")))
+
+
+def payload_nbytes(tokens_col: str = "tokens", n_tok_col: str = "n_tok") -> Column:
+    """Serialized payload size = 4 bytes per int32 token."""
+    n = F.coalesce(F.col(n_tok_col).cast("long"), F.size(F.col(tokens_col)).cast("long"))
+    return n * F.lit(4)
+
+
+def with_pre_route(df: DataFrame, settings: Settings, fmt: str = "ztdf") -> DataFrame:
+    """Catalyst-only validity gate → nullable ``pre_error`` column.
+
+    Evaluation order matches the reference: KAS resolution first
+    (AbstractToProcessor.java:56-70 raised before the attribute check at
+    :94-101 in getKasUrl/getDataAttributes call order, ConvertToZTDF.java:201-202),
+    then attributes, then (nano only) the size gate — which in the reference
+    runs before config resolution (ConvertToNanoTDF.java:110-112), so here the
+    oversize check wins over the other two for nano.
+
+    Delete events (op='D') carry no payload and bypass the gate.
+    """
+    is_change = F.col("op").isin("I", "U") if "op" in df.columns else F.lit(True)
+    checks = F.when(F.size(resolved_kas(settings)) == 0, F.lit(ERR_NO_KAS)).when(
+        F.size(resolved_attrs()) == 0, F.lit(ERR_NO_ATTRS)
+    )
+    if fmt == "nano":
+        checks = F.when(payload_nbytes() > NANO_MAX_SIZE, F.lit(ERR_OVERSIZE)).otherwise(checks)
+    return df.withColumn("pre_error", F.when(is_change, checks))
+
+
+def _encrypt_pandas(
+    settings: Settings, fmt: str
+) -> "pd.api.extensions.ExtensionArray":  # returns a pandas_udf, typed loosely
+    master = settings.master_secret
+    signing_pem = settings.signing_key_pem if settings.sign_assertions else None
+    default_kas = settings.default_kas_url
+
+    @F.pandas_udf(_ENCRYPT_RESULT)
+    def encrypt_udf(
+        it: Iterator[Tuple[pd.Series, pd.Series, pd.Series, pd.Series, pd.Series, pd.Series, pd.Series, pd.Series]],
+    ) -> Iterator[pd.DataFrame]:
+        # per-worker init (lazy SDK-singleton analog, AbstractTDFProcessor.java:139-161)
+        encrypt = tdf.encrypt_ztdf if fmt == "ztdf" else tdf.encrypt_nano
+        resolve_cache: dict[tuple, tuple] = {}
+        assertion_cache: dict[str, list] = {}
+
+        for doc_id, lsn, op, tokens, kas_url, attrs_s, asserts_s, pre_err in it:
+            n = len(doc_id)
+            out_ct: list = [None] * n
+            out_err: list = [None] * n
+            lsn_np = lsn.to_numpy(dtype="int64", na_value=0)
+            for i in range(n):
+                pe = pre_err.iloc[i]
+                if pe is not None and not (isinstance(pe, float) and np.isnan(pe)):
+                    out_err[i] = pe
+                    continue
+                if op.iloc[i] == "D":
+                    continue  # deletes carry no payload
+                try:
+                    key = (kas_url.iloc[i], attrs_s.iloc[i])
+                    resolved = resolve_cache.get(key)
+                    if resolved is None:
+                        resolved = (
+                            tdf.resolve_kas_urls(kas_url.iloc[i], default_kas),
+                            tdf.resolve_data_attributes(attrs_s.iloc[i]),
+                        )
+                        resolve_cache[key] = resolved
+                    kas_list, attr_list = resolved
+                    a_json = asserts_s.iloc[i]
+                    assertions = ()
+                    if a_json:
+                        assertions = assertion_cache.get(a_json)
+                        if assertions is None:
+                            assertions = tdf.parse_assertions_json(a_json)
+                            assertion_cache[a_json] = assertions
+                    payload = np.asarray(tokens.iloc[i], dtype="<i4").tobytes()
+                    if fmt == "ztdf":
+                        out_ct[i] = encrypt(
+                            payload,
+                            doc_id=doc_id.iloc[i],
+                            lsn=int(lsn_np[i]),
+                            kas_urls=kas_list,
+                            data_attributes=attr_list,
+                            assertions=assertions,
+                            master_secret=master,
+                            signing_key_pem=signing_pem,
+                        )
+                    else:
+                        out_ct[i] = encrypt(
+                            payload,
+                            doc_id=doc_id.iloc[i],
+                            lsn=int(lsn_np[i]),
+                            kas_urls=kas_list,
+                            data_attributes=attr_list,
+                            master_secret=master,
+                        )
+                except Exception as e:  # per-record isolation, never kill the task
+                    out_err[i] = str(e) or type(e).__name__
+            yield pd.DataFrame({"ciphertext": out_ct, "error": out_err})
+
+    return encrypt_udf
+
+
+def encrypt_batch(df: DataFrame, settings: Settings, fmt: str = "ztdf") -> DataFrame:
+    """ConvertToZTDF / ConvertToNanoTDF analog over a whole DataFrame.
+
+    Adds: ``pre_error`` (Catalyst gate), ``ciphertext`` (binary envelope),
+    ``error``, ``route`` ∈ {success, failure, exceeds_size_limit}, and
+    ``mime_type`` (``application/ztdf+zip`` on ZTDF success,
+    ConvertToZTDF.java:228). Original columns (incl. ``tokens``) are
+    preserved so failure routes keep the original content.
+    """
+    if fmt not in ("ztdf", "nano"):
+        raise ValueError(f"fmt must be ztdf|nano, got {fmt}")
+    for col, default in (
+        ("op", F.lit("U")),
+        ("kas_url", F.lit(None).cast("string")),
+        ("tdf_attribute", F.lit(None).cast("string")),
+        ("assertions", F.lit(None).cast("string")),
+        ("n_tok", F.size("tokens")),
+    ):
+        if col not in df.columns:
+            df = df.withColumn(col, default)
+
+    gated = with_pre_route(df, settings, fmt)
+    udf = _encrypt_pandas(settings, fmt)
+    res = gated.withColumn(
+        "_enc",
+        udf(
+            F.col("doc_id").cast("string"),
+            F.col("lsn").cast("long"),
+            F.col("op"),
+            F.col("tokens"),
+            F.col("kas_url"),
+            F.col("tdf_attribute"),
+            F.col("assertions"),
+            F.col("pre_error"),
+        ),
+    )
+    mime = ZTDF_MIME if fmt == "ztdf" else NANO_MIME
+    return (
+        res.withColumn("ciphertext", F.col("_enc.ciphertext"))
+        .withColumn("error", F.col("_enc.error"))
+        .withColumn(
+            "route",
+            F.when(F.col("error") == ERR_OVERSIZE, F.lit(ROUTE_OVERSIZE))
+            .when(F.col("error").isNotNull(), F.lit(ROUTE_FAILURE))
+            .otherwise(F.lit(ROUTE_SUCCESS)),
+        )
+        .withColumn(
+            "mime_type",
+            F.when(
+                (F.col("route") == ROUTE_SUCCESS) & F.col("ciphertext").isNotNull(), F.lit(mime)
+            ),
+        )
+        .drop("_enc", "pre_error")
+    )
+
+
+def _decrypt_pandas(settings: Settings, fmt: str):
+    master = settings.master_secret
+
+    @F.pandas_udf(_DECRYPT_RESULT)
+    def decrypt_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        decrypt = tdf.decrypt_ztdf if fmt == "ztdf" else tdf.decrypt_nano
+        for blobs in it:
+            toks: list = [None] * len(blobs)
+            errs: list = [None] * len(blobs)
+            for i, blob in enumerate(blobs):
+                if blob is None:
+                    continue
+                try:
+                    toks[i] = np.frombuffer(decrypt(bytes(blob), master_secret=master), dtype="<i4")
+                except Exception as e:
+                    errs[i] = str(e) or type(e).__name__
+            yield pd.DataFrame({"tokens": toks, "error": errs})
+
+    return decrypt_udf
+
+
+def decrypt_batch(
+    df: DataFrame, settings: Settings, fmt: str = "ztdf", blob_col: str = "ciphertext"
+) -> DataFrame:
+    """ConvertFromZTDF / ConvertFromNanoTDF analog: adds ``tokens_out`` and
+    ``decrypt_error`` columns; corrupt envelopes fail row-level, batch
+    survives (ConvertFromZTDF.java:88-91)."""
+    udf = _decrypt_pandas(settings, fmt)
+    res = df.withColumn("_dec", udf(F.col(blob_col)))
+    return (
+        res.withColumn("tokens_out", F.col("_dec.tokens"))
+        .withColumn("decrypt_error", F.col("_dec.error"))
+        .drop("_dec")
+    )
+
+
+def split_routes(df: DataFrame) -> dict[str, DataFrame]:
+    """Relationship fan-out (AbstractTDFProcessor.java:87-103,
+    ConvertToNanoTDF.java:63-66) as filtered views — Catalyst pushes each
+    filter into the shared plan; with the input cached/persisted by the
+    caller these are three cheap scans of one in-memory batch."""
+    return {
+        ROUTE_SUCCESS: df.filter(F.col("route") == ROUTE_SUCCESS),
+        ROUTE_FAILURE: df.filter(F.col("route") == ROUTE_FAILURE),
+        ROUTE_OVERSIZE: df.filter(F.col("route") == ROUTE_OVERSIZE),
+    }
+
+
+def latest_wins(df: DataFrame, key: str = "doc_id", seq: str = "lsn") -> DataFrame:
+    """Latest-wins dedup within a batch: keep the row with max(seq) per key.
+
+    Implemented as ``max_by(struct(*), seq)`` — a declarative aggregate with
+    map-side partial aggregation, so each shuffle partition receives at most
+    one pre-reduced row per (key, map-partition): hot keys are combined
+    locally before the exchange (the two-phase salted reduce of SURVEY.md §4
+    item 1, expressed natively; no manual salt column needed for the agg).
+    """
+    cols = [c for c in df.columns]
+    packed = df.groupBy(key).agg(
+        F.max_by(F.struct(*[F.col(c) for c in cols if c != key]), F.col(seq)).alias("_top")
+    )
+    return packed.select(key, *[F.col(f"_top.{c}").alias(c) for c in cols if c != key])
