@@ -1,0 +1,158 @@
+"""LakeTable (Iceberg-semantics layer) tests: MERGE vs brute-force oracle,
+exactly-once fencing, additive schema evolution, time travel, pruning,
+vacuum (FIXTURES.md §5)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ztdf_spark.datagen import BINLOG_DDL, BinlogSpec, expected_final_state, write_binlog
+from ztdf_spark.lake import CommitConflict, LakeTable
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+CH_COLS = ["op", "doc_id", "lsn", "tokens", "n_tok", "source"]
+
+
+def _mk(spark, tmp_path, name="t"):
+    return LakeTable.create(spark, str(tmp_path / name), schema=STATE_SCHEMA, target_file_rows=200)
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "op string, doc_id string, lsn long, tokens array<int>, n_tok int, source string"
+    )
+
+
+def test_create_load_and_empty_read(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    assert t.current_version() == 0
+    assert LakeTable.load(spark, t.path).read().count() == 0
+    with pytest.raises(CommitConflict):
+        LakeTable.create(spark, t.path, STATE_SCHEMA)
+
+
+def test_merge_upsert_delete_latest_wins(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(_changes(spark, [("I", "a", 1, [1], 1, "web"), ("I", "b", 2, [2], 1, "web")]), batch_id=0)
+    t.merge(
+        _changes(
+            spark,
+            [
+                ("U", "a", 10, [10], 1, "web"),
+                ("U", "a", 5, [5], 1, "web"),  # stale update in same batch → loses
+                ("D", "b", 11, None, None, None),
+                ("I", "c", 12, [12], 1, "code"),
+            ],
+        ),
+        batch_id=1,
+    )
+    got = {r["doc_id"]: r for r in t.read().collect()}
+    assert set(got) == {"a", "c"}
+    assert got["a"]["lsn"] == 10 and got["a"]["tokens"] == [10]
+
+
+def test_stale_cross_batch_update_loses(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(_changes(spark, [("I", "a", 100, [100], 1, "web")]), batch_id=0)
+    t.merge(_changes(spark, [("U", "a", 50, [50], 1, "web")]), batch_id=1)  # older lsn arrives later
+    got = t.read().collect()[0]
+    assert got["lsn"] == 100 and got["tokens"] == [100]
+
+
+def test_exactly_once_batch_fencing(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    b = _changes(spark, [("I", "a", 1, [1], 1, "web")])
+    r1 = t.merge(b, batch_id=7)
+    assert not r1["noop"]
+    v = t.current_version()
+    r2 = t.merge(b, batch_id=7)  # re-delivery → no-op
+    assert r2["noop"] and t.current_version() == v
+    r3 = t.merge(b, batch_id=3)  # older batch id → no-op
+    assert r3["noop"]
+    assert t.read().count() == 1
+
+
+def test_merge_against_bruteforce_oracle(spark, tmp_path):
+    spec = BinlogSpec(n_events=4_000, n_docs=300, n_files=8, seed=7)
+    d = str(tmp_path / "binlog")
+    write_binlog(d, spec)
+    t = _mk(spark, tmp_path)
+    files = sorted(os.listdir(d))
+    # replay two files per merge-batch, out of order within the batch
+    for bid, i in enumerate(range(0, len(files), 2)):
+        batch = spark.read.schema(BINLOG_DDL).parquet(*[os.path.join(d, f) for f in files[i : i + 2]])
+        # failure-routed rows (no attrs on change events) never reach MERGE
+        ok = batch.filter((F.col("op") == "D") | F.col("tdf_attribute").isNotNull())
+        t.merge(ok.select(*CH_COLS), batch_id=bid)
+    got = t.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+    exp = expected_final_state(d)[["doc_id", "lsn", "n_tok", "source"]].sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["lsn"].tolist() == exp["lsn"].tolist()
+    assert got["n_tok"].tolist() == exp["n_tok"].astype(int).tolist()
+
+
+def test_copy_on_write_prunes_untouched_files(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    # 1000 keys over ~5 files (target_file_rows=200), range-clustered
+    rows = [("I", f"doc-{i:05d}", i, [i], 1, "web") for i in range(1000)]
+    t.merge(_changes(spark, rows), batch_id=0)
+    n_files = len(t.snapshot()["files"])
+    assert n_files >= 4
+    # touch one key at the very top of the range → only 1 file rewritten
+    r = t.merge(_changes(spark, [("U", "doc-00999", 5000, [9], 1, "web")]), batch_id=1)
+    assert r["files_rewritten"] == 1
+    assert r["files_added"] == 1
+    assert len(t.snapshot()["files"]) == n_files
+    assert t.read().count() == 1000
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(_changes(spark, [("I", "a", 1, [1], 1, "web")]), batch_id=0)
+    evolved = spark.createDataFrame(
+        [("I", "b", 2, [2], 1, "web", "en")],
+        "op string, doc_id string, lsn long, tokens array<int>, n_tok int, source string, lang string",
+    )
+    t.merge(evolved, batch_id=1)
+    got = {r["doc_id"]: r for r in t.read().collect()}
+    assert got["a"]["lang"] is None  # old rows read null through evolved schema
+    assert got["b"]["lang"] == "en"
+    assert [f.name for f in t.schema().fields][-1] == "lang"
+    # old data + old-shaped batches still merge fine after evolution
+    t.merge(_changes(spark, [("U", "a", 3, [3], 1, "web")]), batch_id=2)
+    assert t.read().filter("doc_id='a'").collect()[0]["lang"] is None
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(_changes(spark, [("I", "a", 1, [1], 1, "web")]), batch_id=0)
+    t.merge(_changes(spark, [("D", "a", 2, None, None, None)]), batch_id=1)
+    assert t.read().count() == 0
+    assert t.read(version=1).count() == 1  # pre-delete snapshot
+    hist = t.history()
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert hist[2]["summary"]["n_deletes"] == 1
+    assert hist[2]["parent"] == 1
+
+
+def test_vacuum_removes_orphans(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(_changes(spark, [("I", "a", 1, [1], 1, "web")]), batch_id=0)
+    orphan = os.path.join(t.path, "data", "part-orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    removed = t.vacuum()
+    assert removed == ["part-orphan.parquet"]
+    assert t.read().count() == 1
