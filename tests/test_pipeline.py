@@ -1,0 +1,140 @@
+"""End-to-end CDC pipeline tests: streaming replay vs oracle, exactly-once
+under crash/re-delivery, checkpoint resume, DLQ, lineage completeness,
+additive schema evolution mid-stream (FIXTURES.md §5)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ztdf_spark.datagen import BINLOG_DDL, BinlogSpec, write_binlog
+from ztdf_spark.pipeline import CdcPipeline, PipelineConfig
+from ztdf_spark.settings import Settings
+
+
+def _pipe(spark, root, **cfg_kw):
+    cfg = PipelineConfig(root=str(root), max_files_per_trigger=2, target_file_rows=500, **cfg_kw)
+    return CdcPipeline(spark, Settings(), cfg)
+
+
+def _state_fingerprint(pipe):
+    rows = pipe.table.read().select("doc_id", "lsn", "ciphertext").collect()
+    return sorted((r["doc_id"], r["lsn"], bytes(r["ciphertext"])) for r in rows)
+
+
+def test_stream_replay_matches_oracle(spark, tmp_path, binlog_dir):
+    pipe = _pipe(spark, tmp_path / "p1")
+    pipe.run_stream(binlog_dir)
+    res = pipe.verify_roundtrip(binlog_dir)
+    assert res["unexpected_rows"] == 0
+    assert res["missing_rows"] == 0
+    assert res["decrypt_failures"] == 0
+    assert res["token_mismatches"] == 0
+    assert res["lsn_mismatches"] == 0
+    assert res["compared"] > 0
+
+
+def test_lineage_audit_completeness(spark, tmp_path, binlog_dir):
+    pipe = _pipe(spark, tmp_path / "p2")
+    pipe.run_stream(binlog_dir)
+    audits = sorted(
+        (json.load(open(os.path.join(pipe.cfg.audit_path, f))) for f in os.listdir(pipe.cfg.audit_path)),
+        key=lambda a: a["batch_id"],
+    )
+    assert len(audits) == 4  # 8 files / 2 per trigger
+    # event counts sum to the full binlog; offset ranges cover it contiguously
+    assert sum(a["n_events"] for a in audits) == 5_000
+    covered = sorted((a["min_lsn"], a["max_lsn"]) for a in audits)
+    assert covered[0][0] == 0 and covered[-1][1] == 4_999
+    # per-source-partition lineage present, one entry per input file
+    assert sum(len(a["partitions"]) for a in audits) == 8
+    for a in audits:
+        assert a["snapshot_version"] >= 1
+        assert a["n_success"] + a["n_failure"] + a["n_oversize"] == a["n_events"]
+        assert sum(p["n_events"] for p in a["partitions"]) == a["n_events"]
+    # snapshot ids strictly increase batch over batch
+    versions = [a["snapshot_version"] for a in audits]
+    assert versions == sorted(versions) and len(set(versions)) == len(versions)
+
+
+def test_dlq_preserves_original_content(spark, tmp_path, binlog_dir):
+    pipe = _pipe(spark, tmp_path / "p3")
+    pipe.run_stream(binlog_dir)
+    dlq = spark.read.parquet(pipe.cfg.dlq_path)
+    n_bad = dlq.count()
+    assert n_bad > 0  # datagen plants ~2% null-attr rows
+    assert dlq.filter(F.col("error").isNull()).count() == 0
+    assert dlq.filter(F.col("tokens").isNull() & (F.col("op") != "D")).count() == 0
+    # failure rows never reach the table
+    log = spark.read.schema(BINLOG_DDL).parquet(binlog_dir)
+    bad_change = log.filter(F.col("op").isin("I", "U") & F.col("tdf_attribute").isNull())
+    assert n_bad == bad_change.count()
+
+
+def test_exactly_once_crash_after_commit(spark, tmp_path, binlog_dir):
+    clean = _pipe(spark, tmp_path / "clean")
+    clean.run_stream(binlog_dir)
+
+    crashy = _pipe(spark, tmp_path / "crashy")
+    with pytest.raises(Exception, match="injected crash after commit"):
+        crashy.run_stream(binlog_dir, fail_after=1, fail_point="after")
+    # batch 1 was merged but its offsets never checkpointed → re-delivered
+    crashy.run_stream(binlog_dir)
+    assert _state_fingerprint(crashy) == _state_fingerprint(clean)
+    # the re-delivered merge was fenced: lake history has no duplicate batch
+    merges = [s["summary"] for s in crashy.table.history() if s["summary"].get("operation") == "merge"]
+    bids = [m["batch_id"] for m in merges]
+    assert len(bids) == len(set(bids))
+    res = crashy.verify_roundtrip(binlog_dir)
+    assert sum(v for k, v in res.items() if k != "compared") == 0
+
+
+def test_resume_from_checkpoint_mid_replay(spark, tmp_path, binlog_dir):
+    clean = _pipe(spark, tmp_path / "c2")
+    clean.run_stream(binlog_dir)
+
+    pipe = _pipe(spark, tmp_path / "resume")
+    with pytest.raises(Exception, match="injected crash"):
+        pipe.run_stream(binlog_dir, fail_after=2, fail_point="before")
+    assert pipe.table.current_version() >= 1  # partial progress committed
+    pipe.run_stream(binlog_dir)  # resume from checkpoint
+    assert _state_fingerprint(pipe) == _state_fingerprint(clean)
+
+
+def test_schema_evolution_mid_stream(spark, tmp_path):
+    binlog = tmp_path / "evolog"
+    write_binlog(str(binlog), BinlogSpec(n_events=1_000, n_docs=100, n_files=4, seed=11))
+    pipe = _pipe(spark, tmp_path / "evo")
+    pipe.run_stream(str(binlog))
+
+    # later WAL segments carry a new nullable column `lang`
+    evolved_ddl = BINLOG_DDL + ", lang string"
+    old = spark.read.schema(BINLOG_DDL).parquet(str(binlog))
+    max_lsn = old.agg(F.max("lsn")).collect()[0][0]
+    new_events = spark.createDataFrame(
+        [(max_lsn + 1, "U", "doc-00000001", [42], 1, "web", None,
+          "https://opentdf.io/attr/intellectualproperty/value/tradesecret", None, "en")],
+        evolved_ddl,
+    )
+    new_events.write.mode("append").parquet(str(binlog))
+
+    pipe2 = CdcPipeline(
+        spark, Settings(), PipelineConfig(root=str(tmp_path / "evo"), max_files_per_trigger=2,
+                                          target_file_rows=500, binlog_schema=evolved_ddl)
+    )
+    pipe2.run_stream(str(binlog))
+    state = pipe2.table.read()
+    assert "lang" in state.columns
+    got = {r["doc_id"]: r["lang"] for r in state.collect()}
+    assert got["doc-00000001"] == "en"
+    assert all(v is None for k, v in got.items() if k != "doc-00000001")
+
+
+def test_batch_mode_replay_equals_streaming(spark, tmp_path, binlog_dir):
+    s = _pipe(spark, tmp_path / "bm-s")
+    s.run_stream(binlog_dir)
+    b = _pipe(spark, tmp_path / "bm-b")
+    audit = b.replay_batch_mode(binlog_dir)
+    assert audit["n_events"] == 5_000
+    assert _state_fingerprint(b) == _state_fingerprint(s)

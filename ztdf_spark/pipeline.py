@@ -1,0 +1,270 @@
+"""CDC ingest pipeline: binlog tail → dedup → encrypt → MERGE → audit.
+
+The Spark re-expression of the reference's flow graph
+(deploy/Example_ZTDF_NanoTDF.xml; SURVEY.md §2.2, §3.4):
+
+- NiFi source processor + queue  → Structured Streaming file tail with
+  ``maxFilesPerTrigger`` backpressure (template's per-connection
+  back-pressure: 10,000 objects / 1 GB, Example_ZTDF_NanoTDF.xml:19-20)
+- UpdateAttribute policy stamp   → Catalyst projection (caller-side)
+- ConvertToZTDF + routing        → ``ops.encrypt_batch`` inside
+  ``foreachBatch``
+- failure relationship → LogMessage → DLQ parquet append (idempotent,
+  keyed by batch id), original content preserved
+- NiFi session commit            → idempotent ``LakeTable.merge`` fenced on
+  the streaming batch id + checkpointed source offsets: a re-executed
+  batch is a no-op, so exactly-once end-to-end
+- NiFi provenance                → sidecar audit table: one row per
+  committed batch with per-source-partition lineage (input file, offset
+  range, event counts), commit snapshot id, wall-clock and throughput
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import ops
+from .datagen import BINLOG_DDL
+from .lake import LakeTable, _atomic_write
+from .settings import Settings
+
+# binlog columns consumed by the encrypt/route stage; anything else on the
+# batch is treated as an additively-evolved payload column and flows into
+# the lake table schema (north rule: 'new attribute/assertion columns')
+_CORE_COLS = {
+    "lsn", "op", "doc_id", "tokens", "n_tok", "source",
+    "kas_url", "tdf_attribute", "assertions",
+}
+
+STATE_BASE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("ciphertext", T.BinaryType()),
+        T.StructField("mime_type", T.StringType()),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+@dataclass
+class PipelineConfig:
+    root: str
+    fmt: str = "ztdf"
+    app_id: str = "ztdf-cdc"
+    max_files_per_trigger: int = 4
+    target_file_rows: int = 500_000
+    binlog_schema: str = field(default=BINLOG_DDL)
+
+    @property
+    def lake_path(self) -> str:
+        return os.path.join(self.root, "lake")
+
+    @property
+    def dlq_path(self) -> str:
+        return os.path.join(self.root, "dlq")
+
+    @property
+    def audit_path(self) -> str:
+        return os.path.join(self.root, "audit")
+
+    @property
+    def checkpoint_path(self) -> str:
+        return os.path.join(self.root, "checkpoint")
+
+
+class CdcPipeline:
+    def __init__(self, spark: SparkSession, settings: Settings, cfg: PipelineConfig):
+        self.spark = spark
+        self.settings = settings
+        self.cfg = cfg
+        self.table = self._ensure_table()
+
+    def _ensure_table(self) -> LakeTable:
+        if LakeTable.exists(self.cfg.lake_path):
+            return LakeTable.load(self.spark, self.cfg.lake_path)
+        return LakeTable.create(
+            self.spark,
+            self.cfg.lake_path,
+            STATE_BASE_SCHEMA,
+            key_col="doc_id",
+            seq_col="lsn",
+            target_file_rows=self.cfg.target_file_rows,
+        )
+
+    # ------------------------------------------------------------- one batch
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> dict:
+        """Encrypt → route → MERGE → audit for one micro-batch. Idempotent:
+        every side effect is keyed by ``batch_id`` (DLQ dir overwrite, merge
+        fence, audit file overwrite), so foreachBatch re-execution after a
+        crash replays to the identical end state."""
+        t0 = time.monotonic()
+        extra_cols = [c for c in batch.columns if c not in _CORE_COLS]
+
+        enc = ops.encrypt_batch(
+            batch.withColumn("_src_file", F.input_file_name()), self.settings, self.cfg.fmt
+        ).persist()
+        try:
+            # per-source-partition lineage (NiFi provenance analog): offset
+            # range + route counts per input file, one aggregation pass
+            lineage_rows = (
+                enc.groupBy("_src_file")
+                .agg(
+                    F.count("*").alias("n_events"),
+                    F.min("lsn").alias("min_lsn"),
+                    F.max("lsn").alias("max_lsn"),
+                    F.sum(F.when(F.col("route") == ops.ROUTE_SUCCESS, 1).otherwise(0)).alias("n_success"),
+                    F.sum(F.when(F.col("route") == ops.ROUTE_FAILURE, 1).otherwise(0)).alias("n_failure"),
+                    F.sum(F.when(F.col("route") == ops.ROUTE_OVERSIZE, 1).otherwise(0)).alias("n_oversize"),
+                    F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_delete"),
+                )
+                .collect()
+            )
+            n_events = sum(r["n_events"] for r in lineage_rows)
+            if n_events == 0:
+                return {"batch_id": batch_id, "n_events": 0, "noop": True}
+
+            # DLQ: failure + oversize rows, original content preserved
+            bad = enc.filter(F.col("route") != ops.ROUTE_SUCCESS).drop("ciphertext", "mime_type")
+            n_bad = sum(r["n_failure"] + r["n_oversize"] for r in lineage_rows)
+            if n_bad:
+                bad.write.mode("overwrite").parquet(os.path.join(self.cfg.dlq_path, f"batch_id={batch_id}"))
+
+            # MERGE the successful changes (latest-wins, fenced on batch_id)
+            good = enc.filter(F.col("route") == ops.ROUTE_SUCCESS).select(
+                "op", "doc_id", "lsn", "ciphertext", "mime_type", "n_tok", "source", *extra_cols
+            )
+            mstats = self.table.merge(good, batch_id=batch_id, app_id=self.cfg.app_id)
+
+            dt = time.monotonic() - t0
+            audit = {
+                "batch_id": batch_id,
+                "app_id": self.cfg.app_id,
+                "config_fingerprint": self.settings.fingerprint(),
+                "fmt": self.cfg.fmt,
+                "n_events": n_events,
+                "min_lsn": min(r["min_lsn"] for r in lineage_rows),
+                "max_lsn": max(r["max_lsn"] for r in lineage_rows),
+                "n_success": sum(r["n_success"] for r in lineage_rows),
+                "n_failure": sum(r["n_failure"] for r in lineage_rows),
+                "n_oversize": sum(r["n_oversize"] for r in lineage_rows),
+                "n_delete": sum(r["n_delete"] for r in lineage_rows),
+                "snapshot_version": mstats["version"],
+                "merge_noop": bool(mstats.get("noop")),
+                "duration_s": round(dt, 4),
+                "events_per_sec": round(n_events / dt, 2) if dt > 0 else None,
+                "partitions": [
+                    {
+                        "source_file": os.path.basename(r["_src_file"] or ""),
+                        "n_events": r["n_events"],
+                        "min_lsn": r["min_lsn"],
+                        "max_lsn": r["max_lsn"],
+                    }
+                    for r in sorted(lineage_rows, key=lambda r: r["min_lsn"])
+                ],
+            }
+            os.makedirs(self.cfg.audit_path, exist_ok=True)
+            _atomic_write(
+                os.path.join(self.cfg.audit_path, f"batch-{batch_id:010d}.json"), json.dumps(audit)
+            )
+            return audit
+        finally:
+            enc.unpersist()
+
+    # ------------------------------------------------------------- streaming
+
+    def run_stream(
+        self,
+        binlog_dir: str,
+        *,
+        available_now: bool = True,
+        fail_after: int | None = None,
+        fail_point: str = "before",
+    ):
+        """Tail the binlog directory as a Structured Streaming source.
+
+        ``available_now=True`` drains everything currently available in
+        micro-batches of ``max_files_per_trigger`` files and stops —
+        checkpointed, so a later call resumes where this one left off.
+
+        ``fail_after=k`` injects a crash at batch k (resume tests):
+        ``fail_point='before'`` crashes before any side effect;
+        ``'after'`` crashes *after* the merge commit but before the
+        checkpoint advances — the re-delivered batch must then be fenced
+        to a no-op for exactly-once to hold.
+        """
+        seen = {"n": 0}
+
+        def _sink(df: DataFrame, batch_id: int) -> None:
+            if fail_after is not None and seen["n"] >= fail_after and fail_point == "before":
+                raise RuntimeError("injected crash for resume test")
+            self.process_batch(df, batch_id)
+            seen["n"] += 1
+            if fail_after is not None and seen["n"] > fail_after and fail_point == "after":
+                raise RuntimeError("injected crash after commit for resume test")
+
+        stream = (
+            self.spark.readStream.schema(self.cfg.binlog_schema)
+            .option("maxFilesPerTrigger", self.cfg.max_files_per_trigger)
+            .parquet(binlog_dir)
+        )
+        writer = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", self.cfg.checkpoint_path)
+            .trigger(availableNow=available_now)
+        )
+        q = writer.start()
+        try:
+            q.awaitTermination()
+        except Exception:
+            q.stop()
+            raise
+        return q
+
+    def replay_batch_mode(self, binlog_dir: str, *, batch_id: int = 0) -> dict:
+        """Whole-directory replay as one maximal-parallelism batch (bench path)."""
+        df = self.spark.read.schema(self.cfg.binlog_schema).parquet(binlog_dir)
+        return self.process_batch(df, batch_id)
+
+    # ------------------------------------------------------------ verify/obs
+
+    def audit_df(self) -> DataFrame:
+        return self.spark.read.json(os.path.join(self.cfg.audit_path, "batch-*.json"))
+
+    def verify_roundtrip(self, binlog_dir: str) -> dict:
+        """The correctness invariant (BASELINE.json metric): decrypt the final
+        table state and compare token arrays against a latest-wins replay of
+        the binlog computed independently in Spark. Returns mismatch counts
+        (all zeros = pass)."""
+        state = ops.decrypt_batch(self.table.read(), self.settings, self.cfg.fmt)
+        log = self.spark.read.schema(self.cfg.binlog_schema).parquet(binlog_dir)
+        ok = log.filter((F.col("op") == "D") | F.col("tdf_attribute").isNotNull())
+        expected = ops.latest_wins(ok).filter(F.col("op") != "D")
+        joined = state.alias("s").join(
+            expected.alias("e"), F.col("s.doc_id") == F.col("e.doc_id"), "full_outer"
+        )
+        agg = joined.agg(
+            F.sum(F.when(F.col("e.doc_id").isNull(), 1).otherwise(0)).alias("unexpected_rows"),
+            F.sum(F.when(F.col("s.doc_id").isNull(), 1).otherwise(0)).alias("missing_rows"),
+            F.sum(F.when(F.col("s.decrypt_error").isNotNull(), 1).otherwise(0)).alias("decrypt_failures"),
+            F.sum(
+                F.when(
+                    F.col("s.doc_id").isNotNull()
+                    & F.col("e.doc_id").isNotNull()
+                    & (F.col("s.tokens_out") != F.col("e.tokens")),
+                    1,
+                ).otherwise(0)
+            ).alias("token_mismatches"),
+            F.sum(F.when(F.col("s.lsn") != F.col("e.lsn"), 1).otherwise(0)).alias("lsn_mismatches"),
+            F.count("*").alias("compared"),
+        ).collect()[0]
+        return {k: (int(v) if v is not None else 0) for k, v in agg.asDict().items()}
