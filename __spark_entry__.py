@@ -1,38 +1,590 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship encrypt→decrypt round trip over sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+(SURVEY.md §2 CDC stages + training-data pipeline ops), DuckDB-checked at
+sf0.01. All oracle-checked outputs are integer/string typed (floats are
+quantized via floor(x·10^k)) so value hashes are bit-stable across engines.
+
+Non-SQL-expressible ops (minhash LSH, simhash, hyperplane LSH ANN, true-
+cosine ANN, multimodal mapInPandas plumbing, the streaming encrypt/merge
+pipeline itself) are included WITHOUT oracle entries → rows-only checks;
+their full semantics are pinned by tests/ instead.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+from typing import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ztdf_spark import mmops, ops, simops, textops  # noqa: E402
+from ztdf_spark.settings import NANO_MAX_SIZE, Settings  # noqa: E402
+
+CANON_ATTR = "https://opentdf.io/attr/intellectualproperty/value/tradesecret"
+SECOND_ATTR = "https://opentdf.io/attr/intellectualproperty/value/confidential"
+KAS_OVERRIDE = "https://kas2.example.com, https://kas3.example.com"
+DEFAULT_KAS = "https://kas1.example.com"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Derived binlog: a deterministic CDC change stream over the `events` table,
+# defined identically in Spark (here) and DuckDB (oracle CTE below) so the
+# CDC semantics are cross-checkable. lsn=event_id; purchase→D, signup→I,
+# else U; error events carry no tdf_attribute (→ failure route).
+# ---------------------------------------------------------------------------
+
+
+def _binlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "purchase", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+        F.concat(F.lit("doc-"), F.lpad(F.col("user_id").cast("string"), 8, "0")).alias("doc_id"),
+        F.floor(F.col("value") * 100).cast("long").alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.when(F.col("user_id") % 10 == 0, F.lit(KAS_OVERRIDE)).alias("kas_url"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("string"))
+        .when(F.col("user_id") % 7 == 0, F.lit(CANON_ATTR + "," + SECOND_ATTR))
+        .otherwise(F.lit(CANON_ATTR))
+        .alias("tdf_attribute"),
+    )
+
+
+_BINLOG_CTE = f"""
+WITH binlog AS (
+  SELECT
+    event_id AS lsn,
+    CASE WHEN event_type = 'purchase' THEN 'D'
+         WHEN event_type = 'signup' THEN 'I' ELSE 'U' END AS op,
+    'doc-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS doc_id,
+    CAST(floor(value * 100) AS BIGINT) AS n_tok,
+    event_type AS source,
+    CASE WHEN user_id % 10 = 0 THEN '{KAS_OVERRIDE}' END AS kas_url,
+    CASE WHEN event_type = 'error' THEN NULL
+         WHEN user_id % 7 = 0 THEN '{CANON_ATTR},{SECOND_ATTR}'
+         ELSE '{CANON_ATTR}' END AS tdf_attribute
+  FROM events
+)
+"""
+
+_ROUTED_CTE = (
+    _BINLOG_CTE
+    + f""",
+routed AS (
+  SELECT *,
+    CASE
+      WHEN op IN ('I','U')
+           AND len(list_filter(string_split(coalesce(nullif(trim(coalesce(kas_url,'')),''), '{DEFAULT_KAS}'), ','), x -> trim(x) <> '')) = 0
+        THEN 'failure'
+      WHEN op IN ('I','U')
+           AND len(list_filter(string_split(coalesce(tdf_attribute,''), ','), x -> trim(x) <> '')) = 0
+        THEN 'failure'
+      WHEN op IN ('I','U') AND n_tok * 4 > {NANO_MAX_SIZE} THEN 'exceeds_size_limit'
+      ELSE 'success'
+    END AS route
+  FROM binlog
+)
+"""
+)
+
+
+def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validity routing (reference relationships success/failure/
+    exceeds_size_limit) as pure Catalyst CASE WHEN — mirror of ops.with_pre_route."""
+    b = _binlog(spark, sf_dir)
+    s = Settings(default_kas_url=DEFAULT_KAS)
+    is_change = F.col("op").isin("I", "U")
+    return b.withColumn(
+        "route",
+        F.when(is_change & (F.size(ops.resolved_kas(s)) == 0), "failure")
+        .when(is_change & (F.size(ops.resolved_attrs()) == 0), "failure")
+        .when(is_change & (F.col("n_tok") * 4 > NANO_MAX_SIZE), "exceeds_size_limit")
+        .otherwise("success"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC queries
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_latest_wins(spark, sf_dir):
+    b = _binlog(spark, sf_dir)
+    return (
+        ops.latest_wins(b, key="doc_id", seq="lsn")
+        .filter(F.col("op") != "D")
+        .select("doc_id", "lsn", "n_tok", "source")
+    )
+
+
+def q_cdc_merge_state_agg(spark, sf_dir):
+    """Full pipeline semantics in SQL: drop failure-routed rows, latest-wins,
+    drop tombstones, aggregate final state per source."""
+    r = _routed(spark, sf_dir).filter((F.col("op") == "D") | (F.col("route") == "success"))
+    final = ops.latest_wins(r, key="doc_id", seq="lsn").filter(F.col("op") != "D")
+    return final.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").cast("long").alias("sum_n_tok")
+    )
+
+
+def q_cdc_route_counts(spark, sf_dir):
+    return _routed(spark, sf_dir).groupBy("route").agg(F.count("*").alias("n_events"))
+
+
+def q_cdc_kas_resolution(spark, sf_dir):
+    b = _binlog(spark, sf_dir)
+    resolved = ops.resolved_kas(Settings(default_kas_url=DEFAULT_KAS))
+    return (
+        b.withColumn("kas_first", F.element_at(resolved, 1))
+        .withColumn("n_kas", F.size(resolved).cast("long"))
+        .groupBy("kas_first", "n_kas")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def q_cdc_attr_explode(spark, sf_dir):
+    b = _binlog(spark, sf_dir)
+    return (
+        b.select(F.explode(ops.resolved_attrs()).alias("attr"))
+        .groupBy("attr")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def q_cdc_lineage_batches(spark, sf_dir):
+    b = _binlog(spark, sf_dir)
+    return (
+        b.withColumn("batch_id", (F.col("lsn") / 1000).cast("long"))
+        .groupBy("batch_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("lsn").alias("min_lsn"),
+            F.max("lsn").alias("max_lsn"),
+            F.sum(F.when(F.col("op") == "I", 1).otherwise(0)).cast("long").alias("n_insert"),
+            F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).cast("long").alias("n_update"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).cast("long").alias("n_delete"),
+        )
+    )
+
+
+def q_cdc_hot_keys(spark, sf_dir):
+    b = _binlog(spark, sf_dir)
+    counts = b.groupBy("doc_id").agg(F.count("*").alias("n_events"))
+    w = Window.orderBy(F.desc("n_events"), F.asc("doc_id"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "n_events", "rank")
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    return (
+        e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1_800_000), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").cast("long").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage (Catalyst-free-win operators on TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1_quantized(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100)).cast("long").alias("sum_price_c"),
+            F.sum(F.floor(F.col("l_discount") * 100)).cast("long").alias("sum_disc_c"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_join_orders_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias("sum_total_c"),
+        )
+    )
+
+
+def q_topk_orders_per_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("total_c"),
+            "rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline queries
+# ---------------------------------------------------------------------------
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    return textops.doc_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return textops.exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return textops.jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, min_jac_q=300, df_cap=100)
+
+
+def q_text_langid(spark, sf_dir):
+    return textops.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark, sf_dir):
+    return textops.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_text_token_counts(spark, sf_dir):
+    return textops.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_ann_topk_quantized(spark, sf_dir):
+    return simops.ann_topk_quantized(_t(spark, sf_dir, "embeddings"), n_queries=10, k=5)
+
+
+def q_emb_near_dup(spark, sf_dir):
+    return simops.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), min_dot_q=10_000)
+
+
+# -- rows-only (non-SQL-expressible; semantics pinned by tests/) ------------
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return textops.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), min_est_q=400)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return textops.simhash64(_t(spark, sf_dir, "documents"))
+
+
+def q_ann_topk_cosine(spark, sf_dir):
+    return simops.ann_topk_cosine(_t(spark, sf_dir, "embeddings"), n_queries=10, k=5)
+
+
+def q_ann_lsh(spark, sf_dir):
+    return simops.lsh_ann_topk(_t(spark, sf_dir, "embeddings"), n_queries=10, k=5, dim=64)
+
+
+def q_mm_features(spark, sf_dir):
+    return mmops.extract_features(mmops.synthetic_media(spark, n=30))
+
+
+def q_cdc_encrypt_roundtrip(spark, sf_dir):
+    """The flagship non-SQL op: vectorized ZTDF encrypt → route → decrypt →
+    token-array equality per row (the BASELINE.json per-row invariant)."""
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    b = _with_tokens(docs).withColumn("lsn", F.col("doc_id_num")).withColumn("op", F.lit("I"))
+    b = b.withColumn("tdf_attribute", F.lit(CANON_ATTR)).withColumn("doc_id", F.col("doc_id_str"))
+    enc = ops.encrypt_batch(b, Settings(), fmt="ztdf")
+    dec = ops.decrypt_batch(enc, Settings(), fmt="ztdf")
+    return dec.select(
+        "doc_id",
+        "route",
+        "mime_type",
+        (F.col("tokens_out") == F.col("tokens")).alias("tokens_match"),
+    )
+
+
+def _with_tokens(docs: DataFrame) -> DataFrame:
+    """Deterministic token arrays keyed on doc_id (blake2b-seeded)."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def gen_tokens(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import hashlib
+
+        import numpy as np
+
+        for ids in it:
+            out = []
+            for d in ids:
+                seed = int.from_bytes(hashlib.blake2b(str(d).encode(), digest_size=8).digest(), "little")
+                rng = np.random.default_rng(seed)
+                out.append(rng.integers(0, 50257, size=int(rng.integers(8, 64))).astype("int32").tolist())
+            yield pd.Series(out)
+
+    return (
+        docs.withColumn("doc_id_num", F.col("doc_id").cast("long"))
+        .withColumn("doc_id_str", F.concat(F.lit("doc-"), F.lpad(F.col("doc_id").cast("string"), 8, "0")))
+        .withColumn("tokens", gen_tokens(F.col("doc_id").cast("string")))
+        .withColumn("n_tok", F.size("tokens"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: documents → deterministic token payloads →
+    policy stamp → vectorized ZTDF encrypt → route split → decrypt →
+    per-row token equality (the reference round-trip invariant)."""
+    return q_cdc_encrypt_roundtrip(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # CDC engine semantics (SURVEY.md §2.3 stages)
+        "cdc_latest_wins": q_cdc_latest_wins,
+        "cdc_merge_state_agg": q_cdc_merge_state_agg,
+        "cdc_route_counts": q_cdc_route_counts,
+        "cdc_kas_resolution": q_cdc_kas_resolution,
+        "cdc_attr_explode": q_cdc_attr_explode,
+        "cdc_lineage_batches": q_cdc_lineage_batches,
+        "cdc_hot_keys": q_cdc_hot_keys,
+        "cdc_encrypt_roundtrip": q_cdc_encrypt_roundtrip,  # rows-only
+        # relational coverage
+        "events_sessionize": q_events_sessionize,
+        "tpch_q1_quantized": q_tpch_q1_quantized,
+        "join_orders_nation": q_join_orders_nation,
+        "topk_orders_per_priority": q_topk_orders_per_priority,
+        # training-data pipeline
+        "doc_fingerprints": q_doc_fingerprints,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,  # rows-only
+        "dedup_simhash": q_dedup_simhash,  # rows-only
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "text_token_counts": q_text_token_counts,
+        "ann_topk_quantized": q_ann_topk_quantized,
+        "ann_topk_cosine": q_ann_topk_cosine,  # rows-only
+        "ann_lsh": q_ann_lsh,  # rows-only
+        "emb_near_dup": q_emb_near_dup,
+        "mm_features": q_mm_features,  # rows-only
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_en = "['the','a','of','and','to']"
+    stop_es = "['el','la','de','y','que']"
+    stop_fr = "['le','la','de','et','que']"
+    stop_de = "['der','die','und','das','ist']"
+    q_stop = "['the','a','of','and','to','in','is']"
+    return {
+        "cdc_latest_wins": _BINLOG_CTE
+        + """
+        , last AS (
+          SELECT doc_id, lsn, n_tok, source, op,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+          FROM binlog)
+        SELECT doc_id, lsn, n_tok, source FROM last WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_merge_state_agg": _ROUTED_CTE
+        + """
+        , ok AS (SELECT * FROM routed WHERE op = 'D' OR route = 'success'),
+        last AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM ok)
+        SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok
+        FROM last WHERE rn = 1 AND op <> 'D' GROUP BY source
+        """,
+        "cdc_route_counts": _ROUTED_CTE
+        + "SELECT route, COUNT(*) AS n_events FROM routed GROUP BY route",
+        "cdc_kas_resolution": _BINLOG_CTE
+        + f"""
+        , res AS (
+          SELECT list_filter(list_transform(string_split(
+                   coalesce(nullif(trim(coalesce(kas_url,'')),''), '{DEFAULT_KAS}'), ','), x -> trim(x)),
+                 x -> x <> '') AS kas
+          FROM binlog)
+        SELECT kas[1] AS kas_first, CAST(len(kas) AS BIGINT) AS n_kas, COUNT(*) AS n_events
+        FROM res GROUP BY 1, 2
+        """,
+        "cdc_attr_explode": _BINLOG_CTE
+        + """
+        SELECT attr, COUNT(*) AS n_events FROM (
+          SELECT unnest(list_filter(list_transform(string_split(coalesce(tdf_attribute,''), ','),
+                 x -> trim(x)), x -> x <> '')) AS attr
+          FROM binlog)
+        GROUP BY attr
+        """,
+        "cdc_lineage_batches": _BINLOG_CTE
+        + """
+        SELECT CAST(lsn // 1000 AS BIGINT) AS batch_id, COUNT(*) AS n_events,
+               MIN(lsn) AS min_lsn, MAX(lsn) AS max_lsn,
+               CAST(SUM(CASE WHEN op='I' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+               CAST(SUM(CASE WHEN op='U' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+               CAST(SUM(CASE WHEN op='D' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete
+        FROM binlog GROUP BY 1
+        """,
+        "cdc_hot_keys": _BINLOG_CTE
+        + """
+        , counts AS (SELECT doc_id, COUNT(*) AS n_events FROM binlog GROUP BY doc_id)
+        SELECT doc_id, n_events, rank FROM (
+          SELECT doc_id, n_events,
+                 CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, doc_id ASC) AS BIGINT) AS rank
+          FROM counts)
+        WHERE rank <= 10
+        """,
+        "events_sessionize": """
+        WITH g AS (
+          SELECT user_id,
+                 epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events)
+        SELECT user_id,
+               CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM g GROUP BY user_id
+        """,
+        "tpch_q1_quantized": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+               CAST(SUM(CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+               COUNT(*) AS n_rows
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_orders_nation": """
+        SELECT n_name, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_c
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """,
+        "topk_orders_per_priority": """
+        SELECT o_orderpriority, o_orderkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS total_c, rank
+        FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rank
+          FROM orders)
+        WHERE rank <= 3
+        """,
+        "doc_fingerprints": "SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(lower(text)) AS fp FROM documents",
+        "dedup_exact": """
+        SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper FROM (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(lower(text)) AS fp FROM documents)
+        GROUP BY fp HAVING COUNT(*) > 1
+        """,
+        "dedup_ngram_jaccard": """
+        WITH sh AS (
+          SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(w[i:i+2], ' ')
+                           for i in generate_series(1, greatest(len(w)-2, 0))]) AS shingle
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents))),
+        per_doc AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        rare AS (
+          SELECT sh.doc_id, sh.shingle FROM sh
+          JOIN (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle HAVING COUNT(*) <= 100) f
+          USING (shingle)),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+          FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, common,
+               CAST(floor(1000.0 * common / (pa.n_sh + pb.n_sh - common)) AS BIGINT) AS jac_q
+        FROM pairs
+        JOIN per_doc pa ON pa.doc_id = doc_a
+        JOIN per_doc pb ON pb.doc_id = doc_b
+        WHERE floor(1000.0 * common / (pa.n_sh + pb.n_sh - common)) >= 300
+        """,
+        "text_langid": f"""
+        WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        h AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(w, x -> list_contains({stop_en}, x))) AS INT) AS h_en,
+                 CAST(len(list_filter(w, x -> list_contains({stop_es}, x))) AS INT) AS h_es,
+                 CAST(len(list_filter(w, x -> list_contains({stop_fr}, x))) AS INT) AS h_fr,
+                 CAST(len(list_filter(w, x -> list_contains({stop_de}, x))) AS INT) AS h_de
+          FROM d)
+        SELECT doc_id, h_en, h_es, h_fr, h_de,
+               CASE WHEN greatest(h_en,h_es,h_fr,h_de) = 0 THEN 'und'
+                    WHEN h_en = greatest(h_en,h_es,h_fr,h_de) THEN 'en'
+                    WHEN h_es = greatest(h_en,h_es,h_fr,h_de) THEN 'es'
+                    WHEN h_fr = greatest(h_en,h_es,h_fr,h_de) THEN 'fr'
+                    ELSE 'de' END AS pred_lang
+        FROM h
+        """,
+        "text_quality": f"""
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+                 string_split(lower(text), ' ') AS w,
+                 length(text) AS nc,
+                 length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS nc_clean
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(w) AS INT) AS n_words,
+               CAST(nc AS BIGINT) AS n_chars_calc,
+               CAST(floor(1000.0 * (nc - nc_clean) / nc) AS BIGINT) AS punct_ratio_q,
+               CAST(floor(1000.0 * len(list_filter(w, x -> list_contains({q_stop}, x))) / len(w)) AS BIGINT) AS stop_ratio_q,
+               CAST(floor(1000.0 * nc / len(w)) AS BIGINT) AS avg_wlen_q
+        FROM d
+        """,
+        "text_token_counts": r"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tok_ws,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok_re
+        FROM documents
+        """,
+        "ann_topk_quantized": """
+        WITH qz AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+          FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 CAST(list_sum(list_transform(list_zip(q.v, c.v), s -> s[1] * s[2])) AS BIGINT) AS dot_q
+          FROM qz q JOIN qz c ON q.vec_id < 10 AND c.vec_id >= 10)
+        SELECT query_id, neighbor_id, dot_q, rank FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY dot_q DESC, neighbor_id ASC) AS BIGINT) AS rank
+          FROM scored)
+        WHERE rank <= 5
+        """,
+        "emb_near_dup": """
+        WITH qz AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+          FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(list_sum(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2])) AS BIGINT) AS dot_q
+        FROM qz a JOIN qz b ON a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2])) >= 10000
+        """,
+    }

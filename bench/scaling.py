@@ -1,0 +1,113 @@
+"""Two-parallelism scaling evidence (BASELINE.md measurement protocol):
+run the identical replay job on the identical seeded binlog at local[N]
+and local[4N] via spark-submit --py-files, report throughput at both plus
+scaling efficiency = (T_4N / T_N) / 4, and write BENCH/BASELINE.md.
+
+    python bench/scaling.py [--events 2000000] [--n 8] [--repeat 1]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SPARK_SUBMIT = os.environ.get("SPARK_SUBMIT", "/opt/spark/bin/spark-submit")
+
+
+def build_zip() -> str:
+    zpath = os.path.join(REPO, "bench", "ztdf_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(REPO, "ztdf_spark")
+        for name in sorted(os.listdir(pkg)):
+            if name.endswith(".py"):
+                z.write(os.path.join(pkg, name), f"ztdf_spark/{name}")
+    return zpath
+
+
+def run_level(cores: int, binlog: str, zpath: str, verify: bool) -> dict:
+    cmd = [
+        SPARK_SUBMIT,
+        "--master", f"local[{cores}]",
+        "--driver-memory", "48g",
+        "--conf", f"spark.sql.shuffle.partitions={cores * 2}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--py-files", zpath,
+        os.path.join(REPO, "bench", "replay_once.py"),
+        "--binlog", binlog,
+    ] + (["--verify"] if verify else [])
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON from spark-submit (rc={out.returncode}):\n{out.stderr[-4000:]}")
+
+
+def main_impl(args):
+    sys.path.insert(0, REPO)
+    import importlib
+
+    bench = importlib.import_module("bench")
+    binlog = bench.ensure_binlog(args.events, n_files=max(128, args.n * 16))
+    zpath = build_zip()
+
+    levels = {}
+    for cores in (args.n, args.n * 4):
+        best = None
+        for _ in range(args.repeat):
+            r = run_level(cores, binlog, zpath, args.verify)
+            if best is None or r["events_per_sec"] > best["events_per_sec"]:
+                best = r
+        levels[cores] = best
+        print(f"local[{cores}]: {best['events_per_sec']:.0f} events/s ({best['wall_s']}s)", file=sys.stderr)
+
+    n, n4 = args.n, args.n * 4
+    eff = (levels[n4]["events_per_sec"] / levels[n]["events_per_sec"]) / 4
+    result = {
+        "n_events": args.events,
+        "levels": {str(k): v for k, v in levels.items()},
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(result, f, indent=1)
+
+    md = f"""# BENCH/BASELINE.md — scaling evidence
+
+Identical CDC replay job (binlog → vectorized ZTDF encrypt → route →
+latest-wins MERGE) on the identical seeded binlog ({args.events:,} change
+events, {max(128, args.n * 16)} input files) at two parallelism levels via
+`spark-submit --py-files ztdf_spark.zip bench/replay_once.py` — the
+sandbox stand-in for N vs 4N executors (BASELINE.md protocol).
+
+| level | cores | wall (s) | events/sec |
+|---|---|---|---|
+| N  | {n}  | {levels[n]["wall_s"]}  | {levels[n]["events_per_sec"]:,.0f} |
+| 4N | {n4} | {levels[n4]["wall_s"]} | {levels[n4]["events_per_sec"]:,.0f} |
+
+**Scaling efficiency = (T_4N / T_N) / 4 = {eff:.3f}** (target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"})
+
+Design levers: ≥4×cores input splits, CPU-bound vectorized encrypt UDF,
+map-side-combined latest-wins dedup, AQE-coalesced salted-free shuffle,
+single COW MERGE commit.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=2_000_000)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--verify", action="store_true")
+    main_impl(ap.parse_args())

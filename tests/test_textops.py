@@ -1,0 +1,87 @@
+"""Text pipeline tests: dedup (exact / jaccard / minhash / simhash),
+lang-id, quality, token counting — small fixtures with known answers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ztdf_spark import textops
+
+DOCS_DDL = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "web", 44),
+        (1, "the quick brown fox jumps over the lazy dog", "en", "web", 44),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat", "en", "web", 44),  # near dup of 0
+        (3, "el perro y el gato de la casa que ladra", "es", "web", 40),
+        (4, "completely different words entirely unrelated content here now", "en", "web", 63),
+        (5, "a b! c2 d,e", "en", "web", 11),
+    ]
+    return spark.createDataFrame(rows, DOCS_DDL)
+
+
+def test_exact_dup_groups(docs):
+    groups = textops.exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["keeper"] == 0
+
+
+def test_fingerprint_is_md5_lower(docs):
+    import hashlib
+
+    fp = {r["doc_id"]: r["fp"] for r in textops.doc_fingerprints(docs).collect()}
+    assert fp[0] == hashlib.md5(b"the quick brown fox jumps over the lazy dog").hexdigest()
+    assert fp[0] == fp[1] != fp[2]
+
+
+def test_shingles(docs):
+    sh = textops.shingles(docs.filter("doc_id=5"), k=3).collect()
+    assert {r["shingle"] for r in sh} == {"a b! c2", "b! c2 d,e"}
+
+
+def test_jaccard_pairs_near_dup(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in textops.jaccard_pairs(docs, min_jac_q=100).collect()}
+    assert pairs[(0, 1)]["jac_q"] == 1000  # identical
+    assert (0, 2) in pairs and 400 <= pairs[(0, 2)]["jac_q"] < 1000  # near dup
+    assert not any({a, b} & {4} for a, b in pairs)  # unrelated doc never pairs
+
+
+def test_minhash_lsh_finds_dups_and_is_deterministic(docs):
+    pairs = textops.minhash_lsh_pairs(docs, min_est_q=500)
+    got = {(r["doc_a"], r["doc_b"]): r["est_jac_q"] for r in pairs.collect()}
+    assert got[(0, 1)] == 1000  # exact dup: identical signatures
+    assert (0, 2) in got  # near dup lands in a shared band bucket
+    got2 = {(r["doc_a"], r["doc_b"]): r["est_jac_q"] for r in textops.minhash_lsh_pairs(docs, min_est_q=500).collect()}
+    assert got == got2
+
+
+def test_simhash_near_dup_small_hamming(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in textops.simhash64(docs).collect()}
+    assert sh[0] == sh[1]
+    ham = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[4]).count("1")
+    assert ham < ham_far
+
+
+def test_lang_id_heuristic(docs):
+    pred = {r["doc_id"]: r["pred_lang"] for r in textops.lang_id(docs).collect()}
+    assert pred[0] == "en"
+    assert pred[3] == "es"
+    assert pred[5] == "en"  # 'a' is an en stopword here
+
+
+def test_quality_scores(docs):
+    q = {r["doc_id"]: r for r in textops.quality_scores(docs).collect()}
+    assert q[0]["n_words"] == 9
+    assert q[0]["punct_ratio_q"] == 0
+    assert q[5]["punct_ratio_q"] > 0
+    assert q[0]["stop_ratio_q"] == 222  # floor(1000*2/9)
+
+
+def test_token_counts(docs):
+    t = {r["doc_id"]: r for r in textops.token_counts(docs).collect()}
+    assert t[0]["n_tok_ws"] == 9 and t[0]["n_tok_re"] == 9
+    # "a b! c2 d,e" → ws: 4; regex: a,b,!,c,2,d,',',e = 8
+    assert t[5]["n_tok_ws"] == 4 and t[5]["n_tok_re"] == 8

@@ -1,0 +1,293 @@
+"""Training-data text pipeline over the ``documents`` table: deduplication
+(exact, n-gram Jaccard, MinHash+LSH, SimHash), language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+These are the large-scale-pipeline operations a 100 TB training-data ingest
+needs alongside the CDC engine. Design rules:
+
+- Everything SQL-expressible stays in Catalyst (whole-stage codegen, no
+  Python): fingerprints, shingles, jaccard joins, lang-id, quality, token
+  counts. Quantities that must match a DuckDB oracle bit-for-bit are
+  integer-quantized (``floor(x * 10^k)``) so no float-summation-order or
+  rounding-mode differences can flip the value hash.
+- MinHash / SimHash signatures are vectorized numpy inside iterator
+  ``pandas_udf``s (Arrow batches), with seeded hash parameters so results
+  are deterministic across runs and parallelism levels.
+- Scale path: exact pairwise jaccard self-joins explode on hot shingles, so
+  (a) stop-shingles (document frequency > cap) are dropped — the standard
+  fix — and (b) at 100 TB you use ``minhash_lsh_pairs`` whose shuffle is
+  bounded by (bands × docs), not docs².
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Fingerprinting & exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """Deterministic content fingerprint: md5 of lower-cased text."""
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.lower(F.col("text"))).alias("fp"),
+    )
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups: fingerprints shared by >1 doc."""
+    return (
+        doc_fingerprints(docs)
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + n-gram Jaccard dedup (exact, SQL-parity)
+# ---------------------------------------------------------------------------
+
+
+def _words(col: str = "text"):
+    return F.split(F.lower(F.col(col)), " ")
+
+
+def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs; shingle = k consecutive words."""
+    w = _words()
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]),
+    )
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, k: int = 3, min_jac_q: int = 200, df_cap: int = 100
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs.
+
+    jac_q = floor(1000 * |A∩B| / |A∪B|) (integer-quantized). Shingles whose
+    document frequency exceeds ``df_cap`` are dropped (stop-shingles) before
+    the pair join — this bounds the self-join blowup on hot shingles; at
+    full scale switch to ``minhash_lsh_pairs``.
+    """
+    sh = shingles(docs, k)
+    per_doc = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rare = sh.join(
+        sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(F.col("df") <= df_cap),
+        "shingle",
+    ).select("doc_id", "shingle")
+    pairs = (
+        rare.alias("a")
+        .join(rare.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        pairs.join(per_doc.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(per_doc.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jac_q",
+            F.floor(F.lit(1000) * F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))).cast("long"),
+        )
+        .filter(F.col("jac_q") >= min_jac_q)
+        .select("doc_a", "doc_b", "common", "jac_q")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path for near-dup)
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 64, k: int = 3, seed: int = 42) -> DataFrame:
+    """(doc_id, sig array<long>) — vectorized numpy minhash over k-shingle
+    FNV-1a hashes; O(shingles × n_hashes) per doc, Arrow-batched."""
+    a_params, b_params = _minhash_params(n_hashes, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        a = a_params[:, None]
+        b = b_params[:, None]
+        for texts in it:
+            out = []
+            for t in texts:
+                ws = str(t).lower().split(" ")
+                sh = {" ".join(ws[i : i + k]) for i in range(max(0, len(ws) - k + 1))}
+                if not sh:
+                    out.append([0] * n_hashes)
+                    continue
+                from hashlib import blake2b
+
+                hv = np.fromiter(
+                    (
+                        int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "little")
+                        for s in sh
+                    ),
+                    dtype=np.uint64,
+                    count=len(sh),
+                )
+                # (a*x + b) mod p, row-min per hash function
+                sig = ((a * (hv[None, :] % _MERSENNE) + b) % _MERSENNE).min(axis=1)
+                out.append((sig & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64).tolist())
+            yield pd.Series(out)
+
+    return docs.select(F.col("doc_id").cast("long").alias("doc_id"), _sig(F.col("text")).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n_hashes: int = 64, bands: int = 16, k: int = 3, min_est_q: int = 500, seed: int = 42
+) -> DataFrame:
+    """Banded LSH candidate generation + signature-similarity rerank.
+
+    shingle→minhash→band→bucket-join: docs sharing any (band, band-hash)
+    bucket become candidates; est_jac_q = floor(1000·matching/n_hashes).
+    Shuffle volume is O(docs × bands), independent of pair count — the
+    100 TB-safe near-dup plan.
+    """
+    rows = n_hashes // bands
+    sigs = minhash_signatures(docs, n_hashes, k, seed).persist()
+    bands_df = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"), F.hash(F.slice("sig", b * rows + 1, rows)).alias("bucket")
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        bands_df.alias("a")
+        .join(bands_df.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    est = (
+        cand.join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
+        .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
+        .withColumn(
+            "est_jac_q",
+            F.floor(
+                F.lit(1000)
+                * F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+                / F.lit(n_hashes)
+            ).cast("long"),
+        )
+        .filter(F.col("est_jac_q") >= min_est_q)
+        .select("doc_a", "doc_b", "est_jac_q")
+    )
+    return est
+
+
+def simhash64(docs: DataFrame, seed: int = 42) -> DataFrame:
+    """64-bit SimHash over word hashes (bit-vote), deterministic FNV basis."""
+
+    @F.pandas_udf(T.LongType())
+    def _sim(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from hashlib import blake2b
+
+        bits = np.arange(64, dtype=np.uint64)
+        key = seed.to_bytes(8, "little")
+        for texts in it:
+            out = np.empty(len(texts), dtype=np.int64)
+            for i, t in enumerate(texts):
+                ws = str(t).lower().split(" ")
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(blake2b(w.encode(), digest_size=8, key=key).digest(), "little")
+                        for w in ws
+                    ),
+                    dtype=np.uint64,
+                    count=len(ws),
+                )
+                votes = np.where((hs[:, None] >> bits) & np.uint64(1), 1, -1).sum(axis=0)
+                out[i] = int(((votes > 0).astype(np.uint64) << bits).sum() & np.uint64(0x7FFFFFFFFFFFFFFF))
+            yield pd.Series(out)
+
+    return docs.select(F.col("doc_id").cast("long").alias("doc_id"), _sim("text").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language-ID, quality, token counting (all Catalyst-side)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "de", "et", "que"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+
+def _stop_hits(words, lang: str):
+    return F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS[lang])))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """N-gram/stopword heuristic language ID (greatest-hits argmax with a
+    deterministic tie order en>es>fr>de, 'und' = undetermined)."""
+    w = _words()
+    d = docs.select(F.col("doc_id").cast("long").alias("doc_id"), w.alias("w"))
+    for lang in _STOPWORDS:
+        d = d.withColumn(f"h_{lang}", _stop_hits(F.col("w"), lang))
+    best = F.greatest(*[F.col(f"h_{l}") for l in _STOPWORDS])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in _STOPWORDS:
+        pred = pred.when(F.col(f"h_{lang}") == best, F.lit(lang))
+    return d.select("doc_id", *[f"h_{l}" for l in _STOPWORDS], pred.alias("pred_lang"))
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features, integer-
+    quantized (×1000) for oracle-stable comparison."""
+    w = _words()
+    n_words = F.size(w)
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[^A-Za-z0-9\s]", ""))
+    stop = F.size(F.filter(w, lambda x: x.isin("the", "a", "of", "and", "to", "in", "is")))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_words.alias("n_words"),
+        n_chars.cast("long").alias("n_chars_calc"),
+        F.floor(F.lit(1000) * n_punct / n_chars).cast("long").alias("punct_ratio_q"),
+        F.floor(F.lit(1000) * stop / n_words).cast("long").alias("stop_ratio_q"),
+        F.floor(F.lit(1000) * n_chars / n_words).cast("long").alias("avg_wlen_q"),
+    )
+
+
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens per document."""
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tok_ws"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0)).cast("long").alias("n_tok_re"),
+    )
