@@ -38,6 +38,10 @@ def build_spark(cores: int):
         .config("spark.driver.memory", os.environ.get("ZTDF_BENCH_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # WAL segments are small files: keep scan partitions ≈ input files so
+        # the UDF stage is parallelism-bound, not file-packing-bound
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "131072")
         .getOrCreate()
     )
 
@@ -66,21 +70,29 @@ def ensure_binlog(n_events: int, n_files: int, seed: int = 42) -> str:
 
 
 def run_replay(spark, binlog_dir: str, workdir: str) -> dict:
-    from ztdf_spark.pipeline import CdcPipeline, PipelineConfig
+    from ztdf_spark.pipeline import CdcPipeline, PipelineConfig, warm_python_workers
     from ztdf_spark.settings import Settings
 
     cfg = PipelineConfig(root=workdir, target_file_rows=1_000_000)
     pipe = CdcPipeline(spark, Settings(), cfg)
+    # sustained-throughput protocol (BASELINE.md): populate the Python
+    # worker pool, replay as sequential micro-batches, measure steady state
+    # (batch 0 absorbs residual warm-up and is reported separately)
+    warm_python_workers(spark)
     t0 = time.monotonic()
-    audit = pipe.process_batch(
-        spark.read.schema(cfg.binlog_schema).parquet(binlog_dir), batch_id=0
-    )
+    audits = pipe.replay_in_batches(binlog_dir, n_batches=4)
     wall = time.monotonic() - t0
+    n_total = sum(a["n_events"] for a in audits)
+    steady = audits[1:] if len(audits) > 1 else audits
+    steady_events = sum(a["n_events"] for a in steady)
+    steady_wall = sum(a["duration_s"] for a in steady)
     return {
-        "n_events": audit["n_events"],
+        "n_events": n_total,
         "wall_s": round(wall, 3),
-        "events_per_sec": round(audit["n_events"] / wall, 1),
-        "snapshot_version": audit["snapshot_version"],
+        "events_per_sec": round(n_total / wall, 1),
+        "steady_events_per_sec": round(steady_events / steady_wall, 1) if steady_wall else None,
+        "batch_wall_s": [a["duration_s"] for a in audits],
+        "snapshot_version": audits[-1]["snapshot_version"],
     }
 
 

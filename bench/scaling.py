@@ -38,6 +38,9 @@ def run_level(cores: int, binlog: str, zpath: str, verify: bool) -> dict:
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", "spark.sql.files.maxPartitionBytes=16m",
+        "--conf", "spark.sql.files.openCostInBytes=131072",
+        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=10000",
         "--py-files", zpath,
         os.path.join(REPO, "bench", "replay_once.py"),
         "--binlog", binlog,

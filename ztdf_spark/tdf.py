@@ -287,6 +287,129 @@ def encrypt_ztdf(
     return b"".join([ZTDF_MAGIC, struct.pack("<I", len(mbytes)), mbytes, ciphertext])
 
 
+class ZtdfEncryptor:
+    """Hot-path ZTDF encryptor: byte-identical output to ``encrypt_ztdf``
+    (pinned by tests), ~2-3× faster by caching everything that is constant
+    per (kas_urls, data_attributes, assertions) context — KEK cipher
+    objects, policy bytes, and a manifest JSON *template* with sentinel
+    placeholders for the four per-row fields (wrapped keys, wrap IVs,
+    payload IV, integrity sig). Per row only: 3 SHA-256 derivations,
+    1 KEK-wrap + 1 payload AES-GCM, base64s, and template substitution.
+
+    This is the per-worker singleton the UDF layer instantiates once per
+    Python worker (the Spark analog of the reference's lazy SDK cache,
+    AbstractTDFProcessor.java:139-161).
+    """
+
+    def __init__(self, master_secret: bytes, signing_key_pem: bytes | None = None):
+        self.master = master_secret
+        self.signing_pem = signing_key_pem
+        self._keks: dict[str, AESGCM] = {}
+        self._ctx: dict[tuple, tuple] = {}
+
+    def _kek(self, url: str) -> AESGCM:
+        c = self._keks.get(url)
+        if c is None:
+            c = self._keks[url] = AESGCM(kek_for_kas(self.master, url))
+        return c
+
+    def _context(self, kas_urls: tuple, attrs: tuple, assertions: tuple):
+        key = (kas_urls, attrs, assertions)
+        ctx = self._ctx.get(key)
+        if ctx is None:
+            # build the manifest once with sentinels, using the reference
+            # implementation's exact layout
+            sentinel_wrapped = [f"@@WK{i}@@" for i in range(len(kas_urls))]
+            sentinel_wiv = [f"@@WIV{i}@@" for i in range(len(kas_urls))]
+            policy = {
+                "uuid": "@@UUID@@",
+                "body": {"dataAttributes": list(attrs)},
+            }
+            # policy bytes vary only via uuid (doc-keyed); keep uuid per-row
+            template_policy = json.dumps(policy, sort_keys=True, separators=(",", ":"))
+            key_access = [
+                {
+                    "type": "wrapped",
+                    "url": url,
+                    "protocol": "kas",
+                    "wrappedKey": sentinel_wrapped[i],
+                    "iv": sentinel_wiv[i],
+                }
+                for i, url in enumerate(kas_urls)
+            ]
+            manifest: dict = {
+                "encryptionInformation": {
+                    "type": "split",
+                    "keyAccess": key_access,
+                    "policy": "@@POLICY@@",
+                    "method": {"algorithm": "AES-256-GCM", "iv": "@@IV@@"},
+                    "integrityInformation": {
+                        "rootSignature": {"alg": "HS256", "sig": "@@SIG@@"}
+                    },
+                },
+                "payload": {
+                    "type": "reference",
+                    "protocol": "zip",
+                    "mimeType": "application/octet-stream",
+                    "isEncrypted": True,
+                },
+            }
+            if assertions:
+                adocs = []
+                for a in assertions:
+                    d = a.to_manifest()
+                    if self.signing_pem is not None:
+                        d["binding"] = {
+                            "method": "jws",
+                            "signature": _sign_assertion_rs256(a, self.signing_pem),
+                        }
+                    adocs.append(d)
+                manifest["assertions"] = adocs
+            template = json.dumps(manifest, separators=(",", ":"))
+            ctx = (template_policy, template)
+            self._ctx[key] = ctx
+        return ctx
+
+    def encrypt(
+        self,
+        payload: bytes,
+        *,
+        doc_id: str,
+        lsn: int,
+        kas_urls,
+        data_attributes,
+        assertions: Sequence[Assertion] = (),
+        master_secret: bytes | None = None,  # signature-compat; must equal self.master
+        signing_key_pem: bytes | None = None,  # signature-compat
+    ) -> bytes:
+        kas_urls = tuple(kas_urls)
+        attrs = tuple(data_attributes)
+        if not kas_urls:
+            raise TdfError("no KAS URL provided via attribute or property")
+        if not attrs:
+            raise TdfError("no data attribute(s) provided")
+        template_policy, template = self._context(kas_urls, attrs, tuple(assertions))
+
+        dek = derive_dek(self.master, doc_id, lsn)
+        iv = derive_iv(doc_id, lsn)
+        policy_bytes = template_policy.replace(
+            "@@UUID@@", _h(b"policy", doc_id.encode())[:8].hex()
+        ).encode()
+
+        m = template
+        for i, url in enumerate(kas_urls):
+            wrap_iv = derive_iv(doc_id, lsn, label=b"wrap%d" % i)
+            wrapped = self._kek(url).encrypt(wrap_iv, dek, policy_bytes)
+            m = m.replace(f"@@WK{i}@@", base64.b64encode(wrapped).decode())
+            m = m.replace(f"@@WIV{i}@@", base64.b64encode(wrap_iv).decode())
+        ciphertext = AESGCM(dek).encrypt(iv, payload, None)
+        m = m.replace("@@POLICY@@", base64.b64encode(policy_bytes).decode())
+        m = m.replace("@@IV@@", base64.b64encode(iv).decode())
+        m = m.replace("@@SIG@@", base64.b64encode(_h(b"integrity", dek, ciphertext)).decode())
+        mbytes = m.encode()
+        return b"".join([ZTDF_MAGIC, struct.pack("<I", len(mbytes)), mbytes, ciphertext])
+
+
 def read_manifest(blob: bytes) -> dict:
     if blob[:5] != ZTDF_MAGIC:
         raise TdfError("not a ZTDF envelope (bad magic)")
