@@ -46,20 +46,21 @@ def build_spark(cores: int):
     )
 
 
-def ensure_binlog(n_events: int, n_files: int, seed: int = 42) -> str:
+def ensure_binlog(n_events: int, n_files: int, seed: int = 42, n_docs: int | None = None) -> str:
     """Seeded binlog, cached across runs keyed by its spec (both parallelism
     levels must read byte-identical input)."""
     from ztdf_spark.datagen import BinlogSpec, write_binlog
 
+    n_docs = n_docs or max(1000, n_events // 20)
     d = os.path.join(
-        tempfile.gettempdir(), f"ztdf-bench-binlog-{n_events}-{n_files}-{seed}"
+        tempfile.gettempdir(), f"ztdf-bench-binlog-{n_events}-{n_files}-{seed}-{n_docs}"
     )
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
         shutil.rmtree(d, ignore_errors=True)
         spec = BinlogSpec(
             n_events=n_events,
-            n_docs=max(1000, n_events // 20),
+            n_docs=n_docs,
             n_files=n_files,
             seed=seed,
         )

@@ -57,22 +57,33 @@ def main():
 
     binlog = em._binlog(spark, sf)
     enc = ops.encrypt_batch(binlog.withColumn("tokens", F.array(F.lit(1))), Settings(), "nano")
-    dump(
-        "encrypt_nano_routed",
-        enc,
-        [
-            ("python UDF stage present", r"ArrowEvalPython", True),
-            ("scan is parquet with column pruning", r"Scan parquet", True),
-        ],
-    )
+    p_enc = plan_of(enc)
+    n_udf_nodes = len(set(re.findall(r"\((\d+)\) ArrowEvalPython", p_enc)))
+    with open(os.path.join(OUT, "encrypt_nano_routed.txt"), "w") as f:
+        f.write(p_enc)
+    checks.append(("encrypt_nano_routed", "exactly ONE python UDF eval (no duplicated crypto)", n_udf_nodes == 1))
+    checks.append(("encrypt_nano_routed", "scan is parquet", "Scan parquet" in p_enc))
 
     lw = em.q_cdc_latest_wins(spark, sf)
     dump(
         "cdc_latest_wins",
         lw,
         [
-            ("map-side partial max_by before exchange", r"partial_max_by|partial\w*max_by|functions=\[partial", True),
+            ("partial (map-side) aggregation before exchange", r"partial", True),
             ("single shuffle on doc_id", r"Exchange hashpartitioning\(doc_id", True),
+        ],
+    )
+
+    # the pipeline's wide-row dedup: narrow HashAggregate winner keys +
+    # broadcast join back — no sort, no wide shuffle
+    wdf = ops.latest_wins_join(binlog.withColumn("tokens", F.array(F.lit(1))))
+    dump(
+        "latest_wins_join",
+        wdf,
+        [
+            ("winner keys via HashAggregate (not SortAggregate)", r"HashAggregate", True),
+            ("wide rows joined via broadcast (no wide shuffle)", r"BroadcastHashJoin", True),
+            ("no sort-based aggregation", r"SortAggregate", False),
         ],
     )
 

@@ -83,6 +83,61 @@ class PipelineConfig:
         return os.path.join(self.root, "checkpoint")
 
 
+def _file_lineage(batch: DataFrame) -> list[dict]:
+    """Per-source-file lineage (NiFi provenance analog: source offset range
+    + event count per WAL segment) straight from parquet footer metadata —
+    driver-side, O(#files), no Spark job. Falls back to an empty list for
+    non-file-backed batches (the global offset range is still recorded from
+    the observe() metrics)."""
+    entries = []
+    try:
+        files = batch.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        # streaming micro-batch plans don't expose inputFiles(): fall back
+        # to one column-pruned aggregation job over input_file_name()
+        rows = (
+            batch.groupBy(F.input_file_name().alias("f"))
+            .agg(F.count("*").alias("n"), F.min("lsn").alias("lo"), F.max("lsn").alias("hi"))
+            .collect()
+        )
+        return [
+            {
+                "source_file": os.path.basename(r["f"] or ""),
+                "n_events": r["n"],
+                "min_lsn": r["lo"],
+                "max_lsn": r["hi"],
+            }
+            for r in sorted(rows, key=lambda r: (r["lo"] is None, r["lo"]))
+        ]
+    import pyarrow.parquet as pq
+
+    for uri in sorted(files):
+        path = uri[len("file:"):] if uri.startswith("file:") else uri
+        try:
+            md = pq.ParquetFile(path).metadata
+            idx = md.schema.names.index("lsn")
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    lo = st.min if lo is None or st.min < lo else lo
+                    hi = st.max if hi is None or st.max > hi else hi
+            entries.append(
+                {
+                    "source_file": os.path.basename(path),
+                    "n_events": md.num_rows,
+                    "min_lsn": lo,
+                    "max_lsn": hi,
+                }
+            )
+        except Exception:
+            entries.append({"source_file": os.path.basename(path), "n_events": None,
+                            "min_lsn": None, "max_lsn": None})
+    return entries
+
+
 def warm_python_workers(spark: SparkSession, rounds: int = 3) -> None:
     """Populate the Python-worker pool before steady-state work.
 
@@ -155,46 +210,45 @@ class CdcPipeline:
         # NOT persisted: each consumer re-reads the (columnar, pruned,
         # codegen'd) parquet scan — measured cheaper and far lighter on GC
         # than materializing a deserialized 1M-row object cache
-        routed = ops.with_pre_route(
-            batch.withColumn("_src_file", F.input_file_name()), self.settings, self.cfg.fmt
-        ).withColumn(
+        routed = ops.with_pre_route(batch, self.settings, self.cfg.fmt).withColumn(
             "route",
             F.when(F.col("pre_error") == ops.ERR_OVERSIZE, F.lit(ops.ROUTE_OVERSIZE))
             .when(F.col("pre_error").isNotNull(), F.lit(ops.ROUTE_FAILURE))
             .otherwise(F.lit(ops.ROUTE_SUCCESS)),
         )
-        # per-source-partition lineage (NiFi provenance analog): offset
-        # range + route counts per input file, one aggregation pass
-        lineage_rows = (
-            routed.groupBy("_src_file")
-            .agg(
-                F.count("*").alias("n_events"),
-                F.min("lsn").alias("min_lsn"),
-                F.max("lsn").alias("max_lsn"),
-                F.sum(F.when(F.col("route") == ops.ROUTE_SUCCESS, 1).otherwise(0)).alias("n_success"),
-                F.sum(F.when(F.col("route") == ops.ROUTE_FAILURE, 1).otherwise(0)).alias("n_failure"),
-                F.sum(F.when(F.col("route") == ops.ROUTE_OVERSIZE, 1).otherwise(0)).alias("n_oversize"),
-                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_delete"),
-            )
-            .collect()
-        )
-        n_events = sum(r["n_events"] for r in lineage_rows)
-        if n_events == 0:
-            return {"batch_id": batch_id, "n_events": 0, "noop": True}
 
+        # Global route counts piggyback on the DLQ write via observe() —
+        # no dedicated aggregation job. Per-source-file offset ranges come
+        # from parquet footer metadata (driver-side, zero Spark jobs).
+        from pyspark.sql import Observation
+
+        obs = Observation(f"routes-{batch_id}")
+        observed = routed.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("lsn").alias("min_lsn"),
+            F.max("lsn").alias("max_lsn"),
+            F.sum(F.when(F.col("route") == ops.ROUTE_SUCCESS, 1).otherwise(0)).alias("n_success"),
+            F.sum(F.when(F.col("route") == ops.ROUTE_FAILURE, 1).otherwise(0)).alias("n_failure"),
+            F.sum(F.when(F.col("route") == ops.ROUTE_OVERSIZE, 1).otherwise(0)).alias("n_oversize"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_delete"),
+        )
         # DLQ: failure + oversize events, original content preserved
-        bad = routed.filter(F.col("route") != ops.ROUTE_SUCCESS).withColumnRenamed(
+        bad = observed.filter(F.col("route") != ops.ROUTE_SUCCESS).withColumnRenamed(
             "pre_error", "error"
         )
-        n_bad = sum(r["n_failure"] + r["n_oversize"] for r in lineage_rows)
-        if n_bad:
-            bad.write.mode("overwrite").parquet(os.path.join(self.cfg.dlq_path, f"batch_id={batch_id}"))
+        bad.write.mode("overwrite").parquet(os.path.join(self.cfg.dlq_path, f"batch_id={batch_id}"))
+        counts = obs.get
+        n_events = int(counts["n_events"] or 0)
+        if n_events == 0:
+            return {"batch_id": batch_id, "n_events": 0, "noop": True}
+        lineage_parts = _file_lineage(batch)
 
         # latest-wins dedup of the valid events (narrow hash-agg winner
         # keys broadcast-joined back — wide rows never shuffle), THEN
         # encrypt only the winners
         winners = ops.latest_wins_join(
-            routed.filter(F.col("route") == ops.ROUTE_SUCCESS).drop("pre_error", "route", "_src_file")
+            routed.filter(F.col("route") == ops.ROUTE_SUCCESS).drop("pre_error", "route")
         )
         enc = ops.encrypt_batch(winners, self.settings, self.cfg.fmt)
         # persist the (small) encrypted winner set: merge traverses its
@@ -217,25 +271,17 @@ class CdcPipeline:
             "config_fingerprint": self.settings.fingerprint(),
             "fmt": self.cfg.fmt,
             "n_events": n_events,
-            "min_lsn": min(r["min_lsn"] for r in lineage_rows),
-            "max_lsn": max(r["max_lsn"] for r in lineage_rows),
-            "n_success": sum(r["n_success"] for r in lineage_rows),
-            "n_failure": sum(r["n_failure"] for r in lineage_rows),
-            "n_oversize": sum(r["n_oversize"] for r in lineage_rows),
-            "n_delete": sum(r["n_delete"] for r in lineage_rows),
+            "min_lsn": int(counts["min_lsn"]),
+            "max_lsn": int(counts["max_lsn"]),
+            "n_success": int(counts["n_success"] or 0),
+            "n_failure": int(counts["n_failure"] or 0),
+            "n_oversize": int(counts["n_oversize"] or 0),
+            "n_delete": int(counts["n_delete"] or 0),
             "snapshot_version": mstats["version"],
             "merge_noop": bool(mstats.get("noop")),
             "duration_s": round(dt, 4),
             "events_per_sec": round(n_events / dt, 2) if dt > 0 else None,
-            "partitions": [
-                {
-                    "source_file": os.path.basename(r["_src_file"] or ""),
-                    "n_events": r["n_events"],
-                    "min_lsn": r["min_lsn"],
-                    "max_lsn": r["max_lsn"],
-                }
-                for r in sorted(lineage_rows, key=lambda r: r["min_lsn"])
-            ],
+            "partitions": lineage_parts,
         }
         os.makedirs(self.cfg.audit_path, exist_ok=True)
         _atomic_write(
