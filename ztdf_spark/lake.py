@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .ops import latest_wins
+from .ops import latest_wins_join
 
 FORMAT_VERSION = 2
 _SNAP_DIR = "_snapshots"
@@ -236,8 +236,15 @@ class LakeTable:
         return matched
 
     def _write_files(self, df: DataFrame, version: int, key_col: str, target_rows: int, n_rows: int) -> list[dict]:
-        """Write key-range-clustered parquet files; return manifest entries."""
-        n_files = max(1, -(-n_rows // target_rows)) if n_rows else 1
+        """Write key-range-clustered parquet files; return manifest entries.
+
+        Output partition count is the max of (rows/target) and the cluster
+        parallelism floor — a rewrite must never serialize onto fewer cores
+        than the cluster has just because the target file size is large
+        (parquet encode is CPU-bound; one-file-per-task would cap the write
+        at #files tasks)."""
+        parallel_floor = min(self.spark.sparkContext.defaultParallelism, max(1, n_rows // 10_000))
+        n_files = max(1, -(-n_rows // target_rows), parallel_floor) if n_rows else 1
         staged = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
         (df.repartitionByRange(n_files, F.col(key_col)).write.mode("overwrite").parquet(staged))
         entries = []
@@ -313,23 +320,52 @@ class LakeTable:
             matched = self._matched_files(snap, key_ops.select(key_col), key_col)
             matched_names = {f["path"] for f in matched}
 
-            # 3. copy-on-write rewrite in ONE wide shuffle: existing rows from
-            #    matched files ∪ raw batch (within-batch dups resolved by the
-            #    same latest-wins agg), drop tombstones
+            # 3. copy-on-write rewrite with NO wide-row aggregation or sort:
+            #    batch winners via narrow hash-agg + join-back, then two
+            #    anti-joins on narrow (key, seq) sets decide survivorship.
+            #    Wide rows flow scan → (broadcast) join → range-clustered
+            #    write; they are only ever shuffled once, for file clustering.
             conformed = changes
             for f in schema.fields:  # conform batch to evolved schema
                 if f.name not in conformed.columns:
                     conformed = conformed.withColumn(f.name, F.lit(None).cast(f.dataType))
             conformed = conformed.select("op", *data_cols)
+
+            # within-batch latest-wins ((key,seq) unique per CDC batch: LSNs)
+            bcast_batch = n_batch <= 4_000_000
+            bw = latest_wins_join(conformed, key=key_col, seq=seq_col, broadcast_keys=bcast_batch)
+            bk = bw.select(F.col(key_col).alias("_bk"), F.col(seq_col).alias("_bseq"))
+            if bcast_batch:
+                bk = F.broadcast(bk)
+
+            matched_paths = [os.path.join(self._data_dir, f["path"]) for f in matched]
+            n_existing = sum(f["rows"] for f in matched)
             if matched:
-                existing = self.spark.read.schema(schema).parquet(
-                    *[os.path.join(self._data_dir, f["path"]) for f in matched]
+                existing = self.spark.read.schema(schema).parquet(*matched_paths)
+                # existing row survives unless a batch change with seq >= its
+                # seq targets its key (ties → the batch row wins: identical
+                # payload by deterministic encryption, plus evolved columns)
+                preserved = existing.join(
+                    bk,
+                    (existing[key_col] == F.col("_bk")) & (F.col("_bseq") >= existing[seq_col]),
+                    "left_anti",
                 )
-                merged_src = existing.withColumn("op", F.lit("E")).select("op", *data_cols).unionByName(conformed)
+                # batch winner survives unless the table already holds a
+                # strictly newer row for its key (stale cross-batch update)
+                ek = self.spark.read.schema(schema).parquet(*matched_paths).select(
+                    F.col(key_col).alias("_ek"), F.col(seq_col).alias("_eseq")
+                )
+                if n_existing <= 4_000_000:
+                    ek = F.broadcast(ek)
+                batch_final = bw.join(
+                    ek,
+                    (bw[key_col] == F.col("_ek")) & (F.col("_eseq") > bw[seq_col]),
+                    "left_anti",
+                )
+                merged_src = preserved.unionByName(batch_final.filter(F.col("op") != "D").drop("op"))
             else:
-                merged_src = conformed
-            merged = latest_wins(merged_src, key=key_col, seq=seq_col)
-            result = merged.filter(F.col("op") != "D").drop("op").select(*data_cols).persist()
+                merged_src = bw.filter(F.col("op") != "D").drop("op")
+            result = merged_src.select(*data_cols).persist()
 
             new_version = snap["version"] + 1
             # size files from manifest stats (no extra count action): upper
