@@ -9,6 +9,7 @@ binlog generation (BASELINE.md measurement protocol).
 """
 
 import argparse
+import os
 import json
 import shutil
 import sys
@@ -32,7 +33,10 @@ def main():
     from ztdf_spark.pipeline import CdcPipeline, PipelineConfig, warm_python_workers
     from ztdf_spark.settings import Settings
 
-    workdir = tempfile.mkdtemp(prefix="ztdf-replay-")
+    # ZTDF_WORK_BASE (e.g. /dev/shm) lets the scaling harness put the lake
+    # on tmpfs: a single shared local disk is a sandbox artifact — on a real
+    # cluster aggregate disk bandwidth scales with executor count
+    workdir = tempfile.mkdtemp(prefix="ztdf-replay-", dir=os.environ.get("ZTDF_WORK_BASE"))
     try:
         cfg = PipelineConfig(root=workdir, target_file_rows=args.target_file_rows)
         pipe = CdcPipeline(spark, Settings(), cfg)

@@ -331,12 +331,15 @@ class LakeTable:
                     conformed = conformed.withColumn(f.name, F.lit(None).cast(f.dataType))
             conformed = conformed.select("op", *data_cols)
 
-            # within-batch latest-wins ((key,seq) unique per CDC batch: LSNs)
-            bcast_batch = n_batch <= 4_000_000
+            # within-batch latest-wins ((key,seq) unique per CDC batch: LSNs).
+            # Narrow (key, seq) sets broadcast up to ~16M keys (~0.5 GB,
+            # well under Spark's 8 GB cap; one copy per executor) — beyond
+            # that, shuffled HASH joins (never sort-merge: sorting the
+            # full-width rows is the cost this design eliminates).
+            bcast_batch = n_batch <= 16_000_000
             bw = latest_wins_join(conformed, key=key_col, seq=seq_col, broadcast_keys=bcast_batch)
             bk = bw.select(F.col(key_col).alias("_bk"), F.col(seq_col).alias("_bseq"))
-            if bcast_batch:
-                bk = F.broadcast(bk)
+            bk = F.broadcast(bk) if bcast_batch else bk.hint("shuffle_hash")
 
             matched_paths = [os.path.join(self._data_dir, f["path"]) for f in matched]
             n_existing = sum(f["rows"] for f in matched)
@@ -355,8 +358,7 @@ class LakeTable:
                 ek = self.spark.read.schema(schema).parquet(*matched_paths).select(
                     F.col(key_col).alias("_ek"), F.col(seq_col).alias("_eseq")
                 )
-                if n_existing <= 4_000_000:
-                    ek = F.broadcast(ek)
+                ek = F.broadcast(ek) if n_existing <= 16_000_000 else ek.hint("shuffle_hash")
                 batch_final = bw.join(
                     ek,
                     (bw[key_col] == F.col("_ek")) & (F.col("_eseq") > bw[seq_col]),

@@ -375,6 +375,11 @@ def latest_wins_join(
     winner_keys = df.groupBy(key).agg(F.max(seq).alias(seq))
     if broadcast_keys:
         winner_keys = F.broadcast(winner_keys)
+    else:
+        # above the broadcast threshold: force a shuffled HASH join — the
+        # default sort-merge join would sort the full-width rows (the exact
+        # cost this operator exists to avoid)
+        winner_keys = winner_keys.hint("shuffle_hash")
     return df.join(winner_keys, on=[key, seq], how="inner")
 
 
