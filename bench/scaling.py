@@ -29,23 +29,38 @@ def build_zip() -> str:
     return zpath
 
 
-def run_level(cores: int, binlog: str, zpath: str, verify: bool) -> dict:
+def run_level(cores: int, binlog: str, zpath: str, verify: bool, batches: int = 4,
+              exec_mode: str = "local", exec_cores: int = 8, exec_mem_mb: int = 16384) -> dict:
     # lake + shuffle on tmpfs when available: the sandbox's single shared
     # local disk (~550 MB/s) does not scale with cores, while a real
     # cluster's aggregate disk bandwidth scales with executor count — tmpfs
     # removes that sandbox artifact from the two-level comparison
     work_base = "/dev/shm/ztdf" if os.path.isdir("/dev/shm") else None
     env = dict(os.environ)
+    env["PYSPARK_PYTHON"] = sys.executable  # executors must find the same python
     if work_base:
         os.makedirs(work_base, exist_ok=True)
         env["ZTDF_WORK_BASE"] = work_base
+    if exec_mode == "local-cluster":
+        # REAL separate executor JVMs: `cores` = number of executors, each
+        # with its own heap, GC, and Python-worker pool — the faithful
+        # sandbox analog of "N executors vs 4N executors"
+        master = f"local-cluster[{cores},{exec_cores},{exec_mem_mb}]"
+        # modest per-executor heaps: key-set joins stay shuffled-hash
+        # (spark.ztdf.broadcastKeyLimit) so no multi-GB broadcast copies
+        mem_args = ["--driver-memory", "8g", "--conf", "spark.ztdf.broadcastKeyLimit=500000"]
+        total_cores = cores * exec_cores
+    else:
+        master = f"local[{cores}]"
+        mem_args = ["--driver-memory", "48g", "--driver-java-options", "-Xms40g -XX:+UseParallelGC"]
+        total_cores = cores
     cmd = [
         SPARK_SUBMIT,
-        "--master", f"local[{cores}]",
-        "--driver-memory", "48g",
-        "--driver-java-options", "-Xms40g -XX:+UseParallelGC",
-    ] + (["--conf", f"spark.local.dir={work_base}/spark-local"] if work_base else []) + [
-        "--conf", f"spark.sql.shuffle.partitions={cores * 2}",
+        "--master", master,
+    ] + mem_args + (
+        ["--conf", f"spark.local.dir={work_base}/spark-local"] if work_base else []
+    ) + [
+        "--conf", f"spark.sql.shuffle.partitions={max(32, total_cores * 2)}",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.sql.session.timeZone=UTC",
@@ -55,6 +70,7 @@ def run_level(cores: int, binlog: str, zpath: str, verify: bool) -> dict:
         "--py-files", zpath,
         os.path.join(REPO, "bench", "replay_once.py"),
         "--binlog", binlog,
+        "--batches", str(batches),
     ] + (["--verify"] if verify else [])
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
     for line in out.stdout.splitlines():
@@ -80,7 +96,8 @@ def main_impl(args):
     for cores in (args.n, args.n * 4):
         best = None
         for _ in range(args.repeat):
-            r = run_level(cores, binlog, zpath, args.verify)
+            r = run_level(cores, binlog, zpath, args.verify, args.batches,
+                          exec_mode=args.exec_mode, exec_cores=args.exec_cores)
             r["eps"] = r.get("steady_events_per_sec") or r["events_per_sec"]
             if best is None or r["eps"] > best["eps"]:
                 best = r
@@ -131,9 +148,12 @@ if __name__ == "__main__":
     # local[8] vs local[32] instead measures this single JVM's GC/allocator
     # saturation, a local-mode artifact a multi-executor cluster (separate
     # JVMs, separate heaps, separate disks) does not share.
-    ap.add_argument("--events", type=int, default=8_000_000)
-    ap.add_argument("--n", type=int, default=2)
+    ap.add_argument("--events", type=int, default=16_000_000)
+    ap.add_argument("--n", type=int, default=1)
     ap.add_argument("--docs-ratio", type=int, default=2, dest="docs_ratio")
+    ap.add_argument("--batches", type=int, default=2)
+    ap.add_argument("--exec-mode", default="local-cluster", choices=["local", "local-cluster"], dest="exec_mode")
+    ap.add_argument("--exec-cores", type=int, default=4, dest="exec_cores")
     ap.add_argument("--repeat", type=int, default=1)
     ap.add_argument("--verify", action="store_true")
     main_impl(ap.parse_args())

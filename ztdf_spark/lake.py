@@ -243,7 +243,7 @@ class LakeTable:
         than the cluster has just because the target file size is large
         (parquet encode is CPU-bound; one-file-per-task would cap the write
         at #files tasks)."""
-        parallel_floor = min(self.spark.sparkContext.defaultParallelism, max(1, n_rows // 10_000))
+        parallel_floor = min(4 * self.spark.sparkContext.defaultParallelism, max(1, n_rows // 100_000))
         n_files = max(1, -(-n_rows // target_rows), parallel_floor) if n_rows else 1
         staged = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
         (df.repartitionByRange(n_files, F.col(key_col)).write.mode("overwrite").parquet(staged))
@@ -336,7 +336,10 @@ class LakeTable:
             # well under Spark's 8 GB cap; one copy per executor) — beyond
             # that, shuffled HASH joins (never sort-merge: sorting the
             # full-width rows is the cost this design eliminates).
-            bcast_batch = n_batch <= 16_000_000
+            from .ops import broadcast_key_limit
+
+            key_limit = broadcast_key_limit(self.spark)
+            bcast_batch = n_batch <= key_limit
             bw = latest_wins_join(conformed, key=key_col, seq=seq_col, broadcast_keys=bcast_batch)
             bk = bw.select(F.col(key_col).alias("_bk"), F.col(seq_col).alias("_bseq"))
             bk = F.broadcast(bk) if bcast_batch else bk.hint("shuffle_hash")
@@ -358,7 +361,7 @@ class LakeTable:
                 ek = self.spark.read.schema(schema).parquet(*matched_paths).select(
                     F.col(key_col).alias("_ek"), F.col(seq_col).alias("_eseq")
                 )
-                ek = F.broadcast(ek) if n_existing <= 16_000_000 else ek.hint("shuffle_hash")
+                ek = F.broadcast(ek) if n_existing <= key_limit else ek.hint("shuffle_hash")
                 batch_final = bw.join(
                     ek,
                     (bw[key_col] == F.col("_ek")) & (F.col("_eseq") > bw[seq_col]),

@@ -355,6 +355,14 @@ def latest_wins(df: DataFrame, key: str = "doc_id", seq: str = "lsn") -> DataFra
     return packed.select(key, *[F.col(f"_top.{c}").alias(c) for c in cols if c != key])
 
 
+def broadcast_key_limit(spark) -> int:
+    """Max narrow-key-set size we broadcast in merge/dedup joins; above it,
+    shuffled hash joins. Tune per deployment via spark.ztdf.broadcastKeyLimit
+    (executor heaps must hold the hashed relation; default sized for
+    multi-GB executor heaps)."""
+    return int(spark.conf.get("spark.ztdf.broadcastKeyLimit", "16000000"))
+
+
 def latest_wins_join(
     df: DataFrame, key: str = "doc_id", seq: str = "lsn", broadcast_keys: bool = True
 ) -> DataFrame:

@@ -248,7 +248,8 @@ class CdcPipeline:
         # keys broadcast-joined back — wide rows never shuffle), THEN
         # encrypt only the winners
         winners = ops.latest_wins_join(
-            routed.filter(F.col("route") == ops.ROUTE_SUCCESS).drop("pre_error", "route")
+            routed.filter(F.col("route") == ops.ROUTE_SUCCESS).drop("pre_error", "route"),
+            broadcast_keys=int(counts["n_success"] or 0) <= ops.broadcast_key_limit(self.spark),
         )
         enc = ops.encrypt_batch(winners, self.settings, self.cfg.fmt)
         # persist the (small) encrypted winner set: merge traverses its
