@@ -39,6 +39,8 @@ def main():
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # AQE off: the pre-execution formatted plan then shows codegen stars
+        .config("spark.sql.adaptive.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -70,7 +72,7 @@ def main():
         lw,
         [
             ("partial (map-side) aggregation before exchange", r"partial", True),
-            ("single shuffle on doc_id", r"Exchange hashpartitioning\(doc_id", True),
+            ("single shuffle on doc_id", r"hashpartitioning\(doc_id", True),
         ],
     )
 
@@ -94,7 +96,7 @@ def main():
         [
             ("filter pushed to parquet scan", r"PushedFilters: \[.*LessThanOrEqual", True),
             ("partial agg before exchange", r"partial", True),
-            ("whole-stage codegen", r"WholeStageCodegen", True),
+            ("whole-stage codegen spans (starred nodes)", r"\* (HashAggregate|Project|Filter|ColumnarToRow)", True),
         ],
     )
 
@@ -123,7 +125,7 @@ def main():
         "dedup_ngram_jaccard",
         jac,
         [
-            ("shuffle on shingle for the pair join", r"Exchange hashpartitioning\(shingle", True),
+            ("pair join on shingle via broadcast or shuffle", r"BroadcastExchange|hashpartitioning\(shingle", True),
         ],
     )
 
