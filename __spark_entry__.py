@@ -87,14 +87,17 @@ _ROUTED_CTE = (
     + f""",
 routed AS (
   SELECT *,
+    -- oversize first: the reference's nano size gate runs BEFORE config
+    -- resolution (ConvertToNanoTDF.java:110-112), so an event that is both
+    -- oversize and attribute-less routes to exceeds_size_limit
     CASE
+      WHEN op IN ('I','U') AND n_tok * 4 > {NANO_MAX_SIZE} THEN 'exceeds_size_limit'
       WHEN op IN ('I','U')
            AND len(list_filter(string_split(coalesce(nullif(trim(coalesce(kas_url,'')),''), '{DEFAULT_KAS}'), ','), x -> trim(x) <> '')) = 0
         THEN 'failure'
       WHEN op IN ('I','U')
            AND len(list_filter(string_split(coalesce(tdf_attribute,''), ','), x -> trim(x) <> '')) = 0
         THEN 'failure'
-      WHEN op IN ('I','U') AND n_tok * 4 > {NANO_MAX_SIZE} THEN 'exceeds_size_limit'
       ELSE 'success'
     END AS route
   FROM binlog
@@ -105,15 +108,17 @@ routed AS (
 
 def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Validity routing (reference relationships success/failure/
-    exceeds_size_limit) as pure Catalyst CASE WHEN — mirror of ops.with_pre_route."""
+    exceeds_size_limit) as pure Catalyst CASE WHEN — mirror of
+    ops.with_pre_route for fmt='nano': the oversize gate runs FIRST, before
+    KAS/attr resolution (ConvertToNanoTDF.java:110-112)."""
     b = _binlog(spark, sf_dir)
     s = Settings(default_kas_url=DEFAULT_KAS)
     is_change = F.col("op").isin("I", "U")
     return b.withColumn(
         "route",
-        F.when(is_change & (F.size(ops.resolved_kas(s)) == 0), "failure")
+        F.when(is_change & (F.col("n_tok") * 4 > NANO_MAX_SIZE), "exceeds_size_limit")
+        .when(is_change & (F.size(ops.resolved_kas(s)) == 0), "failure")
         .when(is_change & (F.size(ops.resolved_attrs()) == 0), "failure")
-        .when(is_change & (F.col("n_tok") * 4 > NANO_MAX_SIZE), "exceeds_size_limit")
         .otherwise("success"),
     )
 
@@ -310,7 +315,19 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_mm_features(spark, sf_dir):
-    return mmops.extract_features(mmops.synthetic_media(spark, n=30))
+    """Multimodal feature plumbing, surfaced as HASHABLE scalars: the raw
+    ``feature array<float>`` crashes the driver's canonicalizer (round-1
+    CORRECTNESS err), so the array is quantized (×10^6 → long) and reduced
+    to a per-row md5 checksum + dim — a bit-stable value fingerprint."""
+    feats = mmops.extract_features(mmops.synthetic_media(spark, n=30))
+    qarr = F.transform(F.col("feature"), lambda x: F.floor(x.cast("double") * 1_000_000).cast("long"))
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.size("feature").cast("long").alias("feat_dim"),
+        F.md5(F.concat_ws(",", F.transform(qarr, lambda v: v.cast("string")))).alias("feat_checksum"),
+    )
 
 
 def q_cdc_encrypt_roundtrip(spark, sf_dir):

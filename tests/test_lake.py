@@ -161,3 +161,148 @@ def test_vacuum_removes_orphans(spark, tmp_path):
     removed = t.vacuum()
     assert removed == ["part-orphan.parquet"]
     assert t.read().count() == 1
+
+
+# ---------------------------------------------------------------- merge-on-read
+
+
+def _mk_mor(spark, tmp_path, name="tm"):
+    return LakeTable.create(
+        spark, str(tmp_path / name), schema=STATE_SCHEMA, target_file_rows=200, merge_mode="mor"
+    )
+
+
+BATCHES = [
+    [("I", "a", 1, [1], 1, "web"), ("I", "b", 2, [2], 1, "web"), ("I", "c", 3, [3], 1, "code")],
+    [
+        ("U", "a", 10, [10], 1, "web"),
+        ("U", "a", 5, [5], 1, "web"),  # stale within batch → loses at read time
+        ("D", "b", 11, None, None, None),
+    ],
+    [
+        ("U", "c", 2, [9], 1, "code"),  # stale cross-batch (lsn 2 < 3) → loses
+        ("I", "d", 20, [20], 1, "web"),
+        ("D", "zz", 21, None, None, None),  # delete of a never-seen key → no row
+    ],
+]
+
+
+def _replay(t):
+    for bid, rows in enumerate(BATCHES):
+        t.merge(t.spark.createDataFrame(rows, "op string, doc_id string, lsn long, tokens array<int>, n_tok int, source string"), batch_id=bid)
+    return sorted(
+        (r["doc_id"], r["lsn"], r["tokens"], r["n_tok"], r["source"])
+        for r in t.read().collect()
+    )
+
+
+def test_mor_final_state_matches_cow(spark, tmp_path):
+    """MOR and COW are two physical strategies for ONE logical MERGE
+    contract: identical final state on the same batch sequence, including
+    within-batch staleness, cross-batch staleness, deletes, and deletes of
+    absent keys."""
+    assert _replay(_mk_mor(spark, tmp_path, "mor")) == _replay(_mk(spark, tmp_path, "cow"))
+    got = {d for d, *_ in _replay(_mk_mor(spark, tmp_path, "mor2"))}
+    assert got == {"a", "c", "d"}
+
+
+def test_mor_merge_is_pure_append(spark, tmp_path):
+    """The whole point: a MOR merge never reads or rewrites existing files —
+    every prior data file survives every subsequent merge verbatim."""
+    t = _mk_mor(spark, tmp_path)
+    seen: set = set()
+    for bid, rows in enumerate(BATCHES):
+        t.merge(
+            t.spark.createDataFrame(rows, "op string, doc_id string, lsn long, tokens array<int>, n_tok int, source string"),
+            batch_id=bid,
+        )
+        files = {f["path"] for f in t.snapshot()["files"]}
+        assert seen <= files  # strict append: nothing removed
+        assert t.snapshot()["summary"]["files_rewritten"] == 0
+        seen = files
+    assert all(f.get("delta") for f in t.snapshot()["files"])
+
+
+def test_mor_compact_preserves_state(spark, tmp_path):
+    t = _mk_mor(spark, tmp_path)
+    before = _replay(t)
+    c = t.compact()
+    assert not c.get("noop")
+    after = sorted(
+        (r["doc_id"], r["lsn"], r["tokens"], r["n_tok"], r["source"]) for r in t.read().collect()
+    )
+    assert after == before
+    # post-compaction: no delta files → read() takes the no-dedup fast path,
+    # and file rows now equal live rows (dead versions dropped)
+    snap = t.snapshot()
+    assert not any(f.get("delta") for f in snap["files"])
+    assert sum(f["rows"] for f in snap["files"]) == len(after)
+    assert t.delta_ratio() == 0.0
+    assert t.compact().get("noop")  # idempotent
+    # and MOR merging continues to work on top of the compacted base
+    t.merge(
+        t.spark.createDataFrame([("U", "a", 99, [99], 1, "web")], "op string, doc_id string, lsn long, tokens array<int>, n_tok int, source string"),
+        batch_id=len(BATCHES),
+    )
+    got = {r["doc_id"]: r for r in t.read().collect()}
+    assert got["a"]["lsn"] == 99
+
+
+def test_mor_exactly_once_fencing(spark, tmp_path):
+    t = _mk_mor(spark, tmp_path)
+    b = _changes(spark, [("I", "a", 1, [1], 1, "web")])
+    assert not t.merge(b, batch_id=7)["noop"]
+    v = t.current_version()
+    assert t.merge(b, batch_id=7)["noop"] and t.current_version() == v
+    assert t.is_committed(7) and t.is_committed(3) and not t.is_committed(8)
+    assert t.read().count() == 1
+
+
+def test_mor_schema_evolution(spark, tmp_path):
+    t = _mk_mor(spark, tmp_path)
+    t.merge(_changes(spark, [("I", "a", 1, [1], 1, "web")]), batch_id=0)
+    evolved = spark.createDataFrame(
+        [("I", "b", 2, [2], 1, "web", "en")],
+        "op string, doc_id string, lsn long, tokens array<int>, n_tok int, source string, lang string",
+    )
+    t.merge(evolved, batch_id=1)
+    got = {r["doc_id"]: r for r in t.read().collect()}
+    assert got["a"]["lang"] is None and got["b"]["lang"] == "en"
+
+
+def test_mor_against_bruteforce_oracle(spark, tmp_path):
+    spec = BinlogSpec(n_events=4_000, n_docs=300, n_files=8, seed=7)
+    d = str(tmp_path / "binlog")
+    write_binlog(d, spec)
+    t = _mk_mor(spark, tmp_path)
+    files = sorted(os.listdir(d))
+    for bid, i in enumerate(range(0, len(files), 2)):
+        batch = spark.read.schema(BINLOG_DDL).parquet(*[os.path.join(d, f) for f in files[i : i + 2]])
+        ok = batch.filter((F.col("op") == "D") | F.col("tdf_attribute").isNotNull())
+        t.merge(ok.select(*CH_COLS), batch_id=bid)
+    t.compact()
+    got = t.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+    exp = expected_final_state(d)[["doc_id", "lsn", "n_tok", "source"]].sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["lsn"].tolist() == exp["lsn"].tolist()
+
+
+def test_cow_pipeline_mode_still_works(spark, tmp_path):
+    """The pipeline's merge_mode='cow' path (persist + DLQ stage=udf + COW
+    MERGE) stays green now that the default is MOR."""
+    from ztdf_spark.datagen import BinlogSpec as BS
+    from ztdf_spark.pipeline import CdcPipeline, PipelineConfig
+    from ztdf_spark.settings import Settings
+
+    d = str(tmp_path / "cowlog")
+    write_binlog(d, BS(n_events=1_000, n_docs=100, n_files=4, seed=5))
+    cow = CdcPipeline(spark, Settings(), PipelineConfig(root=str(tmp_path / "cowp"), merge_mode="cow", target_file_rows=500))
+    mor = CdcPipeline(spark, Settings(), PipelineConfig(root=str(tmp_path / "morp"), merge_mode="mor", target_file_rows=500))
+    cow.replay_in_batches(d, n_batches=2)
+    mor.replay_in_batches(d, n_batches=2)
+    fp = lambda p: sorted(  # noqa: E731
+        (r["doc_id"], r["lsn"], bytes(r["ciphertext"])) for r in p.table.read().collect()
+    )
+    assert fp(cow) == fp(mor)
+    assert sum(v for k, v in cow.verify_roundtrip(d).items() if k != "compared") == 0

@@ -1,33 +1,42 @@
 """LakeTable — a minimal Iceberg-v2-semantics table format over Parquet.
 
-No Iceberg/Delta jars ship in this environment (SURVEY.md §7), so the five
+No Iceberg/Delta jars ship in this environment (SURVEY.md §7), so the six
 semantics the north rule needs are implemented from scratch behind this
 interface (a real Iceberg catalog slots in when jars are available):
 
 1. **Atomic snapshot commits** — versioned JSON manifests written
    temp+rename; a reader pins one snapshot for its whole scan.
-2. **Copy-on-write MERGE** (upsert + delete, latest-wins by a sequence
-   column) that rewrites only the data files whose key range overlaps the
-   batch — DIY file pruning from per-file min/max key stats, the moral
-   equivalent of Iceberg manifest-entry pruning.
-3. **Additive schema evolution** — new nullable columns appended to the
+2. **Copy-on-write MERGE** (``merge_mode='cow'``: upsert + delete,
+   latest-wins by a sequence column) that rewrites only the data files
+   whose key range overlaps the batch — DIY file pruning from per-file
+   min/max key stats, the moral equivalent of Iceberg manifest-entry
+   pruning.
+3. **Merge-on-read MERGE** (``merge_mode='mor'``, the Iceberg-v2
+   equality-delete analog and the CDC-scale default): a batch commit only
+   APPENDS delta files (winners + ``_tombstone``-flagged delete rows) —
+   merge cost tracks the BATCH size, never the table size. Readers
+   reconstruct latest-wins state by (seq, commit-seq) and drop tombstones;
+   ``compact()`` folds deltas back into clustered base files so read cost
+   stays amortized. This is what makes merge throughput scale: round-1 COW
+   rewrote ~the whole table per batch (the measured scaling-efficiency
+   killer), MOR writes O(batch) bytes per batch.
+4. **Additive schema evolution** — new nullable columns appended to the
    table schema; old files are read through the evolved schema (missing
    columns → null).
-4. **Snapshot lineage / time travel** — every commit records parent,
+5. **Snapshot lineage / time travel** — every commit records parent,
    operation summary, and the batch id that produced it; ``read(version=k)``
    reads any historical snapshot.
-5. **Exactly-once batch fencing** — per-writer-app high-watermark batch id
+6. **Exactly-once batch fencing** — per-writer-app high-watermark batch id
    in the snapshot; re-delivered ``foreachBatch`` invocations are no-ops
    (the Delta-style idempotent-writer txn pattern).
 
 Scale notes (100 TB / 1000 executors): all manifest operations are
 driver-side over O(#files) metadata — data never moves through the driver.
-The MERGE's only shuffles are (a) the map-side-combined ``max_by`` dedup of
-the batch and (b) the union+max_by rewrite agg, both hash-partitioned on the
-table key; AQE handles skew splitting, and hot keys are pre-reduced by
-partial aggregation before the exchange. Rewrite output is
-``repartitionByRange(key)`` so data files stay key-clustered, keeping
-per-file min/max ranges tight → future merges prune more files.
+A MOR merge is shuffle-free (pure append of pre-conformed rows); the COW
+path's only shuffles are (a) the map-side-combined winner-key dedup of the
+batch and (b) the range-clustering of rewrite output, both hash/range-
+partitioned on the table key; AQE handles skew splitting, and hot keys are
+pre-reduced by partial aggregation before the exchange.
 
 Crash safety: data files are written before the snapshot commit; a crash
 between the two leaves unreferenced orphans (cleaned by ``vacuum()``), never
@@ -53,6 +62,9 @@ from .ops import latest_wins_join
 FORMAT_VERSION = 2
 _SNAP_DIR = "_snapshots"
 _DATA_DIR = "data"
+# internal column marking MOR delete rows (the Iceberg-v2 equality-delete
+# analog); present only in delta files, never part of the table schema
+_TOMBSTONE = "_tombstone"
 
 
 class CommitConflict(RuntimeError):
@@ -76,8 +88,12 @@ def _atomic_write(path: str, payload: str, *, exclusive: bool = False) -> None:
         os.replace(tmp, path)
 
 
-def _file_key_stats(path: str, key_col: str) -> tuple[str | None, str | None, int]:
-    """Per-file (min, max, rows) for the key column from parquet footer stats."""
+def _file_key_stats(path: str, key_col: str):
+    """Per-file (min, max, rows) for the key column from parquet footer
+    stats, kept NATIVE-TYPED: a long key must fold with integer comparison
+    ('100' < '99' as strings would invert ranges → wrong pruning → stale
+    rows surviving a merge). Only JSON-representable orderable types (str /
+    int / float) produce ranges; anything else → (None, None) = never prune."""
     md = pq.ParquetFile(path).metadata
     idx = md.schema.names.index(key_col)
     lo, hi = None, None
@@ -85,8 +101,14 @@ def _file_key_stats(path: str, key_col: str) -> tuple[str | None, str | None, in
         st = md.row_group(rg).column(idx).statistics
         if st is None or not st.has_min_max:
             return None, None, md.num_rows  # stats missing → never prune this file
-        mn = st.min.decode() if isinstance(st.min, bytes) else str(st.min)
-        mx = st.max.decode() if isinstance(st.max, bytes) else str(st.max)
+        mn, mx = st.min, st.max
+        if isinstance(mn, bytes):
+            try:
+                mn, mx = mn.decode(), mx.decode()
+            except UnicodeDecodeError:
+                return None, None, md.num_rows
+        if not isinstance(mn, (str, int, float)) or isinstance(mn, bool):
+            return None, None, md.num_rows
         lo = mn if lo is None or mn < lo else lo
         hi = mx if hi is None or mx > hi else hi
     return lo, hi, md.num_rows
@@ -111,7 +133,10 @@ class LakeTable:
         key_col: str = "doc_id",
         seq_col: str = "lsn",
         target_file_rows: int = 500_000,
+        merge_mode: str = "cow",
     ) -> "LakeTable":
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be cow|mor, got {merge_mode}")
         t = cls(spark, path)
         os.makedirs(t._snap_dir, exist_ok=True)
         os.makedirs(t._data_dir, exist_ok=True)
@@ -125,6 +150,7 @@ class LakeTable:
             "key_col": key_col,
             "seq_col": seq_col,
             "target_file_rows": target_file_rows,
+            "merge_mode": merge_mode,
             "files": [],
             "last_batch": {},
             "summary": {"operation": "create"},
@@ -181,13 +207,62 @@ class LakeTable:
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot-pinned scan through the (possibly evolved) schema:
         files written before an additive evolution read the new columns as
-        null — Iceberg-style schema projection."""
+        null — Iceberg-style schema projection.
+
+        If the snapshot carries MOR delta files, latest-wins state is
+        reconstructed at read time (the Iceberg-v2 merge-on-read contract):
+        the winner per key is the row with max (seq, commit-seq) — commit
+        sequence (parsed from the ``part-v<version>-`` file name) breaks
+        cross-batch seq ties deterministically toward the newer commit —
+        and ``_tombstone`` winners (CDC deletes) are dropped. The winner
+        join is narrow-key (key, seq, cseq): a HashAggregate with map-side
+        partial combine + a hash join back, never a wide-row sort.
+        """
         snap = self.snapshot(version)
         schema = T.StructType.fromJson(snap["schema"])
         paths = [os.path.join(self._data_dir, f["path"]) for f in snap["files"]]
         if not paths:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*paths)
+        has_delta = any(f.get("delta") for f in snap["files"])
+        if not has_delta:
+            return self.spark.read.schema(schema).parquet(*paths)
+
+        key_col, seq_col = snap["key_col"], snap["seq_col"]
+        data_cols = [f.name for f in schema.fields]
+        read_schema = T.StructType(list(schema.fields) + [T.StructField(_TOMBSTONE, T.BooleanType())])
+        raw = (
+            self.spark.read.schema(read_schema)
+            .parquet(*paths)
+            .withColumn(
+                "_cseq", F.regexp_extract(F.input_file_name(), r"part-v(\d+)-", 1).cast("long")
+            )
+        )
+        winners = (
+            raw.groupBy(key_col)
+            .agg(F.max(F.struct(F.col(seq_col), F.col("_cseq"))).alias("_w"))
+            .select(
+                F.col(key_col).alias("_wk"),
+                F.col(f"_w.{seq_col}").alias("_wseq"),
+                F.col("_w._cseq").alias("_wcseq"),
+            )
+        )
+        from .ops import broadcast_key_limit
+
+        est_rows = sum(f["rows"] for f in snap["files"])
+        if est_rows <= broadcast_key_limit(self.spark):
+            winners = F.broadcast(winners)
+        else:
+            winners = winners.hint("shuffle_hash")
+        return (
+            raw.join(
+                winners,
+                (F.col(key_col) == F.col("_wk"))
+                & (F.col(seq_col) == F.col("_wseq"))
+                & (F.col("_cseq") == F.col("_wcseq")),
+            )
+            .filter(~F.coalesce(F.col(_TOMBSTONE), F.lit(False)))
+            .select(*data_cols)
+        )
 
     # ----------------------------------------------------------------- merge
 
@@ -200,7 +275,7 @@ class LakeTable:
         added = [
             T.StructField(f.name, f.dataType, True)
             for f in batch_schema.fields
-            if f.name not in have and f.name != "op"
+            if f.name not in have and f.name not in ("op", _TOMBSTONE)
         ]
         if not added:
             return table
@@ -217,9 +292,18 @@ class LakeTable:
         ranged = [f for f in files if f["min_key"] is not None]
         matched = list(unprunable)
         if ranged:
+            # ranges carry the key's ACTUAL type so the range join compares
+            # natively (string ranges for string keys, numeric for numeric)
+            key_type = T.StructType.fromJson(snap["schema"])[key_col].dataType
             ranges = self.spark.createDataFrame(
                 [(f["path"], f["min_key"], f["max_key"]) for f in ranged],
-                "path string, min_key string, max_key string",
+                T.StructType(
+                    [
+                        T.StructField("path", T.StringType()),
+                        T.StructField("min_key", key_type),
+                        T.StructField("max_key", key_type),
+                    ]
+                ),
             )
             hit = (
                 batch_keys.alias("b")
@@ -235,18 +319,45 @@ class LakeTable:
             matched += [f for f in ranged if f["path"] in hit_paths]
         return matched
 
-    def _write_files(self, df: DataFrame, version: int, key_col: str, target_rows: int, n_rows: int) -> list[dict]:
-        """Write key-range-clustered parquet files; return manifest entries.
+    def _write_files(
+        self,
+        df: DataFrame,
+        version: int,
+        key_col: str,
+        target_rows: int,
+        n_rows: int,
+        *,
+        cluster: bool = True,
+        delta: bool = False,
+    ) -> list[dict]:
+        """Write parquet data files; return manifest entries.
 
-        Output partition count is the max of (rows/target) and the cluster
+        ``cluster=True`` range-partitions on the key so files stay
+        key-clustered (tight min/max ranges → COW pruning works); the output
+        partition count is the max of (rows/target) and the cluster
         parallelism floor — a rewrite must never serialize onto fewer cores
         than the cluster has just because the target file size is large
         (parquet encode is CPU-bound; one-file-per-task would cap the write
-        at #files tasks)."""
-        parallel_floor = min(4 * self.spark.sparkContext.defaultParallelism, max(1, n_rows // 100_000))
-        n_files = max(1, -(-n_rows // target_rows), parallel_floor) if n_rows else 1
+        at #files tasks). ``cluster=False`` (MOR delta appends) writes the
+        DataFrame as-is: NO shuffle at all — the wide encrypted rows go
+        scan → write, and read-time dedup doesn't need clustering."""
         staged = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
-        (df.repartitionByRange(n_files, F.col(key_col)).write.mode("overwrite").parquet(staged))
+        if cluster:
+            parallel_floor = min(
+                4 * self.spark.sparkContext.defaultParallelism, max(1, n_rows // 100_000)
+            )
+            n_files = max(1, -(-n_rows // target_rows), parallel_floor) if n_rows else 1
+            df = df.repartitionByRange(n_files, F.col(key_col))
+        df.write.mode("overwrite").parquet(staged)
+        entries = self._adopt_staged(staged, version, key_col, delta=delta)
+        import shutil
+
+        shutil.rmtree(staged, ignore_errors=True)
+        return entries
+
+    def _adopt_staged(self, staged: str, version: int, key_col: str, *, delta: bool) -> list[dict]:
+        """Move staged parquet files into the data dir + collect footer key
+        stats (driver-side, O(#files) metadata)."""
         entries = []
         i = 0
         for name in sorted(os.listdir(staged)):
@@ -259,12 +370,57 @@ class LakeTable:
             if rows == 0:
                 os.unlink(os.path.join(self._data_dir, dst_name))
                 continue
-            entries.append({"path": dst_name, "rows": rows, "min_key": lo, "max_key": hi})
+            entry = {"path": dst_name, "rows": rows, "min_key": lo, "max_key": hi}
+            if delta:
+                entry["delta"] = True
+            entries.append(entry)
             i += 1
-        import shutil
-
-        shutil.rmtree(staged, ignore_errors=True)
         return entries
+
+    def is_committed(self, batch_id: int, app_id: str = "default") -> bool:
+        """True iff ``batch_id`` is at or below the committed high-watermark
+        for ``app_id`` (exactly-once fence; callers may skip re-doing work)."""
+        return batch_id <= self.snapshot()["last_batch"].get(app_id, -1)
+
+    def _fence(self, snap: dict, batch_id: int | None, app_id: str) -> dict | None:
+        if batch_id is not None and batch_id <= snap["last_batch"].get(app_id, -1):
+            return {
+                "version": snap["version"],
+                "noop": True,
+                "reason": f"batch {batch_id} already committed (watermark {snap['last_batch'][app_id]})",
+            }
+        return None
+
+    def _commit_files(
+        self,
+        snap: dict,
+        schema: T.StructType,
+        files: list[dict],
+        *,
+        batch_id: int | None,
+        app_id: str,
+        summary: dict,
+    ) -> dict:
+        new_version = snap["version"] + 1
+        last_batch = dict(snap["last_batch"])
+        if batch_id is not None:
+            last_batch[app_id] = batch_id
+        new_snap = {
+            "format_version": FORMAT_VERSION,
+            "version": new_version,
+            "parent": snap["version"],
+            "schema": json.loads(schema.json()),
+            "key_col": snap["key_col"],
+            "seq_col": snap["seq_col"],
+            "target_file_rows": snap.get("target_file_rows", 500_000),
+            "merge_mode": snap.get("merge_mode", "cow"),
+            "files": files,
+            "last_batch": last_batch,
+            "summary": {"batch_id": batch_id, "app_id": app_id, **summary},
+            "timestamp_ms": int(time.time() * 1000),
+        }
+        self._commit(new_snap)
+        return {"version": new_version, "noop": False, **new_snap["summary"]}
 
     def merge(
         self,
@@ -275,8 +431,15 @@ class LakeTable:
         extra_summary: dict | None = None,
     ) -> dict:
         """Latest-wins MERGE of a CDC batch (columns: ``op`` I/U/D + key +
-        seq + payload columns) into the table. Copy-on-write: only key-range-
-        matched files are rewritten; unmatched files carry over untouched.
+        seq + payload columns) into the table.
+
+        ``merge_mode='cow'`` (table property): only key-range-matched files
+        are rewritten; unmatched files carry over untouched.
+        ``merge_mode='mor'``: pure delta append — change rows land as new
+        delta files with deletes as ``_tombstone`` rows; NOTHING existing is
+        read or rewritten, so merge cost is O(batch) regardless of table
+        size. Latest-wins (including within-batch duplicates) is resolved at
+        read time by (seq, commit-seq); ``compact()`` folds deltas down.
 
         Exactly-once: if ``batch_id`` ≤ the committed high-watermark for
         ``app_id``, the call is a recorded no-op (idempotent re-delivery,
@@ -287,15 +450,55 @@ class LakeTable:
         key_col, seq_col = snap["key_col"], snap["seq_col"]
         target_rows = snap.get("target_file_rows", 500_000)
 
-        if batch_id is not None and batch_id <= snap["last_batch"].get(app_id, -1):
-            return {
-                "version": snap["version"],
-                "noop": True,
-                "reason": f"batch {batch_id} already committed (watermark {snap['last_batch'][app_id]})",
-            }
+        fenced = self._fence(snap, batch_id, app_id)
+        if fenced:
+            return fenced
 
         schema = self._evolve_schema(snap, changes.schema)
         data_cols = [f.name for f in schema.fields]
+
+        if snap.get("merge_mode", "cow") == "mor":
+            from pyspark.sql import Observation
+
+            conformed = changes
+            for f in schema.fields:
+                if f.name not in conformed.columns:
+                    conformed = conformed.withColumn(f.name, F.lit(None).cast(f.dataType))
+            to_write = conformed.withColumn(_TOMBSTONE, F.col("op") == "D").select(
+                *data_cols, _TOMBSTONE
+            )
+            obs = Observation(f"mor-merge-{batch_id}")
+            to_write = to_write.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col(_TOMBSTONE), 1).otherwise(0)).alias("d"),
+            )
+            new_entries = self._write_files(
+                to_write, snap["version"] + 1, key_col, target_rows, 0,
+                cluster=False, delta=True,
+            )
+            counts = obs.get
+            n_batch, n_del = int(counts["n"] or 0), int(counts["d"] or 0)
+            if n_batch == 0:
+                return {"version": snap["version"], "noop": True, "reason": "empty batch"}
+            return self._commit_files(
+                snap,
+                schema,
+                snap["files"] + new_entries,
+                batch_id=batch_id,
+                app_id=app_id,
+                summary={
+                    "operation": "merge",
+                    "mode": "mor",
+                    "n_batch": n_batch,
+                    "n_deletes": n_del,
+                    "n_upserts": n_batch - n_del,
+                    "files_rewritten": 0,
+                    "files_added": len(new_entries),
+                    "total_rows": sum(f["rows"] for f in snap["files"]) + n_batch,
+                    **(extra_summary or {}),
+                },
+            )
 
         # 1. narrow per-key change summary: winning op per key, column-pruned
         #    to (key, op, seq) — feeds stats AND file pruning without ever
@@ -379,23 +582,15 @@ class LakeTable:
             new_entries = self._write_files(result, new_version, key_col, target_rows, est_rows)
             result.unpersist()
             carried = [f for f in snap["files"] if f["path"] not in matched_names]
-            last_batch = dict(snap["last_batch"])
-            if batch_id is not None:
-                last_batch[app_id] = batch_id
-            new_snap = {
-                "format_version": FORMAT_VERSION,
-                "version": new_version,
-                "parent": snap["version"],
-                "schema": json.loads(schema.json()),
-                "key_col": key_col,
-                "seq_col": seq_col,
-                "target_file_rows": target_rows,
-                "files": carried + new_entries,
-                "last_batch": last_batch,
-                "summary": {
+            return self._commit_files(
+                snap,
+                schema,
+                carried + new_entries,
+                batch_id=batch_id,
+                app_id=app_id,
+                summary={
                     "operation": "merge",
-                    "batch_id": batch_id,
-                    "app_id": app_id,
+                    "mode": "cow",
                     "n_batch": n_batch,
                     "n_deletes": n_del,
                     "n_upserts": n_batch - n_del,
@@ -404,12 +599,97 @@ class LakeTable:
                     "total_rows": sum(f["rows"] for f in carried + new_entries),
                     **(extra_summary or {}),
                 },
-                "timestamp_ms": int(time.time() * 1000),
-            }
-            self._commit(new_snap)
-            return {"version": new_version, "noop": False, **new_snap["summary"]}
+            )
         finally:
             key_ops.unpersist()
+
+    # ------------------------------------------------------ MOR: staged commit
+
+    def commit_staged(
+        self,
+        staged_dir: str,
+        *,
+        batch_id: int | None = None,
+        app_id: str = "default",
+        batch_schema: T.StructType | None = None,
+        extra_summary: dict | None = None,
+    ) -> dict:
+        """Adopt pre-written delta parquet files as a MOR merge commit.
+
+        This is the fused-pipeline fast path: the ingest job writes its
+        encrypted winners (with ``_tombstone`` delete rows) straight to a
+        staging dir — one Spark job for encrypt + route fan-out + sink —
+        and the commit is pure driver-side metadata (file moves + footer
+        stats + atomic snapshot). No Spark job runs here at all."""
+        snap = self.snapshot()
+        if snap.get("merge_mode", "cow") != "mor":
+            raise ValueError("commit_staged requires a merge_mode='mor' table")
+        fenced = self._fence(snap, batch_id, app_id)
+        if fenced:
+            return fenced
+        schema = self._evolve_schema(snap, batch_schema) if batch_schema is not None else T.StructType.fromJson(snap["schema"])
+        new_entries = self._adopt_staged(staged_dir, snap["version"] + 1, snap["key_col"], delta=True)
+        if not new_entries:
+            return {"version": snap["version"], "noop": True, "reason": "empty batch"}
+        n_batch = sum(f["rows"] for f in new_entries)
+        return self._commit_files(
+            snap,
+            schema,
+            snap["files"] + new_entries,
+            batch_id=batch_id,
+            app_id=app_id,
+            summary={
+                "operation": "merge",
+                "mode": "mor",
+                "n_batch": n_batch,
+                "files_rewritten": 0,
+                "files_added": len(new_entries),
+                "total_rows": sum(f["rows"] for f in snap["files"]) + n_batch,
+                **(extra_summary or {}),
+            },
+        )
+
+    # -------------------------------------------------------------- compaction
+
+    def delta_ratio(self) -> float:
+        """delta rows / total rows in the current snapshot (compaction signal)."""
+        snap = self.snapshot()
+        total = sum(f["rows"] for f in snap["files"])
+        if not total:
+            return 0.0
+        return sum(f["rows"] for f in snap["files"] if f.get("delta")) / total
+
+    def compact(self) -> dict:
+        """Fold MOR delta files into key-range-clustered base files.
+
+        Runs the read-time latest-wins reconstruction ONCE and materializes
+        the result — afterwards ``read()`` takes the no-dedup fast path and
+        COW-style pruning ranges are tight again. A maintenance operation:
+        schedule it off the ingest hot path (e.g. every N batches or when
+        ``delta_ratio()`` crosses a threshold); ingest throughput never
+        waits on table size."""
+        snap = self.snapshot()
+        if not any(f.get("delta") for f in snap["files"]):
+            return {"version": snap["version"], "noop": True, "reason": "no delta files"}
+        schema = T.StructType.fromJson(snap["schema"])
+        est_rows = sum(f["rows"] for f in snap["files"])
+        new_entries = self._write_files(
+            self.read(), snap["version"] + 1, snap["key_col"],
+            snap.get("target_file_rows", 500_000), est_rows,
+        )
+        return self._commit_files(
+            snap,
+            schema,
+            new_entries,
+            batch_id=None,
+            app_id="__compact__",
+            summary={
+                "operation": "compact",
+                "files_removed": len(snap["files"]),
+                "files_added": len(new_entries),
+                "total_rows": sum(f["rows"] for f in new_entries),
+            },
+        )
 
     # --------------------------------------------------------------- vacuum
 

@@ -189,6 +189,8 @@ def _encrypt_pandas(
                     key = (kas_l[i], attrs_l[i])
                     resolved = resolve_cache.get(key)
                     if resolved is None:
+                        if len(resolve_cache) >= 4096:  # bound per-worker memory
+                            resolve_cache.clear()
                         resolved = (
                             tdf.resolve_kas_urls(kas_l[i], default_kas),
                             tdf.resolve_data_attributes(attrs_l[i]),
@@ -200,6 +202,8 @@ def _encrypt_pandas(
                     if a_json:
                         assertions = assertion_cache.get(a_json)
                         if assertions is None:
+                            if len(assertion_cache) >= 4096:
+                                assertion_cache.clear()
                             assertions = tdf.parse_assertions_json(a_json)
                             assertion_cache[a_json] = assertions
                     payload = np.asarray(tok_l[i], dtype="<i4").tobytes()

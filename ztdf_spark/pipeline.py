@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 from dataclasses import dataclass, field
 from typing import Iterator
 
@@ -64,6 +65,15 @@ class PipelineConfig:
     app_id: str = "ztdf-cdc"
     max_files_per_trigger: int = 4
     target_file_rows: int = 500_000
+    # merge-on-read is the CDC-scale default: per-batch merge cost is
+    # O(batch), never O(table) — the round-1 COW rewrite was the measured
+    # scaling-efficiency killer. 'cow' remains available for small tables
+    # where read-path simplicity wins.
+    merge_mode: str = "mor"
+    # fold MOR deltas into clustered base files every k batches (None =
+    # caller-scheduled). Compaction is maintenance, not ingest: it runs
+    # AFTER the batch commit, off the exactly-once path.
+    compact_every: int | None = None
     binlog_schema: str = field(default=BINLOG_DDL)
 
     @property
@@ -182,9 +192,21 @@ class CdcPipeline:
             key_col="doc_id",
             seq_col="lsn",
             target_file_rows=self.cfg.target_file_rows,
+            merge_mode=self.cfg.merge_mode,
         )
 
     # ------------------------------------------------------------- one batch
+
+    def _dlq_cols(self, extra_cols: list[str]) -> list[str]:
+        """One shared DLQ/staging column set for both failure stages (pre-
+        gate and in-UDF), so every parquet under the DLQ root reads with a
+        single schema: original event content + error + (null on failure)
+        encrypt outputs."""
+        return [
+            "lsn", "op", "doc_id", "tokens", "n_tok", "source",
+            "kas_url", "tdf_attribute", "assertions", *extra_cols,
+            "error", "ciphertext", "mime_type", "_tombstone",
+        ]
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> dict:
         """Route → DLQ → dedup → encrypt winners → MERGE → audit.
@@ -197,15 +219,35 @@ class CdcPipeline:
         that is 10-100× fewer rows, and the wide shuffle moves plaintext
         token arrays instead of (larger) ciphertexts. Per-event routing
         parity with the reference is preserved: every invalid event lands
-        in the DLQ with its original content, and an invalid winner never
-        shadows an older valid event (it is excluded before dedup).
+        in the DLQ with its original content (including the rare rows that
+        pass the Catalyst gate but fail INSIDE the encrypt UDF — they land
+        in ``stage=udf``). Note the one intentional divergence: a winner
+        that fails in the UDF is DLQ'd but does NOT resurrect the older
+        event it shadowed in dedup (the reference, processing per-event,
+        would leave the older state in place); the Catalyst gate mirrors
+        every reference failure mode precisely so this path is reachable
+        only by a gate/SDK divergence bug, and such rows are never silently
+        lost.
+
+        With a merge-on-read table the whole batch costs exactly TWO Spark
+        jobs: (1) route + pre-gate DLQ write (route counts piggyback via
+        observe), (2) dedup → encrypt → one fused write partitioned by
+        route, whose success partition is adopted as lake delta files by a
+        pure-metadata commit and whose failure partition is moved into the
+        DLQ. Nothing reads or rewrites existing table data — per-batch cost
+        is O(batch) regardless of table size, which is what makes N→4N
+        executor scaling hold (BENCH/BASELINE.md).
 
         Idempotent: every side effect is keyed by ``batch_id`` (DLQ dir
-        overwrite, merge fence, audit file overwrite), so foreachBatch
-        re-execution after a crash replays to the identical end state.
+        overwrite, staging dir overwrite, merge fence, audit file
+        overwrite), so foreachBatch re-execution after a crash replays to
+        the identical end state.
         """
+        import shutil
+
         t0 = time.monotonic()
         extra_cols = [c for c in batch.columns if c not in _CORE_COLS]
+        mor = self.table.snapshot().get("merge_mode", "cow") == "mor"
 
         # NOT persisted: each consumer re-reads the (columnar, pruned,
         # codegen'd) parquet scan — measured cheaper and far lighter on GC
@@ -222,7 +264,7 @@ class CdcPipeline:
         # from parquet footer metadata (driver-side, zero Spark jobs).
         from pyspark.sql import Observation
 
-        obs = Observation(f"routes-{batch_id}")
+        obs = Observation(f"routes-{batch_id}-{uuid.uuid4().hex[:6]}")
         observed = routed.observe(
             obs,
             F.count(F.lit(1)).alias("n_events"),
@@ -233,11 +275,20 @@ class CdcPipeline:
             F.sum(F.when(F.col("route") == ops.ROUTE_OVERSIZE, 1).otherwise(0)).alias("n_oversize"),
             F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_delete"),
         )
-        # DLQ: failure + oversize events, original content preserved
-        bad = observed.filter(F.col("route") != ops.ROUTE_SUCCESS).withColumnRenamed(
-            "pre_error", "error"
+        # DLQ stage=pre: gate failures (no KAS / no attrs / bad assertions /
+        # oversize), original content preserved; conformed to the shared DLQ
+        # schema (encrypt outputs null)
+        dlq_batch_dir = os.path.join(self.cfg.dlq_path, f"batch_id={batch_id}")
+        shutil.rmtree(dlq_batch_dir, ignore_errors=True)
+        bad = (
+            observed.filter(F.col("route") != ops.ROUTE_SUCCESS)
+            .withColumnRenamed("pre_error", "error")
+            .withColumn("ciphertext", F.lit(None).cast("binary"))
+            .withColumn("mime_type", F.lit(None).cast("string"))
+            .withColumn("_tombstone", F.lit(None).cast("boolean"))
+            .select(*self._dlq_cols(extra_cols))
         )
-        bad.write.mode("overwrite").parquet(os.path.join(self.cfg.dlq_path, f"batch_id={batch_id}"))
+        bad.write.mode("overwrite").parquet(os.path.join(dlq_batch_dir, "stage=pre"))
         counts = obs.get
         n_events = int(counts["n_events"] or 0)
         if n_events == 0:
@@ -252,18 +303,22 @@ class CdcPipeline:
             broadcast_keys=int(counts["n_success"] or 0) <= ops.broadcast_key_limit(self.spark),
         )
         enc = ops.encrypt_batch(winners, self.settings, self.cfg.fmt)
-        # persist the (small) encrypted winner set: merge traverses its
-        # input several times (key stats, COW union, write) and must not
-        # recompute the dedup shuffle + crypto each time
-        good = (
-            enc.filter(F.col("route") == ops.ROUTE_SUCCESS)
-            .select("op", "doc_id", "lsn", "ciphertext", "mime_type", "n_tok", "source", *extra_cols)
-            .persist()
-        )
-        try:
-            mstats = self.table.merge(good, batch_id=batch_id, app_id=self.cfg.app_id)
-        finally:
-            good.unpersist()
+
+        if mor:
+            mstats, sink_counts = self._sink_mor(enc, batch_id, extra_cols)
+        else:
+            mstats, sink_counts = self._sink_cow(enc, batch_id, extra_cols)
+
+        compacted = False
+        if (
+            self.cfg.compact_every
+            and not mstats.get("noop")
+            and (batch_id + 1) % self.cfg.compact_every == 0
+        ):
+            cstats = self.table.compact()
+            compacted = not cstats.get("noop")
+            if compacted:
+                mstats = {**mstats, "version": cstats["version"]}
 
         dt = time.monotonic() - t0
         audit = {
@@ -278,8 +333,10 @@ class CdcPipeline:
             "n_failure": int(counts["n_failure"] or 0),
             "n_oversize": int(counts["n_oversize"] or 0),
             "n_delete": int(counts["n_delete"] or 0),
+            **sink_counts,
             "snapshot_version": mstats["version"],
             "merge_noop": bool(mstats.get("noop")),
+            "compacted": compacted,
             "duration_s": round(dt, 4),
             "events_per_sec": round(n_events / dt, 2) if dt > 0 else None,
             "partitions": lineage_parts,
@@ -289,6 +346,108 @@ class CdcPipeline:
             os.path.join(self.cfg.audit_path, f"batch-{batch_id:010d}.json"), json.dumps(audit)
         )
         return audit
+
+    def _sink_mor(self, enc: DataFrame, batch_id: int, extra_cols: list[str]):
+        """ONE fused job: encrypted winners → parquet partitioned by route.
+        success → adopted as MOR delta files (pure-metadata commit, no
+        second job); any other route → moved into DLQ ``stage=udf``.
+        Plaintext token arrays are nulled on success rows — lake files never
+        store plaintext."""
+        import shutil
+
+        from pyspark.sql import Observation
+        from pyspark.sql import types as T
+
+        lake_cols = ["doc_id", "lsn", "ciphertext", "mime_type", "n_tok", "source", *extra_cols]
+        is_fail = F.col("route") != ops.ROUTE_SUCCESS
+        out = (
+            enc.withColumn("_tombstone", (~is_fail) & (F.col("op") == "D"))
+            .withColumn("tokens", F.when(is_fail, F.col("tokens")))
+            .withColumn("kas_url", F.when(is_fail, F.col("kas_url")))
+            .withColumn("tdf_attribute", F.when(is_fail, F.col("tdf_attribute")))
+            .withColumn("assertions", F.when(is_fail, F.col("assertions")))
+            .select(*self._dlq_cols(extra_cols), "route")
+        )
+        obs = Observation(f"sink-{batch_id}-{uuid.uuid4().hex[:6]}")
+        out = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_winners"),
+            F.sum(F.when(F.col("route") != ops.ROUTE_SUCCESS, 1).otherwise(0)).alias("n_udf_failure"),
+            F.sum(F.when(F.col("_tombstone"), 1).otherwise(0)).alias("n_del"),
+        )
+        staging = os.path.join(self.cfg.root, f"_ingest-{batch_id:010d}")
+        shutil.rmtree(staging, ignore_errors=True)
+        out.write.partitionBy("route").mode("overwrite").parquet(staging)
+        c = obs.get
+        sink_counts = {
+            "n_winners": int(c["n_winners"] or 0),
+            "n_udf_failure": int(c["n_udf_failure"] or 0),
+            "n_delete_winners": int(c["n_del"] or 0),
+        }
+
+        # post-gate (in-UDF) failures → DLQ stage=udf, original content kept
+        udf_dir = os.path.join(self.cfg.dlq_path, f"batch_id={batch_id}", "stage=udf")
+        shutil.rmtree(udf_dir, ignore_errors=True)
+        for name in sorted(os.listdir(staging)):
+            if name.startswith("route=") and name != f"route={ops.ROUTE_SUCCESS}":
+                os.makedirs(udf_dir, exist_ok=True)
+                for fname in sorted(os.listdir(os.path.join(staging, name))):
+                    if fname.endswith(".parquet"):
+                        os.replace(
+                            os.path.join(staging, name, fname),
+                            os.path.join(udf_dir, f"{name[len('route='):]}-{fname}"),
+                        )
+
+        succ_dir = os.path.join(staging, f"route={ops.ROUTE_SUCCESS}")
+        batch_schema = T.StructType([out.schema[cn] for cn in lake_cols])
+        if os.path.isdir(succ_dir):
+            mstats = self.table.commit_staged(
+                succ_dir,
+                batch_id=batch_id,
+                app_id=self.cfg.app_id,
+                batch_schema=batch_schema,
+                extra_summary={
+                    "n_deletes": sink_counts["n_delete_winners"],
+                    "n_udf_failure": sink_counts["n_udf_failure"],
+                },
+            )
+        else:
+            mstats = {"version": self.table.current_version(), "noop": True, "reason": "no winners"}
+        shutil.rmtree(staging, ignore_errors=True)
+        return mstats, sink_counts
+
+    def _sink_cow(self, enc: DataFrame, batch_id: int, extra_cols: list[str]):
+        """Copy-on-write sink: persist the (small) encrypted winner set —
+        the COW merge traverses its input several times (key stats, union,
+        write) and must not recompute the dedup shuffle + crypto — write
+        in-UDF failures to DLQ stage=udf, then MERGE."""
+        from pyspark.sql import Observation
+
+        enc_slim = (
+            enc.withColumn("_tombstone", F.lit(None).cast("boolean"))
+            .select(*self._dlq_cols(extra_cols), "route")
+            .persist()
+        )
+        try:
+            obs = Observation(f"udfbad-{batch_id}-{uuid.uuid4().hex[:6]}")
+            udf_bad = enc_slim.filter(F.col("route") != ops.ROUTE_SUCCESS).drop("route")
+            udf_bad = udf_bad.observe(obs, F.count(F.lit(1)).alias("n_udf_failure"))
+            udf_bad.write.mode("overwrite").parquet(
+                os.path.join(self.cfg.dlq_path, f"batch_id={batch_id}", "stage=udf")
+            )
+            n_udf_failure = int(obs.get["n_udf_failure"] or 0)
+            good = enc_slim.filter(F.col("route") == ops.ROUTE_SUCCESS).select(
+                "op", "doc_id", "lsn", "ciphertext", "mime_type", "n_tok", "source", *extra_cols
+            )
+            mstats = self.table.merge(
+                good,
+                batch_id=batch_id,
+                app_id=self.cfg.app_id,
+                extra_summary={"n_udf_failure": n_udf_failure},
+            )
+        finally:
+            enc_slim.unpersist()
+        return mstats, {"n_udf_failure": n_udf_failure}
 
 
     # ------------------------------------------------------------- streaming

@@ -19,11 +19,17 @@ an AES-GCM encryption of the DEK under that KEK with the policy JSON as
 AAD (the TDF "policy binding" — tampering with policy breaks unwrap).
 
 Determinism: DEK and all nonces are derived as SHA-256 of
-``(master_secret, doc_id, lsn)`` so a replayed batch produces byte-identical
-ciphertext — this makes the idempotent MERGE byte-stable (SURVEY.md §4.4).
-The correctness invariant vs the reference is token-array equality after a
-decrypt round trip (BASELINE.json ``input_hint``), which random nonces would
-also satisfy; determinism is an engine choice, not a format requirement.
+``(master_secret, doc_id, lsn, SHA-256(payload), policy_bytes)`` so a
+replayed batch produces byte-identical ciphertext — this makes the
+idempotent MERGE byte-stable (SURVEY.md §4.4). Binding the payload digest
+and policy into the derivation means a *different* payload or policy under
+the same (doc_id, lsn) — replay with corrected content, two producers
+colliding on an LSN — gets a fresh key+nonce pair, so AES-GCM nonce reuse
+(keystream XOR / tag-forgery leaks) is impossible even when the
+(doc_id, lsn)-uniqueness contract is violated upstream. The correctness
+invariant vs the reference is token-array equality after a decrypt round
+trip (BASELINE.json ``input_hint``), which random nonces would also
+satisfy; determinism is an engine choice, not a format requirement.
 """
 
 from __future__ import annotations
@@ -69,8 +75,11 @@ class TdfError(ValueError):
 
 def resolve_kas_urls(row_kas_url: str | None, default_kas_url: str | None) -> list[str]:
     """Row attribute overrides processor default; comma-split, drop empties,
-    error if none (AbstractToProcessor.java:56-70)."""
-    raw = row_kas_url if row_kas_url else default_kas_url
+    error if none (AbstractToProcessor.java:56-70). A whitespace-only row
+    value counts as absent — matching the Catalyst pre-gate
+    (``ops.resolved_kas``: nullif(trim(x), '')) so the gate and the UDF can
+    never disagree on presence."""
+    raw = row_kas_url if (row_kas_url and row_kas_url.strip()) else default_kas_url
     urls = [u.strip() for u in (raw or "").split(",") if u.strip()]
     if not urls:
         raise TdfError("no KAS URL provided via attribute or property")
@@ -181,12 +190,27 @@ def kek_for_kas(master_secret: bytes, kas_url: str) -> bytes:
     return _h(b"ztdf-kek", master_secret, kas_url.encode())
 
 
-def derive_dek(master_secret: bytes, doc_id: str, lsn: int) -> bytes:
-    return _h(b"ztdf-dek", master_secret, doc_id.encode(), struct.pack("<q", lsn))
+def derive_ctx(master_secret: bytes, doc_id: str, lsn: int, payload: bytes, policy: bytes) -> bytes:
+    """Per-record derivation context. Binds the payload digest AND the policy
+    bytes so that any change to content or policy under a reused (doc_id, lsn)
+    yields an unrelated (DEK, IV) pair — no AES-GCM nonce reuse is reachable,
+    while identical re-encryptions stay byte-deterministic (idempotent MERGE)."""
+    return _h(
+        b"ztdf-ctx",
+        master_secret,
+        doc_id.encode(),
+        struct.pack("<q", lsn),
+        hashlib.sha256(payload).digest(),
+        policy,
+    )
 
 
-def derive_iv(doc_id: str, lsn: int, label: bytes = b"payload") -> bytes:
-    return _h(b"ztdf-iv", label, doc_id.encode(), struct.pack("<q", lsn))[:12]
+def derive_dek(ctx: bytes) -> bytes:
+    return _h(b"ztdf-dek", ctx)
+
+
+def derive_iv(ctx: bytes, label: bytes = b"payload") -> bytes:
+    return _h(b"ztdf-iv", label, ctx)[:12]
 
 
 def _sign_assertion_rs256(assertion: Assertion, signing_key_pem: bytes) -> str:
@@ -233,15 +257,16 @@ def encrypt_ztdf(
     if not attrs:
         raise TdfError("no data attribute(s) provided")
 
-    dek = derive_dek(master_secret, doc_id, lsn)
-    iv = derive_iv(doc_id, lsn)
     policy = {"uuid": _h(b"policy", doc_id.encode())[:8].hex(), "body": {"dataAttributes": attrs}}
     policy_bytes = json.dumps(policy, sort_keys=True, separators=(",", ":")).encode()
+    ctx = derive_ctx(master_secret, doc_id, lsn, payload, policy_bytes)
+    dek = derive_dek(ctx)
+    iv = derive_iv(ctx)
 
     key_access = []
     for i, url in enumerate(kas_urls):
         kek = kek_for_kas(master_secret, url)
-        wrap_iv = derive_iv(doc_id, lsn, label=b"wrap%d" % i)
+        wrap_iv = derive_iv(ctx, label=b"wrap%d" % i)
         wrapped = AESGCM(kek).encrypt(wrap_iv, dek, policy_bytes)
         key_access.append(
             {
@@ -301,15 +326,29 @@ class ZtdfEncryptor:
     AbstractTDFProcessor.java:139-161).
     """
 
+    # per-worker caches are bounded: high-cardinality attribute/assertion
+    # streams would otherwise grow these without limit inside long-lived
+    # Python workers (cleared wholesale — contexts are cheap to rebuild)
+    MAX_CACHE = 4096
+
     def __init__(self, master_secret: bytes, signing_key_pem: bytes | None = None):
+        import uuid as _uuid
+
         self.master = master_secret
         self.signing_pem = signing_key_pem
         self._keks: dict[str, AESGCM] = {}
         self._ctx: dict[tuple, tuple] = {}
+        # sentinel nonce: template placeholders embed a fresh 128-bit random
+        # hex string, so NO user-controlled value (assertion statements,
+        # attribute FQNs, KAS URLs baked into the template via json.dumps)
+        # can collide with a placeholder — str.replace is then injection-safe
+        self._sent = _uuid.uuid4().hex
 
     def _kek(self, url: str) -> AESGCM:
         c = self._keks.get(url)
         if c is None:
+            if len(self._keks) >= self.MAX_CACHE:
+                self._keks.clear()
             c = self._keks[url] = AESGCM(kek_for_kas(self.master, url))
         return c
 
@@ -317,12 +356,14 @@ class ZtdfEncryptor:
         key = (kas_urls, attrs, assertions)
         ctx = self._ctx.get(key)
         if ctx is None:
+            if len(self._ctx) >= self.MAX_CACHE:
+                self._ctx.clear()
             # build the manifest once with sentinels, using the reference
             # implementation's exact layout
-            sentinel_wrapped = [f"@@WK{i}@@" for i in range(len(kas_urls))]
-            sentinel_wiv = [f"@@WIV{i}@@" for i in range(len(kas_urls))]
+            sentinel_wrapped = [f"@{self._sent}:WK{i}@" for i in range(len(kas_urls))]
+            sentinel_wiv = [f"@{self._sent}:WIV{i}@" for i in range(len(kas_urls))]
             policy = {
-                "uuid": "@@UUID@@",
+                "uuid": f"@{self._sent}:UUID@",
                 "body": {"dataAttributes": list(attrs)},
             }
             # policy bytes vary only via uuid (doc-keyed); keep uuid per-row
@@ -341,10 +382,10 @@ class ZtdfEncryptor:
                 "encryptionInformation": {
                     "type": "split",
                     "keyAccess": key_access,
-                    "policy": "@@POLICY@@",
-                    "method": {"algorithm": "AES-256-GCM", "iv": "@@IV@@"},
+                    "policy": f"@{self._sent}:POLICY@",
+                    "method": {"algorithm": "AES-256-GCM", "iv": f"@{self._sent}:IV@"},
                     "integrityInformation": {
-                        "rootSignature": {"alg": "HS256", "sig": "@@SIG@@"}
+                        "rootSignature": {"alg": "HS256", "sig": f"@{self._sent}:SIG@"}
                     },
                 },
                 "payload": {
@@ -390,22 +431,23 @@ class ZtdfEncryptor:
             raise TdfError("no data attribute(s) provided")
         template_policy, template = self._context(kas_urls, attrs, tuple(assertions))
 
-        dek = derive_dek(self.master, doc_id, lsn)
-        iv = derive_iv(doc_id, lsn)
         policy_bytes = template_policy.replace(
-            "@@UUID@@", _h(b"policy", doc_id.encode())[:8].hex()
+            f"@{self._sent}:UUID@", _h(b"policy", doc_id.encode())[:8].hex()
         ).encode()
+        ctx = derive_ctx(self.master, doc_id, lsn, payload, policy_bytes)
+        dek = derive_dek(ctx)
+        iv = derive_iv(ctx)
 
         m = template
         for i, url in enumerate(kas_urls):
-            wrap_iv = derive_iv(doc_id, lsn, label=b"wrap%d" % i)
+            wrap_iv = derive_iv(ctx, label=b"wrap%d" % i)
             wrapped = self._kek(url).encrypt(wrap_iv, dek, policy_bytes)
-            m = m.replace(f"@@WK{i}@@", base64.b64encode(wrapped).decode())
-            m = m.replace(f"@@WIV{i}@@", base64.b64encode(wrap_iv).decode())
+            m = m.replace(f"@{self._sent}:WK{i}@", base64.b64encode(wrapped).decode())
+            m = m.replace(f"@{self._sent}:WIV{i}@", base64.b64encode(wrap_iv).decode())
         ciphertext = AESGCM(dek).encrypt(iv, payload, None)
-        m = m.replace("@@POLICY@@", base64.b64encode(policy_bytes).decode())
-        m = m.replace("@@IV@@", base64.b64encode(iv).decode())
-        m = m.replace("@@SIG@@", base64.b64encode(_h(b"integrity", dek, ciphertext)).decode())
+        m = m.replace(f"@{self._sent}:POLICY@", base64.b64encode(policy_bytes).decode())
+        m = m.replace(f"@{self._sent}:IV@", base64.b64encode(iv).decode())
+        m = m.replace(f"@{self._sent}:SIG@", base64.b64encode(_h(b"integrity", dek, ciphertext)).decode())
         mbytes = m.encode()
         return b"".join([ZTDF_MAGIC, struct.pack("<I", len(mbytes)), mbytes, ciphertext])
 
@@ -483,9 +525,10 @@ def encrypt_nano(
 
     kas = kas_urls[0].encode()
     policy = ",".join(attrs).encode()
-    dek = derive_dek(master_secret, doc_id, lsn)
-    iv = derive_iv(doc_id, lsn, label=b"nano")
-    wrap_iv = derive_iv(doc_id, lsn, label=b"nanowrap")
+    ctx = derive_ctx(master_secret, doc_id, lsn, payload, policy)
+    dek = derive_dek(ctx)
+    iv = derive_iv(ctx, label=b"nano")
+    wrap_iv = derive_iv(ctx, label=b"nanowrap")
     wrapped = AESGCM(kek_for_kas(master_secret, kas_urls[0])).encrypt(wrap_iv, dek, policy)
     ciphertext = AESGCM(dek).encrypt(iv, payload, None)
     return b"".join(
