@@ -311,7 +311,28 @@ def q_ann_topk_cosine(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    return simops.lsh_ann_topk(_t(spark, sf_dir, "embeddings"), n_queries=10, k=5, dim=64)
+    """Multi-table + multi-probe hyperplane LSH (recall measured vs the
+    exact cosine baseline in tests/test_simops.py)."""
+    return simops.lsh_ann_topk(
+        _t(spark, sf_dir, "embeddings"), n_queries=10, k=5, dim=64,
+        n_planes=8, n_tables=8, multiprobe=1,
+    )
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN (spherical k-means cells, n_probe=3)."""
+    return simops.ann_ivf_topk(
+        _t(spark, sf_dir, "embeddings"), n_queries=10, k=5, n_cells=16, n_probe=3
+    )
+
+
+def q_emb_near_dup_lsh(spark, sf_dir):
+    """Banded-LSH candidate near-dup pairs at a HIGH cosine threshold — the
+    100 TB scale path (the exact GEMM variant `emb_near_dup` is the oracle
+    anchor). Recall vs exact is pinned in tests/test_simops.py."""
+    return simops.emb_near_dup_lsh(
+        _t(spark, sf_dir, "embeddings"), min_cos=0.60, dim=64, n_planes=8, n_tables=12
+    )
 
 
 def q_mm_features(spark, sf_dir):
@@ -412,7 +433,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_quantized": q_ann_topk_quantized,
         "ann_topk_cosine": q_ann_topk_cosine,  # rows-only
         "ann_lsh": q_ann_lsh,  # rows-only
+        "ann_ivf": q_ann_ivf,  # rows-only
         "emb_near_dup": q_emb_near_dup,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,  # rows-only
         "mm_features": q_mm_features,  # rows-only
     }
 

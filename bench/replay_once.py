@@ -68,6 +68,11 @@ def main():
             "steady_events_per_sec": round(median_eps, 1),
             "mean_steady_events_per_sec": round(steady_events / steady_wall, 1) if steady_wall else None,
             "batch_wall_s": [a["duration_s"] for a in audits],
+            "phases": [
+                {**(a.get("phase_s") or {}),
+                 "sink_write": a.get("sink_write_s"), "sink_commit": a.get("sink_commit_s")}
+                for a in audits
+            ],
             "n_success": sum(a["n_success"] for a in audits),
             "n_failure": sum(a["n_failure"] for a in audits),
             "snapshot_version": audits[-1]["snapshot_version"],

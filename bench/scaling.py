@@ -46,9 +46,17 @@ def run_level(cores: int, binlog: str, zpath: str, verify: bool, batches: int = 
         # with its own heap, GC, and Python-worker pool — the faithful
         # sandbox analog of "N executors vs 4N executors"
         master = f"local-cluster[{cores},{exec_cores},{exec_mem_mb}]"
-        # modest per-executor heaps: key-set joins stay shuffled-hash
-        # (spark.ztdf.broadcastKeyLimit) so no multi-GB broadcast copies
-        mem_args = ["--driver-memory", "8g", "--conf", "spark.ztdf.broadcastKeyLimit=500000"]
+        # broadcast the narrow winner-key set (≈30 B/key → ~60 MB at 2M keys,
+        # well within 16 g executor heaps): the wide encrypted rows then stay
+        # on their scan partitions end-to-end — no wide shuffle, and the
+        # crypto stage keeps full scan parallelism instead of being
+        # AQE-coalesced onto too-few post-shuffle partitions (the measured
+        # round-2 scaling killer). Above the limit the join degrades to
+        # shuffled-hash, for which advisoryPartitionSizeInBytes=16m keeps
+        # post-shuffle parallelism ≥ cores.
+        mem_args = ["--driver-memory", "8g",
+                    "--conf", "spark.ztdf.broadcastKeyLimit=8000000",
+                    "--conf", "spark.sql.adaptive.advisoryPartitionSizeInBytes=16m"]
         total_cores = cores * exec_cores
     else:
         master = f"local[{cores}]"

@@ -57,3 +57,125 @@ def test_embedding_near_dup_pairs(emb):
     # unit vectors quantized by 1000 → dot_q ≈ 1e6·cos; near-dups ≥ .99
     pairs = simops.embedding_near_dup_pairs(emb, min_dot_q=985_000).collect()
     assert {(r["vec_a"], r["vec_b"]) for r in pairs} == {(0, 50)}
+
+
+# ------------------------------------------------------- recall vs exact oracle
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Planted-neighbor fixture: 60 base directions × 6 perturbed copies
+    (within-group cosine ≥ ~0.95) — the workload ANN indexes exist for.
+    vec_ids 0..9 are queries drawn from the first 10 groups."""
+    rng = np.random.default_rng(17)
+    dim, groups, per = 32, 60, 6
+    rows = []
+    vid = 0
+    for g in range(groups):
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        for _ in range(per):
+            v = base + 0.15 * rng.standard_normal(dim)
+            v /= np.linalg.norm(v)
+            rows.append((vid, v.astype(np.float32).tolist(), g))
+            vid += 1
+    # queries first: one member of each of the first 10 groups
+    rows = sorted(rows, key=lambda r: (r[2] != r[0] % groups, r[0]))
+    rows = [(i, v, g) for i, (_, v, g) in enumerate(rows)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def _recall_at_k(approx, exact, k=5):
+    a = approx.toPandas()
+    e = exact.toPandas()
+    hits = tot = 0
+    for q in e["query_id"].unique():
+        want = set(e[e.query_id == q].nsmallest(k, "rank")["neighbor_id"])
+        got = set(a[a.query_id == q]["neighbor_id"])
+        hits += len(want & got)
+        tot += len(want)
+    return hits / tot
+
+
+def test_lsh_multiprobe_recall_on_planted_neighbors(spark, planted):
+    exact = simops.ann_topk_cosine(planted, n_queries=10, k=5)
+    lsh = simops.lsh_ann_topk(
+        planted, n_queries=10, k=5, dim=32, n_planes=8, n_tables=8, multiprobe=1
+    )
+    r = _recall_at_k(lsh, exact, k=5)
+    assert r >= 0.9, f"multi-probe LSH recall@5 {r:.2f} < 0.9"
+    # multiprobe is a strict candidate superset → recall can only improve
+    single = simops.lsh_ann_topk(
+        planted, n_queries=10, k=5, dim=32, n_planes=8, n_tables=8, multiprobe=0
+    )
+    assert r >= _recall_at_k(single, exact, k=5)
+    # and it is genuinely sublinear: the candidate set is a fraction of n
+    n_cand = (
+        simops.lsh_ann_topk(planted, n_queries=10, k=10**6, dim=32, n_planes=8, n_tables=8, multiprobe=1)
+        .count()
+    )
+    n_total = 10 * (planted.count() - 10)
+    assert n_cand / n_total < 0.5, f"candidate fraction {n_cand / n_total:.2f} not sublinear"
+
+
+def test_ivf_recall_on_planted_neighbors(spark, planted):
+    exact = simops.ann_topk_cosine(planted, n_queries=10, k=5)
+    ivf = simops.ann_ivf_topk(planted, n_queries=10, k=5, n_cells=16, n_probe=3, seed=7)
+    r = _recall_at_k(ivf, exact, k=5)
+    assert r >= 0.9, f"IVF recall@5 {r:.2f} < 0.9"
+    a = simops.ann_ivf_topk(planted, n_queries=10, k=5, n_cells=16, n_probe=3, seed=7).toPandas()
+    b = simops.ann_ivf_topk(planted, n_queries=10, k=5, n_cells=16, n_probe=3, seed=7).toPandas()
+    assert a.sort_values(["query_id", "rank"]).values.tolist() == b.sort_values(["query_id", "rank"]).values.tolist()
+
+
+@pytest.fixture(scope="module")
+def planted_dups(spark):
+    """Tight near-duplicate fixture: 40 bases × 5 copies at cosine ≥ ~0.97
+    (the regime near-dup detection targets), plus background noise vectors."""
+    rng = np.random.default_rng(23)
+    dim = 32
+    rows = []
+    vid = 0
+    for g in range(40):
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        for _ in range(5):
+            v = base + 0.03 * rng.standard_normal(dim)
+            v /= np.linalg.norm(v)
+            rows.append((vid, v.astype(np.float32).tolist(), g))
+            vid += 1
+    for _ in range(100):  # background
+        v = rng.standard_normal(dim)
+        v /= np.linalg.norm(v)
+        rows.append((vid, v.astype(np.float32).tolist(), -1))
+        vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_near_dup_lsh_recall_vs_exact_gemm(spark, planted_dups):
+    planted = planted_dups
+    exact = simops.embedding_near_dup_pairs(planted, min_dot_q=900_000)
+    approx = simops.emb_near_dup_lsh(planted, min_cos=0.9, dim=32, n_planes=8, n_tables=12)
+    ep = {(r["vec_a"], r["vec_b"]) for r in exact.collect()}
+    ap = {(r["vec_a"], r["vec_b"]) for r in approx.collect()}
+    assert len(ep) > 20  # the fixture plants plenty of true near-dups
+    # no false positives (exact rerank) and recall >= 0.9
+    # (thresholds differ by quantization: dot_q uses floor(x*1000) ints, so
+    # compare against the float-cosine pair set)
+    recall = len(ep & ap) / len(ep)
+    assert recall >= 0.9, f"near-dup LSH recall {recall:.2f} < 0.9"
+
+
+def test_blocked_gemm_matches_crossjoin_semantics(spark, emb):
+    """The blocked-GEMM exact path must equal a literal cross-join evaluation
+    (same quantization, same threshold) on an irregular-size input."""
+    got = {(r["vec_a"], r["vec_b"], r["dot_q"]) for r in
+           simops.embedding_near_dup_pairs(emb, min_dot_q=100_000, n_chunks=5).collect()}
+    a = emb.select(F.col("vec_id").alias("vec_a"), simops._quantized(F.col("embedding")).alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), simops._quantized(F.col("embedding")).alias("vb"))
+    exp = {(r["vec_a"], r["vec_b"], r["dot_q"]) for r in
+           a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+           .withColumn("dot_q", F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                                            F.lit(0).cast("long"), lambda s, x: s + x))
+           .filter(F.col("dot_q") >= 100_000).collect()}
+    assert got == exp

@@ -129,6 +129,28 @@ def main():
         ],
     )
 
+    nd = em.q_emb_near_dup(spark, sf)
+    dump(
+        "emb_near_dup",
+        nd,
+        [
+            ("NO row-level cartesian (blocked GEMM instead)", r"CartesianProduct", False),
+            ("no broadcast nested-loop over rows", r"BroadcastNestedLoopJoin", False),
+            ("chunk-pair groups shuffle on (gi, gj)", r"hashpartitioning\(gi", True),
+            ("GEMM kernel via FlatMapGroupsInPandas", r"FlatMapGroupsInPandas", True),
+        ],
+    )
+
+    ndl = em.q_emb_near_dup_lsh(spark, sf)
+    dump(
+        "emb_near_dup_lsh",
+        ndl,
+        [
+            ("candidate join is an equi-join on the probe id", r"hashpartitioning\(probe|BroadcastHashJoin", True),
+            ("NO cartesian anywhere", r"CartesianProduct", False),
+        ],
+    )
+
     width = max(len(f"{n}: {d}") for n, d, _ in checks)
     fails = 0
     for n, d, ok in checks:

@@ -75,8 +75,15 @@ def resolved_attrs(attr_col: str = "tdf_attribute") -> Column:
     return _csv_nonempty(F.coalesce(F.col(attr_col), F.lit("")))
 
 
-def payload_nbytes(tokens_col: str = "tokens", n_tok_col: str = "n_tok") -> Column:
-    """Serialized payload size = 4 bytes per int32 token."""
+def payload_nbytes(tokens_col: str = "tokens", n_tok_col: str = "n_tok", *, has_n_tok: bool = False) -> Column:
+    """Serialized payload size = 4 bytes per int32 token.
+
+    With ``has_n_tok`` the expression references ONLY the n_tok column —
+    critical for column pruning: a routing-only scan must never force the
+    parquet reader to decode the (dominant-width) tokens column. The binlog
+    contract (BASELINE.json input_hint) carries n_tok on every event."""
+    if has_n_tok:
+        return F.col(n_tok_col).cast("long") * F.lit(4)
     n = F.coalesce(F.col(n_tok_col).cast("long"), F.size(F.col(tokens_col)).cast("long"))
     return n * F.lit(4)
 
@@ -142,7 +149,8 @@ def with_pre_route(df: DataFrame, settings: Settings, fmt: str = "ztdf") -> Data
     if "assertions" in df.columns and fmt == "ztdf":
         checks = checks.when(assertions_invalid(F.col("assertions")), F.lit(ERR_BAD_ASSERTION))
     if fmt == "nano":
-        checks = F.when(payload_nbytes() > NANO_MAX_SIZE, F.lit(ERR_OVERSIZE)).otherwise(checks)
+        nbytes = payload_nbytes(has_n_tok="n_tok" in df.columns)
+        checks = F.when(nbytes > NANO_MAX_SIZE, F.lit(ERR_OVERSIZE)).otherwise(checks)
     return df.withColumn("pre_error", F.when(is_change, checks))
 
 

@@ -230,13 +230,18 @@ class CdcPipeline:
         lost.
 
         With a merge-on-read table the whole batch costs exactly TWO Spark
-        jobs: (1) route + pre-gate DLQ write (route counts piggyback via
-        observe), (2) dedup → encrypt → one fused write partitioned by
-        route, whose success partition is adopted as lake delta files by a
-        pure-metadata commit and whose failure partition is moved into the
-        DLQ. Nothing reads or rewrites existing table data — per-batch cost
-        is O(batch) regardless of table size, which is what makes N→4N
-        executor scaling hold (BENCH/BASELINE.md).
+        jobs, and the wide token arrays are decoded exactly ONCE:
+        (1) a NARROW winner-keys pass (column-pruned scan — no tokens read —
+        → hash-agg max(lsn) per key, persisted + counted), (2) one fused
+        wide pass: scan → broadcast winner-key join (wide rows stay on
+        their scan partitions; no wide shuffle, no AQE-coalesced
+        under-parallelism in the crypto stage) → encrypt → write partitioned
+        by route. The success partition is adopted as lake delta files by a
+        pure-metadata commit; failure partitions (pre-gate AND in-UDF) are
+        moved into the DLQ. Route counts piggyback on the same job via
+        observe. Nothing reads or rewrites existing table data — per-batch
+        cost is O(batch) regardless of table size, which is what makes
+        N→4N executor scaling hold (BENCH/BASELINE.md).
 
         Idempotent: every side effect is keyed by ``batch_id`` (DLQ dir
         overwrite, staging dir overwrite, merge fence, audit file
@@ -259,14 +264,10 @@ class CdcPipeline:
             .otherwise(F.lit(ops.ROUTE_SUCCESS)),
         )
 
-        # Global route counts piggyback on the DLQ write via observe() —
-        # no dedicated aggregation job. Per-source-file offset ranges come
-        # from parquet footer metadata (driver-side, zero Spark jobs).
         from pyspark.sql import Observation
 
         obs = Observation(f"routes-{batch_id}-{uuid.uuid4().hex[:6]}")
-        observed = routed.observe(
-            obs,
+        route_metrics = [
             F.count(F.lit(1)).alias("n_events"),
             F.min("lsn").alias("min_lsn"),
             F.max("lsn").alias("max_lsn"),
@@ -274,40 +275,76 @@ class CdcPipeline:
             F.sum(F.when(F.col("route") == ops.ROUTE_FAILURE, 1).otherwise(0)).alias("n_failure"),
             F.sum(F.when(F.col("route") == ops.ROUTE_OVERSIZE, 1).otherwise(0)).alias("n_oversize"),
             F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_delete"),
-        )
-        # DLQ stage=pre: gate failures (no KAS / no attrs / bad assertions /
-        # oversize), original content preserved; conformed to the shared DLQ
-        # schema (encrypt outputs null)
+        ]
         dlq_batch_dir = os.path.join(self.cfg.dlq_path, f"batch_id={batch_id}")
         shutil.rmtree(dlq_batch_dir, ignore_errors=True)
-        bad = (
-            observed.filter(F.col("route") != ops.ROUTE_SUCCESS)
-            .withColumnRenamed("pre_error", "error")
-            .withColumn("ciphertext", F.lit(None).cast("binary"))
-            .withColumn("mime_type", F.lit(None).cast("string"))
-            .withColumn("_tombstone", F.lit(None).cast("boolean"))
-            .select(*self._dlq_cols(extra_cols))
-        )
-        bad.write.mode("overwrite").parquet(os.path.join(dlq_batch_dir, "stage=pre"))
-        counts = obs.get
-        n_events = int(counts["n_events"] or 0)
-        if n_events == 0:
-            return {"batch_id": batch_id, "n_events": 0, "noop": True}
         lineage_parts = _file_lineage(batch)
-
-        # latest-wins dedup of the valid events (narrow hash-agg winner
-        # keys broadcast-joined back — wide rows never shuffle), THEN
-        # encrypt only the winners
-        winners = ops.latest_wins_join(
-            routed.filter(F.col("route") == ops.ROUTE_SUCCESS).drop("pre_error", "route"),
-            broadcast_keys=int(counts["n_success"] or 0) <= ops.broadcast_key_limit(self.spark),
-        )
-        enc = ops.encrypt_batch(winners, self.settings, self.cfg.fmt)
+        t_lineage = time.monotonic()
 
         if mor:
-            mstats, sink_counts = self._sink_mor(enc, batch_id, extra_cols)
+            # job 1 (NARROW): winner keys = max(lsn) per key over valid
+            # events. Column-pruned scan — the route gate never references
+            # `tokens` — so the dominant-width column is not decoded here.
+            wk = (
+                routed.filter(F.col("route") == ops.ROUTE_SUCCESS)
+                .select("doc_id", "lsn")
+                .groupBy("doc_id")
+                .agg(F.max("lsn").alias("lsn"))
+                .persist()
+            )
+            n_keys = wk.count()
+            t_dlq = time.monotonic()  # narrow-pass timing (phase name kept stable)
+            try:
+                # job 2 (the only WIDE pass): every event is scanned once;
+                # bad rows and latest-wins winners survive the broadcast
+                # key join, then encrypt + fused route-partitioned write.
+                observed = routed.observe(obs, *route_metrics)
+                wk_m = wk.withColumn("_w", F.lit(True))
+                wk_m = (
+                    F.broadcast(wk_m)
+                    if n_keys <= ops.broadcast_key_limit(self.spark)
+                    else wk_m.hint("shuffle_hash")
+                )
+                marked = observed.join(wk_m, ["doc_id", "lsn"], "left")
+                keep = marked.filter(
+                    (F.col("route") != ops.ROUTE_SUCCESS) | F.col("_w").isNotNull()
+                ).drop("_w", "pre_error", "route")
+                enc = ops.encrypt_batch(keep, self.settings, self.cfg.fmt)
+                mstats, sink_counts = self._sink_mor(enc, batch_id, extra_cols)
+            finally:
+                wk.unpersist()
+            counts = obs.get
+            n_events = int(counts["n_events"] or 0)
+            if n_events == 0:
+                return {"batch_id": batch_id, "n_events": 0, "noop": True}
+            # rows in failure partitions = pre-gate bad + in-UDF failures
+            pre_bad = int(counts["n_failure"] or 0) + int(counts["n_oversize"] or 0)
+            sink_counts["n_udf_failure"] = max(0, sink_counts["n_fail_rows"] - pre_bad)
+            sink_counts.pop("n_fail_rows", None)
         else:
+            # COW path: pre-gate DLQ write job, then dedup → encrypt → MERGE
+            observed = routed.observe(obs, *route_metrics)
+            bad = (
+                observed.filter(F.col("route") != ops.ROUTE_SUCCESS)
+                .withColumnRenamed("pre_error", "error")
+                .withColumn("ciphertext", F.lit(None).cast("binary"))
+                .withColumn("mime_type", F.lit(None).cast("string"))
+                .withColumn("_tombstone", F.lit(None).cast("boolean"))
+                .select(*self._dlq_cols(extra_cols))
+            )
+            bad.write.mode("overwrite").parquet(os.path.join(dlq_batch_dir, "stage=pre"))
+            counts = obs.get
+            n_events = int(counts["n_events"] or 0)
+            t_dlq = time.monotonic()
+            if n_events == 0:
+                return {"batch_id": batch_id, "n_events": 0, "noop": True}
+            winners = ops.latest_wins_join(
+                routed.filter(F.col("route") == ops.ROUTE_SUCCESS).drop("pre_error", "route"),
+                broadcast_keys=int(counts["n_success"] or 0) <= ops.broadcast_key_limit(self.spark),
+            )
+            enc = ops.encrypt_batch(winners, self.settings, self.cfg.fmt)
             mstats, sink_counts = self._sink_cow(enc, batch_id, extra_cols)
+        t_sink = time.monotonic()
 
         compacted = False
         if (
@@ -337,6 +374,15 @@ class CdcPipeline:
             "snapshot_version": mstats["version"],
             "merge_noop": bool(mstats.get("noop")),
             "compacted": compacted,
+            # per-phase wall attribution (scaling forensics): which phase
+            # fails to shrink with executor count is the next bottleneck
+            "phase_s": {
+                "lineage": round(t_lineage - t0, 3),
+                # mor: the narrow winner-keys job; cow: the pre-gate DLQ job
+                "narrow_or_dlq": round(t_dlq - t_lineage, 3),
+                "sink": round(t_sink - t_dlq, 3),
+                "compact": round(time.monotonic() - t_sink, 3),
+            },
             "duration_s": round(dt, 4),
             "events_per_sec": round(n_events / dt, 2) if dt > 0 else None,
             "partitions": lineage_parts,
@@ -348,11 +394,12 @@ class CdcPipeline:
         return audit
 
     def _sink_mor(self, enc: DataFrame, batch_id: int, extra_cols: list[str]):
-        """ONE fused job: encrypted winners → parquet partitioned by route.
-        success → adopted as MOR delta files (pure-metadata commit, no
-        second job); any other route → moved into DLQ ``stage=udf``.
-        Plaintext token arrays are nulled on success rows — lake files never
-        store plaintext."""
+        """The fused sink write: encrypted winners + failed events → ONE
+        parquet write partitioned by route. success → adopted as MOR delta
+        files (pure-metadata commit, no second job); failure routes
+        (pre-gate and in-UDF alike, with original content) → moved into the
+        batch's DLQ dir. Plaintext token arrays are nulled on success rows —
+        lake files never store plaintext."""
         import shutil
 
         from pyspark.sql import Observation
@@ -371,31 +418,34 @@ class CdcPipeline:
         obs = Observation(f"sink-{batch_id}-{uuid.uuid4().hex[:6]}")
         out = out.observe(
             obs,
-            F.count(F.lit(1)).alias("n_winners"),
-            F.sum(F.when(F.col("route") != ops.ROUTE_SUCCESS, 1).otherwise(0)).alias("n_udf_failure"),
+            F.count(F.lit(1)).alias("n_out"),
+            F.sum(F.when(F.col("route") != ops.ROUTE_SUCCESS, 1).otherwise(0)).alias("n_fail_rows"),
             F.sum(F.when(F.col("_tombstone"), 1).otherwise(0)).alias("n_del"),
         )
         staging = os.path.join(self.cfg.root, f"_ingest-{batch_id:010d}")
         shutil.rmtree(staging, ignore_errors=True)
+        t_w0 = time.monotonic()
         out.write.partitionBy("route").mode("overwrite").parquet(staging)
+        t_w1 = time.monotonic()
         c = obs.get
+        n_fail_rows = int(c["n_fail_rows"] or 0)
         sink_counts = {
-            "n_winners": int(c["n_winners"] or 0),
-            "n_udf_failure": int(c["n_udf_failure"] or 0),
+            "n_winners": int(c["n_out"] or 0) - n_fail_rows,
+            "n_fail_rows": n_fail_rows,
             "n_delete_winners": int(c["n_del"] or 0),
+            "sink_write_s": round(t_w1 - t_w0, 3),
         }
 
-        # post-gate (in-UDF) failures → DLQ stage=udf, original content kept
-        udf_dir = os.path.join(self.cfg.dlq_path, f"batch_id={batch_id}", "stage=udf")
-        shutil.rmtree(udf_dir, ignore_errors=True)
+        # failure routes → DLQ, original content kept
+        dlq_dir = os.path.join(self.cfg.dlq_path, f"batch_id={batch_id}")
         for name in sorted(os.listdir(staging)):
             if name.startswith("route=") and name != f"route={ops.ROUTE_SUCCESS}":
-                os.makedirs(udf_dir, exist_ok=True)
+                os.makedirs(dlq_dir, exist_ok=True)
                 for fname in sorted(os.listdir(os.path.join(staging, name))):
                     if fname.endswith(".parquet"):
                         os.replace(
                             os.path.join(staging, name, fname),
-                            os.path.join(udf_dir, f"{name[len('route='):]}-{fname}"),
+                            os.path.join(dlq_dir, f"{name[len('route='):]}-{fname}"),
                         )
 
         succ_dir = os.path.join(staging, f"route={ops.ROUTE_SUCCESS}")
@@ -406,14 +456,12 @@ class CdcPipeline:
                 batch_id=batch_id,
                 app_id=self.cfg.app_id,
                 batch_schema=batch_schema,
-                extra_summary={
-                    "n_deletes": sink_counts["n_delete_winners"],
-                    "n_udf_failure": sink_counts["n_udf_failure"],
-                },
+                extra_summary={"n_deletes": sink_counts["n_delete_winners"]},
             )
         else:
             mstats = {"version": self.table.current_version(), "noop": True, "reason": "no winners"}
         shutil.rmtree(staging, ignore_errors=True)
+        sink_counts["sink_commit_s"] = round(time.monotonic() - t_w1, 3)
         return mstats, sink_counts
 
     def _sink_cow(self, enc: DataFrame, batch_id: int, extra_cols: list[str]):
