@@ -331,7 +331,7 @@ def q_emb_near_dup_lsh(spark, sf_dir):
     100 TB scale path (the exact GEMM variant `emb_near_dup` is the oracle
     anchor). Recall vs exact is pinned in tests/test_simops.py."""
     return simops.emb_near_dup_lsh(
-        _t(spark, sf_dir, "embeddings"), min_cos=0.60, dim=64, n_planes=8, n_tables=12
+        _t(spark, sf_dir, "embeddings"), min_cos=0.45, dim=64, n_planes=8, n_tables=16
     )
 
 

@@ -168,3 +168,49 @@ def test_latest_wins_salted_equals_plain(spark):
     b = {r["doc_id"]: r["lsn"] for r in ops.latest_wins_salted(df, salt_buckets=8).collect()}
     assert a == b
     assert a["hot"] == max(l for l, *_rest in [(r[0],) for r in rows if r[2] == "hot"])
+
+
+def test_decrypt_batch_assertion_verification_row_level(spark):
+    """verify_assertions=True end-to-end: a tampered signed assertion fails
+    ONLY its own record (per-record isolation), valid rows still decrypt."""
+    import json as _json
+
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+
+    from ztdf_spark import tdf
+    from ztdf_spark.settings import Settings
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    priv = key.private_bytes(
+        serialization.Encoding.PEM, serialization.PrivateFormat.PKCS8, serialization.NoEncryption()
+    )
+    s = Settings(
+        sign_assertions=True, signing_key_pem=priv,
+        verify_assertions=True, verification_key_pem=priv,
+    )
+    adoc = _json.dumps([
+        {"id": "1", "type": "handling", "scope": "payload",
+         "appliesToState": "unencrypted",
+         "statement": {"value": "classified", "format": "txt"}}
+    ])
+    df = spark.createDataFrame(
+        [("d1", 1, [1, 2], adoc), ("d2", 2, [3, 4], adoc)],
+        "doc_id string, lsn long, tokens array<int>, assertions string",
+    ).withColumn("tdf_attribute", F.lit("https://a/attr/x/value/y"))
+    enc = ops.encrypt_batch(df, s, fmt="ztdf")
+    rows = {r["doc_id"]: bytes(r["ciphertext"]) for r in enc.collect()}
+    # tamper d2's manifest assertion text
+    blob = rows["d2"]
+    import struct as _s
+
+    mlen = _s.unpack("<I", blob[5:9])[0]
+    m = blob[9 : 9 + mlen].replace(b"classified", b"clean-data")
+    rows["d2"] = blob[:9] + m + blob[9 + mlen :]
+    tampered = spark.createDataFrame(
+        [(k, v) for k, v in rows.items()], "doc_id string, ciphertext binary"
+    )
+    out = {r["doc_id"]: r for r in ops.decrypt_batch(tampered, s, fmt="ztdf").collect()}
+    assert list(out["d1"]["tokens_out"]) == [1, 2] and out["d1"]["decrypt_error"] is None
+    assert out["d2"]["tokens_out"] is None
+    assert "binding verification failed" in out["d2"]["decrypt_error"]

@@ -208,3 +208,72 @@ def test_settings_validation():
         Settings(sign_assertions=True)
     s = Settings()
     assert s.fingerprint() == Settings().fingerprint()
+
+
+def _rsa_pem():
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    priv = key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption(),
+    )
+    pub = key.public_key().public_bytes(
+        serialization.Encoding.PEM, serialization.PublicFormat.SubjectPublicKeyInfo
+    )
+    return priv, pub
+
+
+def test_decrypt_verifies_assertion_bindings():
+    """Decrypt-side assertion verification (the toggle the reference exposes
+    and always disables, ConvertFromZTDF.java:76 — working here): a signed
+    round trip verifies; a tampered assertion statement fails the record."""
+    priv, pub = _rsa_pem()
+    a = tdf.parse_assertion(dict(ASSERTION_DOC))
+    blob = _enc([9, 8, 7], assertions=[a], signing_key_pem=priv)
+    # verify with the public key and with the private key (public derived)
+    for key_pem in (pub, priv):
+        out = tdf.decrypt_ztdf(
+            blob, master_secret=MASTER, verify_assertions=True, verification_key_pem=key_pem
+        )
+        assert tdf.deserialize_tokens(out) == [9, 8, 7]
+    # tamper: flip the assertion statement inside the manifest
+    m = tdf.read_manifest(blob)
+    tampered_m = json.dumps(m, separators=(",", ":")).replace("a test assertion", "b test assertion").encode()
+    import struct as _s
+
+    mlen = _s.unpack("<I", blob[5:9])[0]
+    tampered = tdf.ZTDF_MAGIC + _s.pack("<I", len(tampered_m)) + tampered_m + blob[9 + mlen:]
+    with pytest.raises(tdf.TdfError, match="binding verification failed"):
+        tdf.decrypt_ztdf(
+            tampered, master_secret=MASTER, verify_assertions=True, verification_key_pem=pub
+        )
+    # tampering is invisible when verification is off (reference default)
+    assert tdf.deserialize_tokens(tdf.decrypt_ztdf(tampered, master_secret=MASTER)) == [9, 8, 7]
+    # unsigned assertion + verify on -> failure
+    unsigned = _enc([1], assertions=[a])
+    with pytest.raises(tdf.TdfError, match="no verifiable binding"):
+        tdf.decrypt_ztdf(
+            unsigned, master_secret=MASTER, verify_assertions=True, verification_key_pem=pub
+        )
+    with pytest.raises(tdf.TdfError, match="requires a verification key"):
+        tdf.decrypt_ztdf(blob, master_secret=MASTER, verify_assertions=True)
+
+
+def test_settings_verify_and_truststore_surface():
+    from ztdf_spark.settings import ConfigurationError, Settings
+
+    priv, pub = _rsa_pem()
+    with pytest.raises(ConfigurationError, match="verification_key_pem"):
+        Settings(verify_assertions=True)
+    s = Settings(verify_assertions=True, verification_key_pem=pub)
+    assert s.fingerprint() != Settings().fingerprint()
+    # TLS surface: non-plaintext requires a PEM truststore
+    with pytest.raises(ConfigurationError, match="truststore_pem"):
+        Settings(use_plaintext=False)
+    with pytest.raises(ConfigurationError, match="not PEM"):
+        Settings(use_plaintext=False, truststore_pem=b"junk")
+    s2 = Settings(use_plaintext=False, truststore_pem=pub)
+    assert s2.fingerprint() != Settings().fingerprint()

@@ -305,10 +305,20 @@ def encrypt_batch(df: DataFrame, settings: Settings, fmt: str = "ztdf") -> DataF
 
 def _decrypt_pandas(settings: Settings, fmt: str):
     master = settings.master_secret
+    verify = settings.verify_assertions
+    verify_pem = settings.verification_key_pem or settings.signing_key_pem
 
     @F.pandas_udf(_DECRYPT_RESULT)
     def decrypt_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-        decrypt = tdf.decrypt_ztdf if fmt == "ztdf" else tdf.decrypt_nano
+        if fmt == "ztdf":
+            def decrypt(blob):
+                return tdf.decrypt_ztdf(
+                    blob, master_secret=master,
+                    verify_assertions=verify, verification_key_pem=verify_pem,
+                )
+        else:
+            def decrypt(blob):
+                return tdf.decrypt_nano(blob, master_secret=master)
         for blobs in it:
             toks: list = [None] * len(blobs)
             errs: list = [None] * len(blobs)
@@ -316,7 +326,7 @@ def _decrypt_pandas(settings: Settings, fmt: str):
                 if blob is None:
                     continue
                 try:
-                    toks[i] = np.frombuffer(decrypt(bytes(blob), master_secret=master), dtype="<i4")
+                    toks[i] = np.frombuffer(decrypt(bytes(blob)), dtype="<i4")
                 except Exception as e:
                     errs[i] = str(e) or type(e).__name__
             yield pd.DataFrame({"tokens": toks, "error": errs})

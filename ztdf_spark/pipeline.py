@@ -74,6 +74,24 @@ class PipelineConfig:
     # caller-scheduled). Compaction is maintenance, not ingest: it runs
     # AFTER the batch commit, off the exactly-once path.
     compact_every: int | None = None
+    # pre-encrypt latest-wins dedup policy (MOR only — COW always dedups):
+    #   'always' — dedup every batch (hot-key streams: crypto only on winners)
+    #   'never'  — shuffle-free map-only ingest; read-time latest-wins is
+    #              authoritative, superseded rows just cost their encryption
+    #   'auto'   — batch 0 dedups, then dedup only while the batch's
+    #              measured update amplification (events per distinct key,
+    #              from approx_count_distinct in the same job's observe)
+    #              stays ≥ dedup_min_amplification. The dedup machinery
+    #              (narrow winner-keys job + broadcast hash build) is a
+    #              near-fixed per-batch cost — the measured N→4N scaling
+    #              drag — so it must only run when amplification pays for it.
+    # Threshold calibration (measured, BENCH/BASELINE.md): the machinery is
+    # a ~3-4 s near-fixed cost per batch (narrow job + broadcast build),
+    # while skipping dedup costs (1 - 1/amp) × ~21.5 µs/event of extra
+    # crypto spread across all cores — at amp ≤ ~3 the machinery loses on
+    # any cluster size, and MOR correctness never depends on it.
+    dedup_mode: str = "auto"
+    dedup_min_amplification: float = 3.0
     binlog_schema: str = field(default=BINLOG_DDL)
 
     @property
@@ -181,6 +199,9 @@ class CdcPipeline:
         self.settings = settings
         self.cfg = cfg
         self.table = self._ensure_table()
+        # last observed update amplification (events / distinct keys) for
+        # dedup_mode='auto'; None → batch 0 dedups conservatively
+        self._last_amp: float | None = None
 
     def _ensure_table(self) -> LakeTable:
         if LakeTable.exists(self.cfg.lake_path):
@@ -275,6 +296,7 @@ class CdcPipeline:
             F.sum(F.when(F.col("route") == ops.ROUTE_FAILURE, 1).otherwise(0)).alias("n_failure"),
             F.sum(F.when(F.col("route") == ops.ROUTE_OVERSIZE, 1).otherwise(0)).alias("n_oversize"),
             F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_delete"),
+            F.approx_count_distinct("doc_id").alias("n_keys_approx"),
         ]
         dlq_batch_dir = os.path.join(self.cfg.dlq_path, f"batch_id={batch_id}")
         shutil.rmtree(dlq_batch_dir, ignore_errors=True)
@@ -282,41 +304,58 @@ class CdcPipeline:
         t_lineage = time.monotonic()
 
         if mor:
-            # job 1 (NARROW): winner keys = max(lsn) per key over valid
-            # events. Column-pruned scan — the route gate never references
-            # `tokens` — so the dominant-width column is not decoded here.
-            wk = (
-                routed.filter(F.col("route") == ops.ROUTE_SUCCESS)
-                .select("doc_id", "lsn")
-                .groupBy("doc_id")
-                .agg(F.max("lsn").alias("lsn"))
-                .persist()
+            do_dedup = self.cfg.dedup_mode == "always" or (
+                self.cfg.dedup_mode == "auto"
+                and (self._last_amp is None or self._last_amp >= self.cfg.dedup_min_amplification)
             )
-            n_keys = wk.count()
-            t_dlq = time.monotonic()  # narrow-pass timing (phase name kept stable)
-            try:
-                # job 2 (the only WIDE pass): every event is scanned once;
-                # bad rows and latest-wins winners survive the broadcast
-                # key join, then encrypt + fused route-partitioned write.
-                observed = routed.observe(obs, *route_metrics)
-                wk_m = wk.withColumn("_w", F.lit(True))
-                wk_m = (
-                    F.broadcast(wk_m)
-                    if n_keys <= ops.broadcast_key_limit(self.spark)
-                    else wk_m.hint("shuffle_hash")
+            wk = None
+            if do_dedup:
+                # job 1 (NARROW): winner keys = max(lsn) per key over valid
+                # events. Column-pruned scan — the route gate never
+                # references `tokens` — so the dominant-width column is not
+                # decoded here.
+                wk = (
+                    routed.filter(F.col("route") == ops.ROUTE_SUCCESS)
+                    .select("doc_id", "lsn")
+                    .groupBy("doc_id")
+                    .agg(F.max("lsn").alias("lsn"))
+                    .persist()
                 )
-                marked = observed.join(wk_m, ["doc_id", "lsn"], "left")
-                keep = marked.filter(
-                    (F.col("route") != ops.ROUTE_SUCCESS) | F.col("_w").isNotNull()
-                ).drop("_w", "pre_error", "route")
+                n_keys = wk.count()
+            t_dlq = time.monotonic()  # narrow-pass timing (cow: dlq job)
+            try:
+                # the only WIDE pass: every event is scanned once; bad rows
+                # (and, when deduping, only the latest-wins winners) flow
+                # into encrypt + the fused route-partitioned write. Without
+                # dedup the batch is fully map-only: zero shuffle, zero
+                # broadcast — read-time latest-wins resolves supersessions.
+                observed = routed.observe(obs, *route_metrics)
+                if do_dedup:
+                    wk_m = wk.withColumn("_w", F.lit(True))
+                    wk_m = (
+                        F.broadcast(wk_m)
+                        if n_keys <= ops.broadcast_key_limit(self.spark)
+                        else wk_m.hint("shuffle_hash")
+                    )
+                    marked = observed.join(wk_m, ["doc_id", "lsn"], "left")
+                    keep = marked.filter(
+                        (F.col("route") != ops.ROUTE_SUCCESS) | F.col("_w").isNotNull()
+                    ).drop("_w", "pre_error", "route")
+                else:
+                    keep = observed.drop("pre_error", "route")
                 enc = ops.encrypt_batch(keep, self.settings, self.cfg.fmt)
                 mstats, sink_counts = self._sink_mor(enc, batch_id, extra_cols)
             finally:
-                wk.unpersist()
+                if wk is not None:
+                    wk.unpersist()
             counts = obs.get
             n_events = int(counts["n_events"] or 0)
             if n_events == 0:
                 return {"batch_id": batch_id, "n_events": 0, "noop": True}
+            n_keys_approx = int(counts["n_keys_approx"] or 0)
+            self._last_amp = n_events / max(1, n_keys_approx)
+            sink_counts["dedup"] = do_dedup
+            sink_counts["amplification_est"] = round(self._last_amp, 3)
             # rows in failure partitions = pre-gate bad + in-UDF failures
             pre_bad = int(counts["n_failure"] or 0) + int(counts["n_oversize"] or 0)
             sink_counts["n_udf_failure"] = max(0, sink_counts["n_fail_rows"] - pre_bad)
@@ -561,7 +600,7 @@ class CdcPipeline:
         files = sorted(
             f for f in os.listdir(binlog_dir) if f.endswith(".parquet")
         )
-        per = max(1, len(files) // n_batches)
+        per = max(1, -(-len(files) // n_batches))  # ceil: no runt trailing batch
         audits = []
         for bid, i in enumerate(range(0, len(files), per)):
             group = [os.path.join(binlog_dir, f) for f in files[i : i + per]]

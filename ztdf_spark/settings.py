@@ -53,6 +53,21 @@ class Settings:
     sign_assertions: bool = False
     signing_key_pem: bytes | None = field(default=None, repr=False)
     master_secret: bytes = field(default=_DEFAULT_TEST_SECRET, repr=False)
+    # decrypt-side RS256 assertion-binding verification. The reference
+    # exposes the toggle and hard-disables it
+    # (ConvertFromZTDF.java:76 withDisableAssertionVerification(true));
+    # here it is a working flag: True verifies every signed assertion's
+    # binding during decrypt (tamper → per-record failure). Verification
+    # uses ``verification_key_pem`` (public) or the public half of
+    # ``signing_key_pem``.
+    verify_assertions: bool = False
+    verification_key_pem: bytes | None = field(default=None, repr=False)
+    # TLS trust material for non-plaintext platform connections — the
+    # analog of the reference's SSL Context Service truststore threading
+    # (AbstractTDFProcessor.java:58-63,148-153; ConvertFromZTDFTest.java:58-85).
+    # Offline engine: validated at construction, fingerprinted, and required
+    # whenever use_plaintext=False.
+    truststore_pem: bytes | None = field(default=None, repr=False)
 
     def __post_init__(self) -> None:
         missing = [
@@ -73,6 +88,18 @@ class Settings:
                 "sign_assertions=True requires signing_key_pem "
                 "(reference: Private Key Controller Service, ConvertToZTDF.java:91-98)"
             )
+        if self.verify_assertions and not (self.verification_key_pem or self.signing_key_pem):
+            raise ConfigurationError(
+                "verify_assertions=True requires verification_key_pem (or signing_key_pem "
+                "to derive the public half); reference toggle: ConvertFromZTDF.java:76"
+            )
+        if not self.use_plaintext and not self.truststore_pem:
+            raise ConfigurationError(
+                "use_plaintext=False requires truststore_pem (reference SSL Context "
+                "Service threading, AbstractTDFProcessor.java:58-63)"
+            )
+        if self.truststore_pem is not None and b"-----BEGIN" not in self.truststore_pem:
+            raise ConfigurationError("truststore_pem is not PEM data")
 
     @classmethod
     def from_env(cls, **overrides) -> "Settings":
@@ -95,4 +122,6 @@ class Settings:
         h.update(self.client_id.encode())
         h.update(self.master_secret)
         h.update(str(self.default_kas_url).encode())
+        h.update(b"verify" if self.verify_assertions else b"noverify")
+        h.update(self.truststore_pem or b"")
         return h.hexdigest()[:16]

@@ -213,6 +213,33 @@ def derive_iv(ctx: bytes, label: bytes = b"payload") -> bytes:
     return _h(b"ztdf-iv", label, ctx)[:12]
 
 
+def verify_assertion_rs256(assertion_doc: dict, verify_key_pem: bytes) -> None:
+    """Verify one manifest assertion's RS256 binding (decrypt-side analog of
+    the reference's assertion-verification toggle, ConvertFromZTDF.java:76 —
+    which the reference always disables; here it actually works).
+
+    ``verify_key_pem`` may be the public key or the private key (public half
+    extracted). Raises TdfError on a missing binding or a bad signature —
+    surfaced as a per-record failure by the decrypt UDF, never a task kill.
+    """
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import padding
+
+    binding = assertion_doc.get("binding")
+    if not binding or binding.get("method") != "jws" or "signature" not in binding:
+        raise TdfError("assertion has no verifiable binding")
+    doc = {k: v for k, v in assertion_doc.items() if k != "binding"}
+    msg = json.dumps(doc, sort_keys=True, separators=(",", ":")).encode()
+    try:
+        key = serialization.load_pem_public_key(verify_key_pem)
+    except ValueError:
+        key = serialization.load_pem_private_key(verify_key_pem, password=None).public_key()
+    try:
+        key.verify(base64.b64decode(binding["signature"]), msg, padding.PKCS1v15(), hashes.SHA256())
+    except Exception as e:
+        raise TdfError(f"assertion binding verification failed: {assertion_doc.get('id', '?')}") from e
+
+
 def _sign_assertion_rs256(assertion: Assertion, signing_key_pem: bytes) -> str:
     """RS256 signature over the canonical assertion JSON
     (reference signing path: ConvertToZTDF.java:248-261)."""
@@ -459,20 +486,34 @@ def read_manifest(blob: bytes) -> dict:
     return json.loads(blob[9 : 9 + mlen])
 
 
-def decrypt_ztdf(blob: bytes, *, master_secret: bytes) -> bytes:
+def decrypt_ztdf(
+    blob: bytes,
+    *,
+    master_secret: bytes,
+    verify_assertions: bool = False,
+    verification_key_pem: bytes | None = None,
+) -> bytes:
     """Unwrap the DEK via the (emulated) KAS named in the manifest, verify
     the policy binding, AES-GCM-open the payload.
 
-    Assertion verification is intentionally skipped, matching the reference's
+    ``verify_assertions=False`` (default) matches the reference's
     ``withDisableAssertionVerification(true)`` (ConvertFromZTDF.java:76).
-    Requires the full envelope in memory, like the reference's seekable
-    in-memory channel (ConvertFromZTDF.java:73).
+    With ``verify_assertions=True`` every manifest assertion's RS256 binding
+    is checked against ``verification_key_pem`` BEFORE the payload opens —
+    a tampered or unsigned assertion fails the record. Requires the full
+    envelope in memory, like the reference's seekable in-memory channel
+    (ConvertFromZTDF.java:73).
     """
     if blob[:5] != ZTDF_MAGIC:
         raise TdfError("not a ZTDF envelope (bad magic)")
     (mlen,) = struct.unpack("<I", blob[5:9])
     manifest = json.loads(blob[9 : 9 + mlen])
     ciphertext = blob[9 + mlen :]
+    if verify_assertions:
+        if verification_key_pem is None:
+            raise TdfError("verify_assertions=True requires a verification key")
+        for adoc in manifest.get("assertions", []):
+            verify_assertion_rs256(adoc, verification_key_pem)
     enc = manifest["encryptionInformation"]
     policy_bytes = base64.b64decode(enc["policy"])
     last_err: Exception | None = None
