@@ -351,6 +351,12 @@ def q_mm_features(spark, sf_dir):
     )
 
 
+def q_mm_frames(spark, sf_dir):
+    """Video frame-sampling plumbing (mapInPandas row explosion): one row
+    per sampled frame with a deterministic positional content hash."""
+    return mmops.sample_frames(mmops.synthetic_media(spark, n=30), every_ms=1000)
+
+
 def q_cdc_encrypt_roundtrip(spark, sf_dir):
     """The flagship non-SQL op: vectorized ZTDF encrypt → route → decrypt →
     token-array equality per row (the BASELINE.json per-row invariant)."""
@@ -437,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,  # rows-only
         "mm_features": q_mm_features,  # rows-only
+        "mm_frames": q_mm_frames,  # rows-only
     }
 
 

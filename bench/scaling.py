@@ -30,7 +30,7 @@ def build_zip() -> str:
 
 
 def run_level(cores: int, binlog: str, zpath: str, verify: bool, batches: int = 4,
-              exec_mode: str = "local", exec_cores: int = 8, exec_mem_mb: int = 16384) -> dict:
+              exec_mode: str = "local", exec_cores: int = 8, exec_mem_mb: int = 20480) -> dict:
     # lake + shuffle on tmpfs when available: the sandbox's single shared
     # local disk (~550 MB/s) does not scale with cores, while a real
     # cluster's aggregate disk bandwidth scales with executor count — tmpfs
@@ -54,9 +54,19 @@ def run_level(cores: int, binlog: str, zpath: str, verify: bool, batches: int = 
         # round-2 scaling killer). Above the limit the join degrades to
         # shuffled-hash, for which advisoryPartitionSizeInBytes=16m keeps
         # post-shuffle parallelism ≥ cores.
+        # CRITICAL: local-cluster[n,cores,mem] sets the WORKER's memory, not
+        # the executor JVM's — without spark.executor.memory the executors
+        # launch at the 1g default (observed -Xmx1024M in ExecutorRunner:
+        # GC thrash + broadcast-relation OOM at large batches)
         mem_args = ["--driver-memory", "8g",
+                    "--conf", f"spark.executor.memory={exec_mem_mb - 2048}m",
                     "--conf", "spark.ztdf.broadcastKeyLimit=8000000",
-                    "--conf", "spark.sql.adaptive.advisoryPartitionSizeInBytes=16m"]
+                    "--conf", "spark.sql.adaptive.advisoryPartitionSizeInBytes=16m",
+                    # route-partitioned sink: ≤3 dynamic partitions → concurrent
+                    # writers (no sort-based fallback, whose 128 MB page grabs
+                    # OOM'd large batches next to the broadcast relation)
+                    "--conf", "spark.sql.maxConcurrentOutputFileWriters=8",
+                    "--conf", "spark.buffer.pageSize=32m"]
         total_cores = cores * exec_cores
     else:
         master = f"local[{cores}]"
@@ -81,10 +91,17 @@ def run_level(cores: int, binlog: str, zpath: str, verify: bool, batches: int = 
         "--batches", str(batches),
     ] + (["--verify"] if verify else [])
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
+    errpath = f"/tmp/ztdf-scaling-{master.replace('[', '_').replace(']', '').replace(',', '-')}.err"
+    with open(errpath, "w") as f:
+        f.write(out.stderr)
     for line in out.stdout.splitlines():
         if line.startswith("{"):
             return json.loads(line)
-    raise RuntimeError(f"no JSON from spark-submit (rc={out.returncode}):\n{out.stderr[-4000:]}")
+    key_lines = "\n".join(
+        ln for ln in out.stderr.splitlines()
+        if any(k in ln for k in ("ERROR", "Caused by", "OutOfMemory", "UNABLE", "Lost task"))
+    )[-3000:]
+    raise RuntimeError(f"no JSON from spark-submit (rc={out.returncode}); full stderr: {errpath}\n{key_lines}")
 
 
 def main_impl(args):

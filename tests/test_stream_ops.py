@@ -1,0 +1,124 @@
+"""Streaming operators: watermarked windowed aggregation (batch ≡ stream)
+and the applyInPandasWithState stateful sessionizer (semantics pinned
+against an independent pandas replay)."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ztdf_spark import stream_ops
+
+EVENTS_DDL = "event_id long, user_id long, event_type string, ts timestamp, value double"
+
+
+def _mk_events(spark, tmp_path):
+    """3 time-ordered files so availableNow advances the watermark between
+    micro-batches (that's what closes sessions via event-time timeout)."""
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows = []
+    eid = 0
+
+    def ev(user, minutes, etype="view"):
+        nonlocal eid
+        rows.append((eid, user, etype, (base + pd.Timedelta(minutes=minutes)).to_pydatetime(), 1.0))
+        eid += 1
+
+    # user 1: two sessions (gap > 30 min), user 2: one long session,
+    # user 3: a single event early (closes by watermark timeout)
+    for m in (0, 5, 10):
+        ev(1, m)
+    ev(3, 2)
+    for m in (60, 70):
+        ev(1, m)  # second session for user 1
+    for m in (0, 20, 40, 55):
+        ev(2, m)
+    # late tail, far in the future: pushes the watermark forward so all
+    # earlier sessions time out
+    for m in (600, 610):
+        ev(4, m)
+    rows.sort(key=lambda r: r[3])
+    d = str(tmp_path / "events_stream")
+    os.makedirs(d, exist_ok=True)
+    n = len(rows)
+    for i, lo in enumerate(range(0, n, (n + 2) // 3)):
+        chunk = rows[lo : lo + (n + 2) // 3]
+        spark.createDataFrame(chunk, EVENTS_DDL).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, f"f{i}")
+        )
+    return d
+
+
+def _read_stream(spark, d):
+    return (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "f*"))
+    )
+
+
+def test_windowed_counts_batch_equals_stream(spark, tmp_path):
+    d = _mk_events(spark, tmp_path)
+    batch_df = spark.read.schema(EVENTS_DDL).parquet(os.path.join(d, "f*"))
+    expected = sorted(map(tuple, stream_ops.windowed_event_counts(batch_df).collect()))
+
+    q = (
+        stream_ops.windowed_event_counts(_read_stream(spark, d))
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.sql("select * from win_counts").collect()))
+    assert got == expected
+    assert len(got) >= 3
+
+
+def _pandas_sessions(spark, d, gap_ms=stream_ops.SESSION_GAP_MS):
+    """Independent replay: all sessions per user by the same gap rule."""
+    pdf = spark.read.schema(EVENTS_DDL).parquet(os.path.join(d, "f*")).toPandas()
+    out = []
+    for uid, g in pdf.groupby("user_id"):
+        ts = sorted(int(t.value // 1_000_000) for t in g["ts"])
+        start, last, n = ts[0], ts[0], 1
+        for t in ts[1:]:
+            if t - last > gap_ms:
+                out.append((uid, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        out.append((uid, start, last, n))
+    return sorted(out)
+
+
+def test_stateful_sessionizer_closes_sessions(spark, tmp_path):
+    d = _mk_events(spark, tmp_path)
+    q = (
+        stream_ops.sessionize_stateful(_read_stream(spark, d), watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["user_id"], r["session_start_ms"], r["session_end_ms"], r["n_events"])
+        for r in spark.sql("select * from sessions").collect()
+    )
+    all_sessions = _pandas_sessions(spark, d)
+    # no fabricated sessions, no duplicates
+    assert len(got) == len(set(got))
+    assert set(got) <= set(all_sessions)
+    # every session that ended well before the final watermark (the user-4
+    # tail at +600 min pushes it to +599 min) must have been closed
+    final_wm_ms = max(e for _, _, e, _ in all_sessions) - 60 * 60_000  # tail - wm horizon... conservative
+    must_close = {s for s in all_sessions if s[2] + stream_ops.SESSION_GAP_MS < final_wm_ms}
+    assert must_close <= set(got)
+    # the two explicit gap-split sessions of user 1 and user 3's singleton
+    u1 = [s for s in got if s[0] == 1]
+    assert len(u1) >= 1  # first session of user 1 closed by its own gap
+    assert any(s[0] == 3 and s[3] == 1 for s in got)

@@ -162,11 +162,33 @@ def _pandas_mm_features(sf_dir, n=30, seed=42):
     return pd.DataFrame(recs, columns=["media_id", "media_type", "n_bytes", "feat_dim", "feat_checksum"])
 
 
+def _pandas_mm_frames(sf_dir, n=30, seed=42, every_ms=1000):
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    recs = []
+    for i in range(n):
+        mtype = ["image", "audio", "video"][i % 3]
+        payload = rng.integers(0, 256, size=int(rng.integers(64, 256)), dtype=np.uint8).tobytes()
+        rng.integers(16, 512), rng.integers(16, 512)
+        dur = int(rng.integers(1000, 10000)) if mtype == "video" else 0
+        if mtype != "video":
+            continue
+        for fi in range(max(1, dur // every_ms)):
+            h = hashlib.blake2b(payload + fi.to_bytes(4, "little"), digest_size=8).hexdigest()
+            recs.append((i, fi, h))
+    return pd.DataFrame(recs, columns=["media_id", "frame_idx", "frame_hash"])
+
+
 PANDAS_ORACLES = {
     "dedup_simhash": _pandas_simhash,
     "dedup_minhash_lsh": _pandas_minhash_lsh,
     "ann_topk_cosine": _pandas_ann_cosine,
     "mm_features": _pandas_mm_features,
+    "mm_frames": _pandas_mm_frames,
 }
 
 

@@ -1,0 +1,124 @@
+"""Structured Streaming operators beyond the CDC ingest pipeline itself:
+watermarked event-time windowed aggregation and a custom stateful
+sessionizer via ``applyInPandasWithState``.
+
+The reference has no streaming analytics of its own (NiFi's framework owns
+scheduling; SURVEY.md §2.3) — these are the stream-processing operators a
+training-data platform runs NEXT to the CDC ingest, expressed the idiomatic
+Spark way:
+
+- ``windowed_event_counts`` is a pure declarative plan: identical code runs
+  in batch (DuckDB-oracle-checked via the driver contract) and in a stream
+  (``readStream`` + watermark governs state eviction for late data).
+- ``sessionize_stateful`` is the custom-stateful-operator pattern
+  (``groupBy(key).applyInPandasWithState``): per-user session state with an
+  event-time timeout keyed to the watermark — sessions close either by an
+  explicit gap between a user's own events or when the watermark passes
+  their last event + gap. Streaming-only by nature (state lives in the
+  state store); its semantics are pinned against the batch sessionizer in
+  tests/test_stream_ops.py.
+
+Scale notes: windowed aggregation is hash-partitioned on (window, group)
+with map-side partial aggregation; state store size is bounded by the
+watermark horizon. The stateful sessionizer shuffles once on user_id; state
+per key is O(1) (three longs), and event-time timeout guarantees eviction —
+no unbounded state at 10^10 events.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SESSION_GAP_MS = 1_800_000  # 30 min, matches the batch sessionizer
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time tumbling-window counts per event_type.
+
+    Batch and streaming share this exact plan; in streaming the watermark
+    bounds state and admits late events inside the horizon. Output columns
+    are epoch-second longs so the DuckDB oracle comparison is bit-stable.
+    """
+    e = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if e.isStreaming:
+        e = e.withWatermark(ts_col, watermark)
+    return (
+        e.groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.min("event_id").alias("min_event_id"))
+        .select(
+            F.unix_timestamp("w.start").alias("w_start"),
+            F.unix_timestamp("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "min_event_id",
+        )
+    )
+
+
+_SESSION_OUT = "user_id long, session_start_ms long, session_end_ms long, n_events long"
+_SESSION_STATE = "start_ms long, last_ms long, n long"
+
+
+def sessionize_stateful(events: DataFrame, *, gap_ms: int = SESSION_GAP_MS, watermark: str = "1 hour") -> DataFrame:
+    """Streaming sessionization as a CUSTOM STATEFUL OPERATOR
+    (``applyInPandasWithState`` with event-time timeout).
+
+    Emits one row per CLOSED session: a session closes when a later event
+    from the same user arrives more than ``gap_ms`` after the previous one,
+    or when the watermark passes (last event + gap) — the state-store
+    eviction path for users who simply stop sending.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "session_start_ms": [start_ms],
+                 "session_end_ms": [last_ms], "n_events": [n]}
+            )
+            return
+        ts = []
+        for pdf in pdfs:
+            ts.extend((pdf["ts"].astype("int64") // 1_000_000).tolist())  # ns → ms
+        ts.sort()
+        start_ms, last_ms, n = state.get if state.exists else (None, None, 0)
+        closed = {"user_id": [], "session_start_ms": [], "session_end_ms": [], "n_events": []}
+        for t in ts:
+            if start_ms is None:
+                start_ms, last_ms, n = t, t, 1
+            elif t - last_ms > gap_ms:
+                closed["user_id"].append(user_id)
+                closed["session_start_ms"].append(start_ms)
+                closed["session_end_ms"].append(last_ms)
+                closed["n_events"].append(n)
+                start_ms, last_ms, n = t, t, 1
+            else:
+                last_ms, n = t, n + 1
+        state.update((start_ms, last_ms, n))
+        # event-time timeout: close the open session once the watermark
+        # passes last + gap (bounded state, late data inside the horizon)
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        if closed["user_id"]:
+            yield pd.DataFrame(closed)
+
+    e = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark("ts", watermark)
+    return e.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_SESSION_OUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
