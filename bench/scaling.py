@@ -30,7 +30,8 @@ def build_zip() -> str:
 
 
 def run_level(cores: int, binlog: str, zpath: str, verify: bool, batches: int = 4,
-              exec_mode: str = "local", exec_cores: int = 8, exec_mem_mb: int = 20480) -> dict:
+              exec_mode: str = "local", exec_cores: int = 8, exec_mem_mb: int = 14336,
+              dedup_mode: str = "never") -> dict:
     # lake + shuffle on tmpfs when available: the sandbox's single shared
     # local disk (~550 MB/s) does not scale with cores, while a real
     # cluster's aggregate disk bandwidth scales with executor count — tmpfs
@@ -82,13 +83,14 @@ def run_level(cores: int, binlog: str, zpath: str, verify: bool, batches: int = 
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.sql.session.timeZone=UTC",
-        "--conf", "spark.sql.files.maxPartitionBytes=16m",
+        "--conf", "spark.sql.files.maxPartitionBytes=4m",
         "--conf", "spark.sql.files.openCostInBytes=131072",
         "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=10000",
         "--py-files", zpath,
         os.path.join(REPO, "bench", "replay_once.py"),
         "--binlog", binlog,
         "--batches", str(batches),
+        "--dedup-mode", dedup_mode,
     ] + (["--verify"] if verify else [])
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
     errpath = f"/tmp/ztdf-scaling-{master.replace('[', '_').replace(']', '').replace(',', '-')}.err"
@@ -112,8 +114,11 @@ def main_impl(args):
     # docs_ratio controls update amplification (events per doc): the scaling
     # criterion measures the CPU-bound crypto+scan path, so keep dedup
     # realistic (2:1) rather than the hot-key-heavy correctness workload
+    # file count chosen so each micro-batch's task count divides evenly
+    # into whole waves at BOTH levels (wave-quantization-free tails):
+    # 256 files / 4 batches = 64 single-file tasks = 8 waves of 8 / 32 of 2
     binlog = bench.ensure_binlog(
-        args.events, n_files=max(128, args.n * 16), n_docs=args.events // args.docs_ratio
+        args.events, n_files=max(256, args.n * 64), n_docs=args.events // args.docs_ratio
     )
     zpath = build_zip()
 
@@ -122,7 +127,8 @@ def main_impl(args):
         best = None
         for _ in range(args.repeat):
             r = run_level(cores, binlog, zpath, args.verify, args.batches,
-                          exec_mode=args.exec_mode, exec_cores=args.exec_cores)
+                          exec_mode=args.exec_mode, exec_cores=args.exec_cores,
+                          dedup_mode=args.dedup_mode)
             r["eps"] = r.get("steady_events_per_sec") or r["events_per_sec"]
             if best is None or r["eps"] > best["eps"]:
                 best = r
@@ -180,5 +186,9 @@ if __name__ == "__main__":
     ap.add_argument("--exec-mode", default="local-cluster", choices=["local", "local-cluster"], dest="exec_mode")
     ap.add_argument("--exec-cores", type=int, default=4, dest="exec_cores")
     ap.add_argument("--repeat", type=int, default=1)
+    # the scaling evidence pins ONE physical plan at both levels; 'never'
+    # (map-only ingest) is what dedup_mode=auto picks for this workload's
+    # measured amplification (~2.3 < threshold 3)
+    ap.add_argument("--dedup-mode", default="never", choices=["auto", "always", "never"], dest="dedup_mode")
     ap.add_argument("--verify", action="store_true")
     main_impl(ap.parse_args())
