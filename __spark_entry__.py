@@ -258,6 +258,38 @@ def q_topk_orders_per_priority(spark, sf_dir):
     )
 
 
+def q_part_brand_rollup(spark, sf_dir):
+    """Hierarchical ROLLUP aggregation (brand → type → grand total)."""
+    p = _t(spark, sf_dir, "part")
+    return p.rollup("p_brand", "p_type").agg(
+        F.count("*").alias("n_parts"),
+        F.sum(F.floor(F.col("p_retailprice") * 100)).cast("long").alias("sum_price_c"),
+        F.max("p_size").cast("long").alias("max_size"),
+    )
+
+
+def q_supplier_nation_agg(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(F.floor(F.col("s_acctbal") * 100)).cast("long").alias("sum_acctbal_c"),
+        )
+    )
+
+
+def q_events_windowed(spark, sf_dir):
+    """Event-time tumbling-window aggregation — the BATCH twin of the
+    streaming operator (ztdf_spark/stream_ops.py shares this exact plan
+    with a watermark in streaming mode; batch≡stream pinned in tests)."""
+    from ztdf_spark import stream_ops
+
+    return stream_ops.windowed_event_counts(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline queries
 # ---------------------------------------------------------------------------
@@ -424,9 +456,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_encrypt_roundtrip": q_cdc_encrypt_roundtrip,  # rows-only
         # relational coverage
         "events_sessionize": q_events_sessionize,
+        "events_windowed": q_events_windowed,
         "tpch_q1_quantized": q_tpch_q1_quantized,
         "join_orders_nation": q_join_orders_nation,
         "topk_orders_per_priority": q_topk_orders_per_priority,
+        "part_brand_rollup": q_part_brand_rollup,
+        "supplier_nation_agg": q_supplier_nation_agg,
         # training-data pipeline
         "doc_fingerprints": q_doc_fingerprints,
         "dedup_exact": q_dedup_exact,
@@ -517,6 +552,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                COUNT(*) AS n_events
         FROM g GROUP BY user_id
+        """,
+        "events_windowed": """
+        SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS w_start,
+               CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) + 3600 AS BIGINT) AS w_end,
+               event_type, COUNT(*) AS n_events, MIN(event_id) AS min_event_id
+        FROM events GROUP BY 1, 2, 3
+        """,
+        "part_brand_rollup": """
+        SELECT p_brand, p_type, COUNT(*) AS n_parts,
+               CAST(SUM(CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+               CAST(MAX(p_size) AS BIGINT) AS max_size
+        FROM part GROUP BY ROLLUP(p_brand, p_type)
+        """,
+        "supplier_nation_agg": """
+        SELECT n_name, COUNT(*) AS n_suppliers,
+               CAST(SUM(CAST(floor(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_acctbal_c
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
         """,
         "tpch_q1_quantized": """
         SELECT l_returnflag, l_linestatus,

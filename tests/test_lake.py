@@ -306,3 +306,23 @@ def test_cow_pipeline_mode_still_works(spark, tmp_path):
     )
     assert fp(cow) == fp(mor)
     assert sum(v for k, v in cow.verify_roundtrip(d).items() if k != "compared") == 0
+
+
+def test_mor_read_shuffle_hash_fallback(spark, tmp_path):
+    """Above spark.ztdf.broadcastKeyLimit the read-time winner join must
+    degrade to a shuffled hash join with identical results."""
+    t = _mk_mor(spark, tmp_path)
+    ref = _replay(t)
+    old = spark.conf.get("spark.ztdf.broadcastKeyLimit", None)
+    spark.conf.set("spark.ztdf.broadcastKeyLimit", "1")
+    try:
+        got = sorted(
+            (r["doc_id"], r["lsn"], r["tokens"], r["n_tok"], r["source"])
+            for r in t.read().collect()
+        )
+        assert got == ref
+    finally:
+        if old is None:
+            spark.conf.unset("spark.ztdf.broadcastKeyLimit")
+        else:
+            spark.conf.set("spark.ztdf.broadcastKeyLimit", old)
