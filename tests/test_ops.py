@@ -214,3 +214,28 @@ def test_decrypt_batch_assertion_verification_row_level(spark):
     assert list(out["d1"]["tokens_out"]) == [1, 2] and out["d1"]["decrypt_error"] is None
     assert out["d2"]["tokens_out"] is None
     assert "binding verification failed" in out["d2"]["decrypt_error"]
+
+
+def test_rewrap_batch_rotates_and_roundtrips(spark):
+    from ztdf_spark import tdf
+    from ztdf_spark.settings import Settings
+
+    s = Settings()
+    df = spark.createDataFrame(
+        [("d1", 1, [1, 2]), ("d2", 2, [3, 4])],
+        "doc_id string, lsn long, tokens array<int>",
+    ).withColumn("tdf_attribute", F.lit("https://a/attr/x/value/y"))
+    enc = ops.encrypt_batch(df, s, fmt="ztdf").select("doc_id", "lsn", "ciphertext")
+    rot = ops.rewrap_batch(enc, s, ["https://kas-rotated.example.com"])
+    rows = rot.collect()
+    assert all(r["rewrap_error"] is None for r in rows)
+    for r in rows:
+        m = tdf.read_manifest(bytes(r["ciphertext_rewrapped"]))
+        assert [k["url"] for k in m["encryptionInformation"]["keyAccess"]] == [
+            "https://kas-rotated.example.com"
+        ]
+    dec = ops.decrypt_batch(
+        rot.select("doc_id", F.col("ciphertext_rewrapped").alias("ciphertext")), s, fmt="ztdf"
+    )
+    got = {r["doc_id"]: list(r["tokens_out"]) for r in dec.collect()}
+    assert got == {"d1": [1, 2], "d2": [3, 4]}

@@ -277,3 +277,27 @@ def test_settings_verify_and_truststore_surface():
         Settings(use_plaintext=False, truststore_pem=b"junk")
     s2 = Settings(use_plaintext=False, truststore_pem=pub)
     assert s2.fingerprint() != Settings().fingerprint()
+
+
+def test_rewrap_rotates_kas_without_payload_change():
+    blob = _enc([1, 2, 3], kas=("https://kas1",))
+    rw = tdf.rewrap_ztdf(blob, master_secret=MASTER, kas_urls=["https://kas2", "https://kas3"])
+    m = tdf.read_manifest(rw)
+    assert [k["url"] for k in m["encryptionInformation"]["keyAccess"]] == ["https://kas2", "https://kas3"]
+    # payload ciphertext region byte-identical
+    import struct as _s
+
+    for b in (blob, rw):
+        pass
+    mlen0 = _s.unpack("<I", blob[5:9])[0]
+    mlen1 = _s.unpack("<I", rw[5:9])[0]
+    assert blob[9 + mlen0:] == rw[9 + mlen1:]
+    # decrypts via the NEW kas; old-only secret domain unchanged (same master)
+    assert tdf.deserialize_tokens(tdf.decrypt_ztdf(rw, master_secret=MASTER)) == [1, 2, 3]
+    # deterministic/idempotent: rewrap twice -> byte-identical
+    assert tdf.rewrap_ztdf(rw, master_secret=MASTER, kas_urls=["https://kas2", "https://kas3"]) == rw
+    # un-unwrappable envelope -> per-record error
+    with pytest.raises(tdf.TdfError, match="unable to unwrap"):
+        tdf.rewrap_ztdf(blob, master_secret=b"other-master-secret!", kas_urls=["https://kas2"])
+    with pytest.raises(tdf.TdfError, match="no KAS URL"):
+        tdf.rewrap_ztdf(blob, master_secret=MASTER, kas_urls=[])

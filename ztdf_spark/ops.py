@@ -349,6 +349,53 @@ def decrypt_batch(
     )
 
 
+_REWRAP_RESULT = T.StructType(
+    [
+        T.StructField("ciphertext", T.BinaryType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def rewrap_batch(
+    df: DataFrame, settings: Settings, new_kas_urls: list[str], blob_col: str = "ciphertext"
+) -> DataFrame:
+    """KAS key-rotation over a whole DataFrame of ZTDF envelopes: DEKs are
+    re-wrapped for ``new_kas_urls`` in a map-only Arrow-batched pass;
+    payload ciphertext is untouched (no payload crypto → ~20× cheaper than
+    re-encryption). Per-record failure isolation as everywhere else; adds
+    ``ciphertext_rewrapped`` + ``rewrap_error``.
+
+    Composition with the lake: run over ``table.read()`` and MERGE the
+    rewrapped rows back at the same (doc_id, lsn) — deterministic rewrap
+    makes the operation idempotent.
+    """
+    master = settings.master_secret
+    urls = tuple(new_kas_urls)
+
+    @F.pandas_udf(_REWRAP_RESULT)
+    def rewrap_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for blobs in it:
+            out: list = [None] * len(blobs)
+            errs: list = [None] * len(blobs)
+            for i, blob in enumerate(blobs):
+                if blob is None:
+                    continue
+                try:
+                    out[i] = tdf.rewrap_ztdf(bytes(blob), master_secret=master, kas_urls=urls)
+                except Exception as e:
+                    errs[i] = str(e) or type(e).__name__
+            yield pd.DataFrame({"ciphertext": out, "error": errs})
+
+    udf = rewrap_udf.asNondeterministic()  # see encrypt_batch
+    res = df.withColumn("_rw", udf(F.col(blob_col)))
+    return (
+        res.withColumn("ciphertext_rewrapped", F.col("_rw.ciphertext"))
+        .withColumn("rewrap_error", F.col("_rw.error"))
+        .drop("_rw")
+    )
+
+
 def split_routes(df: DataFrame) -> dict[str, DataFrame]:
     """Relationship fan-out (AbstractTDFProcessor.java:87-103,
     ConvertToNanoTDF.java:63-66) as filtered views — Catalyst pushes each

@@ -479,6 +479,58 @@ class ZtdfEncryptor:
         return b"".join([ZTDF_MAGIC, struct.pack("<I", len(mbytes)), mbytes, ciphertext])
 
 
+def rewrap_ztdf(blob: bytes, *, master_secret: bytes, kas_urls: Iterable[str]) -> bytes:
+    """KAS key rotation: re-wrap the record's DEK for a NEW set of KAS
+    endpoints WITHOUT touching the payload ciphertext (the 'rewrap'
+    operation of the OpenTDF KAS protocol, applied at rest).
+
+    The DEK is unwrapped via any current keyAccess entry, then wrapped for
+    each new KAS; policy and payload bytes are byte-identical before/after.
+    Wrap IVs derive from (DEK digest, url, policy) so rewrap is
+    deterministic/idempotent and never reuses a nonce under a given KEK
+    (distinct DEKs → distinct IVs).
+    """
+    if blob[:5] != ZTDF_MAGIC:
+        raise TdfError("not a ZTDF envelope (bad magic)")
+    (mlen,) = struct.unpack("<I", blob[5:9])
+    manifest = json.loads(blob[9 : 9 + mlen])
+    ciphertext = blob[9 + mlen :]
+    enc = manifest["encryptionInformation"]
+    policy_bytes = base64.b64decode(enc["policy"])
+    dek = None
+    last_err: Exception | None = None
+    for ka in enc["keyAccess"]:
+        try:
+            dek = AESGCM(kek_for_kas(master_secret, ka["url"])).decrypt(
+                base64.b64decode(ka["iv"]), base64.b64decode(ka["wrappedKey"]), policy_bytes
+            )
+            break
+        except Exception as e:
+            last_err = e
+    if dek is None:
+        raise TdfError(f"rewrap: unable to unwrap DEK with any current KAS: {last_err}")
+    urls = list(kas_urls)
+    if not urls:
+        raise TdfError("no KAS URL provided via attribute or property")
+    dek_digest = hashlib.sha256(dek).digest()
+    key_access = []
+    for url in urls:
+        wrap_iv = _h(b"ztdf-rewrap-iv", dek_digest, url.encode(), policy_bytes)[:12]
+        wrapped = AESGCM(kek_for_kas(master_secret, url)).encrypt(wrap_iv, dek, policy_bytes)
+        key_access.append(
+            {
+                "type": "wrapped",
+                "url": url,
+                "protocol": "kas",
+                "wrappedKey": base64.b64encode(wrapped).decode(),
+                "iv": base64.b64encode(wrap_iv).decode(),
+            }
+        )
+    enc["keyAccess"] = key_access
+    mbytes = json.dumps(manifest, separators=(",", ":")).encode()
+    return b"".join([ZTDF_MAGIC, struct.pack("<I", len(mbytes)), mbytes, ciphertext])
+
+
 def read_manifest(blob: bytes) -> dict:
     if blob[:5] != ZTDF_MAGIC:
         raise TdfError("not a ZTDF envelope (bad magic)")
