@@ -389,6 +389,46 @@ def q_mm_frames(spark, sf_dir):
     return mmops.sample_frames(mmops.synthetic_media(spark, n=30), every_ms=1000)
 
 
+def q_cdc_rewrap_rotation(spark, sf_dir):
+    """KAS key rotation: encrypt under kas1 → rewrap to kas-rotated →
+    decrypt → per-row checks that (a) tokens survive, (b) the manifest's
+    keyAccess now names only the rotated KAS, (c) the payload ciphertext
+    region is byte-identical (no payload re-encryption)."""
+    from pyspark.sql import types as T
+
+    docs = _t(spark, sf_dir, "documents").limit(100)
+    b = _with_tokens(docs).withColumn("lsn", F.col("doc_id_num")).withColumn("op", F.lit("I"))
+    b = b.withColumn("tdf_attribute", F.lit(CANON_ATTR)).withColumn("doc_id", F.col("doc_id_str"))
+    enc = ops.encrypt_batch(b, Settings(), fmt="ztdf").select("doc_id", "tokens", "ciphertext")
+    rot = ops.rewrap_batch(enc, Settings(), ["https://kas-rotated.example.com"])
+
+    @F.pandas_udf(T.StringType())
+    def manifest_kas(blobs: pd.Series) -> pd.Series:
+        from ztdf_spark import tdf as _tdf
+
+        out = []
+        for blob in blobs:
+            m = _tdf.read_manifest(bytes(blob))
+            out.append(",".join(k["url"] for k in m["encryptionInformation"]["keyAccess"]))
+        return pd.Series(out)
+
+    dec = ops.decrypt_batch(
+        rot.select("doc_id", "tokens", F.col("ciphertext_rewrapped").alias("ciphertext"),
+                   F.col("ciphertext").alias("_orig")),
+        Settings(), fmt="ztdf",
+    )
+    payload_of = lambda c: F.expr(  # noqa: E731
+        f"substring({c}, 10 + cast(conv(concat(hex(substring({c}, 9, 1)), hex(substring({c}, 8, 1)), "
+        f"hex(substring({c}, 7, 1)), hex(substring({c}, 6, 1))), 16, 10) as int), 1000000)"
+    )
+    return dec.select(
+        "doc_id",
+        (F.col("tokens_out") == F.col("tokens")).alias("tokens_match"),
+        manifest_kas("ciphertext").alias("kas_after"),
+        (payload_of("ciphertext") == payload_of("_orig")).alias("payload_unchanged"),
+    )
+
+
 def q_cdc_encrypt_roundtrip(spark, sf_dir):
     """The flagship non-SQL op: vectorized ZTDF encrypt → route → decrypt →
     token-array equality per row (the BASELINE.json per-row invariant)."""
@@ -454,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lineage_batches": q_cdc_lineage_batches,
         "cdc_hot_keys": q_cdc_hot_keys,
         "cdc_encrypt_roundtrip": q_cdc_encrypt_roundtrip,  # rows-only
+        "cdc_rewrap_rotation": q_cdc_rewrap_rotation,  # rows-only
         # relational coverage
         "events_sessionize": q_events_sessionize,
         "events_windowed": q_events_windowed,

@@ -232,11 +232,12 @@ def test_mor_compact_preserves_state(spark, tmp_path):
         (r["doc_id"], r["lsn"], r["tokens"], r["n_tok"], r["source"]) for r in t.read().collect()
     )
     assert after == before
-    # post-compaction: no delta files → read() takes the no-dedup fast path,
-    # and file rows now equal live rows (dead versions dropped)
+    # post-compaction: no delta files → read() takes the no-dedup fast path;
+    # file rows = live rows + retained DELETE tombstone winners (b@11, zz@21
+    # must keep shadowing out-of-order stale updates even after compaction)
     snap = t.snapshot()
     assert not any(f.get("delta") for f in snap["files"])
-    assert sum(f["rows"] for f in snap["files"]) == len(after)
+    assert sum(f["rows"] for f in snap["files"]) == len(after) + 2
     assert t.delta_ratio() == 0.0
     assert t.compact().get("noop")  # idempotent
     # and MOR merging continues to work on top of the compacted base
@@ -326,3 +327,99 @@ def test_mor_read_shuffle_hash_fallback(spark, tmp_path):
             spark.conf.unset("spark.ztdf.broadcastKeyLimit")
         else:
             spark.conf.set("spark.ztdf.broadcastKeyLimit", old)
+
+
+def test_expire_snapshots_retention(spark, tmp_path):
+    t = _mk_mor(spark, tmp_path)
+    _replay(t)  # 3 merges -> versions 0..3
+    t.compact()  # version 4
+    assert t.current_version() == 4
+    r = t.expire_snapshots(keep_last=2)
+    assert r["expired_snapshots"] == [0, 1, 2]
+    # snap 3 (kept) still references every delta file -> nothing removable yet
+    assert r["removed_files"] == 0
+    # current state unaffected; history truncated at the horizon
+    assert {x["version"] for x in t.history()} == {3, 4}
+    r = t.expire_snapshots(keep_last=1)  # keep only the compacted snapshot
+    assert r["expired_snapshots"] == [3]
+    got = {d for d, *_ in (
+        (row["doc_id"], row["lsn"]) for row in t.read().collect()
+    )}
+    assert got == {"a", "c", "d"}
+    # pre-compaction delta files (referenced only by expired snapshots) gone
+    assert r["removed_files"] > 0
+    assert {x["version"] for x in t.history()} == {4}
+    # exactly-once watermark survives expiry
+    assert t.is_committed(len(BATCHES) - 1)
+    # time travel inside the window still works
+    assert t.read(version=4).count() == 3
+
+
+def test_property_mor_cow_oracle_equivalence(spark, tmp_path):
+    """Property test: for random CDC batch sequences (random ops, keys,
+    unique lsns, arbitrary cross-batch order), MOR replay == COW replay ==
+    a pure-Python latest-wins oracle."""
+    from hypothesis import given, settings, strategies as st
+
+    keys = [f"k{i}" for i in range(6)]
+    event = st.tuples(st.sampled_from(["I", "U", "D"]), st.sampled_from(keys))
+    seq = st.lists(st.lists(event, min_size=0, max_size=8), min_size=1, max_size=4)
+    counter = [0]
+
+    @settings(max_examples=8, deadline=None)
+    @given(seq)
+    def run(batches):
+        counter[0] += 1
+        # assign globally-unique lsns in a shuffled (non-monotonic) order so
+        # stale cross-batch updates occur
+        import random
+
+        n_ev = sum(len(b) for b in batches)
+        lsns = list(range(1, n_ev + 1))
+        random.Random(counter[0]).shuffle(lsns)
+        it = iter(lsns)
+        rows_per_batch = [
+            [(op, k, next(it), [next_lsn := 0] and None or [ord(k[-1])], 1, "w") for op, k in b]
+            for b in batches
+        ]
+        # python oracle
+        events = [r for b in rows_per_batch for r in b]
+        best: dict = {}
+        for op, k, lsn, toks, n, src in events:
+            if k not in best or lsn > best[k][2]:
+                best[k] = (op, k, lsn, toks, n, src)
+        expect = sorted((k, v[2]) for k, v in best.items() if v[0] != "D")
+
+        base = tmp_path / f"prop{counter[0]}"
+        results = []
+        for mode in ("mor", "cow"):
+            t = LakeTable.create(
+                spark, str(base / mode), schema=STATE_SCHEMA, target_file_rows=200, merge_mode=mode
+            )
+            for bid, rows in enumerate(rows_per_batch):
+                if rows:
+                    t.merge(_changes(spark, rows), batch_id=bid)
+            results.append(sorted((r["doc_id"], r["lsn"]) for r in t.read().collect()))
+        assert results[0] == expect, f"mor != oracle: {results[0]} vs {expect}"
+        assert results[1] == expect, f"cow != oracle: {results[1]} vs {expect}"
+
+    run()
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_stale_update_cannot_resurrect_deleted_key(spark, tmp_path, mode):
+    """Regression (found by the property test): after a DELETE at lsn 20,
+    an out-of-order stale update at lsn 10 arriving in a LATER batch must
+    NOT resurrect the key — in either merge mode, even after compaction."""
+    t = LakeTable.create(spark, str(tmp_path / mode), schema=STATE_SCHEMA,
+                         target_file_rows=200, merge_mode=mode)
+    t.merge(_changes(spark, [("I", "a", 1, [1], 1, "web")]), batch_id=0)
+    t.merge(_changes(spark, [("D", "a", 20, None, None, None)]), batch_id=1)
+    t.merge(_changes(spark, [("U", "a", 10, [10], 1, "web")]), batch_id=2)  # stale
+    assert t.read().count() == 0
+    t.compact()
+    t.merge(_changes(spark, [("U", "a", 15, [15], 1, "web")]), batch_id=3)  # still stale
+    assert t.read().count() == 0
+    t.merge(_changes(spark, [("U", "a", 30, [30], 1, "web")]), batch_id=4)  # genuinely newer
+    got = t.read().collect()
+    assert len(got) == 1 and got[0]["lsn"] == 30

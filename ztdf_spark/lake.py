@@ -183,10 +183,15 @@ class LakeTable:
             return json.load(f)
 
     def history(self) -> list[dict]:
+        """Snapshot lineage, newest-last; stops at the retention horizon
+        when older snapshots have been expired."""
         v = self.current_version()
         out = []
         while v is not None:
-            s = self.snapshot(v)
+            try:
+                s = self.snapshot(v)
+            except FileNotFoundError:
+                break  # expired beyond the retention window
             out.append(s)
             v = s["parent"]
         return list(reversed(out))
@@ -223,19 +228,27 @@ class LakeTable:
         paths = [os.path.join(self._data_dir, f["path"]) for f in snap["files"]]
         if not paths:
             return self.spark.createDataFrame([], schema)
-        has_delta = any(f.get("delta") for f in snap["files"])
-        if not has_delta:
-            return self.spark.read.schema(schema).parquet(*paths)
-
         key_col, seq_col = snap["key_col"], snap["seq_col"]
         data_cols = [f.name for f in schema.fields]
         read_schema = T.StructType(list(schema.fields) + [T.StructField(_TOMBSTONE, T.BooleanType())])
-        raw = (
-            self.spark.read.schema(read_schema)
-            .parquet(*paths)
-            .withColumn(
-                "_cseq", F.regexp_extract(F.input_file_name(), r"part-v(\d+)-", 1).cast("long")
-            )
+        live = self._winners_df(snap).filter(~F.coalesce(F.col(_TOMBSTONE), F.lit(False)))
+        return live.select(*data_cols)
+
+    def _winners_df(self, snap: dict) -> DataFrame:
+        """Latest-wins rows per key INCLUDING delete-tombstone winners
+        (``_tombstone`` column retained). Tombstones must survive until the
+        key is overwritten by a newer event — dropping them would let an
+        out-of-order stale update resurrect a deleted key (found by the
+        MOR/COW/oracle property test)."""
+        schema = T.StructType.fromJson(snap["schema"])
+        paths = [os.path.join(self._data_dir, f["path"]) for f in snap["files"]]
+        key_col, seq_col = snap["key_col"], snap["seq_col"]
+        read_schema = T.StructType(list(schema.fields) + [T.StructField(_TOMBSTONE, T.BooleanType())])
+        base = self.spark.read.schema(read_schema).parquet(*paths)
+        if not any(f.get("delta") for f in snap["files"]):
+            return base  # COW/compacted: already one row per key
+        raw = base.withColumn(
+            "_cseq", F.regexp_extract(F.input_file_name(), r"part-v(\d+)-", 1).cast("long")
         )
         winners = (
             raw.groupBy(key_col)
@@ -253,16 +266,12 @@ class LakeTable:
             winners = F.broadcast(winners)
         else:
             winners = winners.hint("shuffle_hash")
-        return (
-            raw.join(
-                winners,
-                (F.col(key_col) == F.col("_wk"))
-                & (F.col(seq_col) == F.col("_wseq"))
-                & (F.col("_cseq") == F.col("_wcseq")),
-            )
-            .filter(~F.coalesce(F.col(_TOMBSTONE), F.lit(False)))
-            .select(*data_cols)
-        )
+        return raw.join(
+            winners,
+            (F.col(key_col) == F.col("_wk"))
+            & (F.col(seq_col) == F.col("_wseq"))
+            & (F.col("_cseq") == F.col("_wcseq")),
+        ).select(*[f.name for f in schema.fields], _TOMBSTONE)
 
     # ----------------------------------------------------------------- merge
 
@@ -549,8 +558,16 @@ class LakeTable:
 
             matched_paths = [os.path.join(self._data_dir, f["path"]) for f in matched]
             n_existing = sum(f["rows"] for f in matched)
+            # DELETE winners are written as tombstone rows, not dropped:
+            # a physically-removed key would be resurrected by an
+            # out-of-order stale update in a later batch (the tombstone row,
+            # like any row, is replaced once a strictly newer event lands).
+            # Tombstones are filtered out at read().
+            read_schema = T.StructType(
+                list(schema.fields) + [T.StructField(_TOMBSTONE, T.BooleanType())]
+            )
             if matched:
-                existing = self.spark.read.schema(schema).parquet(*matched_paths)
+                existing = self.spark.read.schema(read_schema).parquet(*matched_paths)
                 # existing row survives unless a batch change with seq >= its
                 # seq targets its key (ties → the batch row wins: identical
                 # payload by deterministic encryption, plus evolved columns)
@@ -560,8 +577,8 @@ class LakeTable:
                     "left_anti",
                 )
                 # batch winner survives unless the table already holds a
-                # strictly newer row for its key (stale cross-batch update)
-                ek = self.spark.read.schema(schema).parquet(*matched_paths).select(
+                # strictly newer row (incl. tombstone) for its key
+                ek = self.spark.read.schema(read_schema).parquet(*matched_paths).select(
                     F.col(key_col).alias("_ek"), F.col(seq_col).alias("_eseq")
                 )
                 ek = F.broadcast(ek) if n_existing <= key_limit else ek.hint("shuffle_hash")
@@ -570,10 +587,12 @@ class LakeTable:
                     (bw[key_col] == F.col("_ek")) & (F.col("_eseq") > bw[seq_col]),
                     "left_anti",
                 )
-                merged_src = preserved.unionByName(batch_final.filter(F.col("op") != "D").drop("op"))
+                merged_src = preserved.unionByName(
+                    batch_final.withColumn(_TOMBSTONE, F.col("op") == "D").drop("op")
+                )
             else:
-                merged_src = bw.filter(F.col("op") != "D").drop("op")
-            result = merged_src.select(*data_cols).persist()
+                merged_src = bw.withColumn(_TOMBSTONE, F.col("op") == "D").drop("op")
+            result = merged_src.select(*data_cols, _TOMBSTONE).persist()
 
             new_version = snap["version"] + 1
             # size files from manifest stats (no extra count action): upper
@@ -673,8 +692,10 @@ class LakeTable:
             return {"version": snap["version"], "noop": True, "reason": "no delta files"}
         schema = T.StructType.fromJson(snap["schema"])
         est_rows = sum(f["rows"] for f in snap["files"])
+        # winners INCLUDING tombstones: a compacted table must still shadow
+        # out-of-order stale updates to deleted keys
         new_entries = self._write_files(
-            self.read(), snap["version"] + 1, snap["key_col"],
+            self._winners_df(snap), snap["version"] + 1, snap["key_col"],
             snap.get("target_file_rows", 500_000), est_rows,
         )
         return self._commit_files(
@@ -692,6 +713,28 @@ class LakeTable:
         )
 
     # --------------------------------------------------------------- vacuum
+
+    def expire_snapshots(self, keep_last: int = 10) -> dict:
+        """Snapshot retention (Iceberg ``expireSnapshots`` analog): drop all
+        but the most recent ``keep_last`` snapshot manifests, then vacuum
+        data files that only those dropped snapshots referenced. Time travel
+        remains available within the retention window; the exactly-once
+        batch watermark lives in the CURRENT snapshot and is unaffected."""
+        cur = self.current_version()
+        keep_from = max(0, cur - keep_last + 1)
+        removed_snaps = []
+        for name in sorted(os.listdir(self._snap_dir)):
+            if name.startswith("v") and name.endswith(".json"):
+                v = int(name[1:-5])
+                if v < keep_from:
+                    os.unlink(os.path.join(self._snap_dir, name))
+                    removed_snaps.append(v)
+        removed_files = self.vacuum()
+        return {
+            "expired_snapshots": removed_snaps,
+            "removed_files": len(removed_files),
+            "oldest_kept": keep_from,
+        }
 
     def vacuum(self) -> list[str]:
         """Delete data files not referenced by any snapshot (crash orphans)."""
