@@ -319,6 +319,11 @@ def q_text_token_counts(spark, sf_dir):
     return textops.token_counts(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_filter(spark, sf_dir):
+    """Composite curation: exact-dedup keeper + language + quality gates."""
+    return textops.corpus_filter(_t(spark, sf_dir, "documents"))
+
+
 def q_ann_topk_quantized(spark, sf_dir):
     return simops.ann_topk_quantized(_t(spark, sf_dir, "embeddings"), n_queries=10, k=5)
 
@@ -512,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_token_counts": q_text_token_counts,
+        "corpus_filter": q_corpus_filter,
         "ann_topk_quantized": q_ann_topk_quantized,
         "ann_topk_cosine": q_ann_topk_cosine,  # rows-only
         "ann_lsh": q_ann_lsh,  # rows-only
@@ -698,6 +704,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(floor(1000.0 * len(list_filter(w, x -> list_contains({q_stop}, x))) / len(w)) AS BIGINT) AS stop_ratio_q,
                CAST(floor(1000.0 * nc / len(w)) AS BIGINT) AS avg_wlen_q
         FROM d
+        """,
+        "corpus_filter": f"""
+        WITH fps AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(lower(text)) AS f FROM documents),
+        keep AS (SELECT f, MIN(doc_id) AS doc_id FROM fps GROUP BY f),
+        d AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 string_split(lower(text), ' ') AS w,
+                 length(text) AS nc,
+                 length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS nc_clean
+          FROM documents),
+        q AS (
+          SELECT doc_id, CAST(len(w) AS INT) AS n_words,
+                 CAST(floor(1000.0 * (nc - nc_clean) / nc) AS BIGINT) AS punct_ratio_q,
+                 CAST(floor(1000.0 * len(list_filter(w, x -> list_contains({q_stop}, x))) / len(w)) AS BIGINT) AS stop_ratio_q
+          FROM d),
+        h AS (
+          SELECT doc_id,
+                 len(list_filter(w, x -> list_contains({stop_en}, x))) AS h_en,
+                 len(list_filter(w, x -> list_contains({stop_es}, x))) AS h_es,
+                 len(list_filter(w, x -> list_contains({stop_fr}, x))) AS h_fr,
+                 len(list_filter(w, x -> list_contains({stop_de}, x))) AS h_de
+          FROM d),
+        lid AS (
+          SELECT doc_id,
+                 CASE WHEN greatest(h_en,h_es,h_fr,h_de) = 0 THEN 'und'
+                      WHEN h_en = greatest(h_en,h_es,h_fr,h_de) THEN 'en'
+                      WHEN h_es = greatest(h_en,h_es,h_fr,h_de) THEN 'es'
+                      WHEN h_fr = greatest(h_en,h_es,h_fr,h_de) THEN 'fr'
+                      ELSE 'de' END AS pred_lang
+          FROM h)
+        SELECT k.doc_id, pred_lang, n_words, punct_ratio_q, stop_ratio_q
+        FROM keep k JOIN q USING (doc_id) JOIN lid USING (doc_id)
+        WHERE pred_lang = 'en' AND n_words >= 5
+          AND punct_ratio_q <= 200 AND stop_ratio_q >= 10
         """,
         "text_token_counts": r"""
         SELECT CAST(doc_id AS BIGINT) AS doc_id,

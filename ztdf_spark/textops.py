@@ -281,6 +281,39 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+def corpus_filter(
+    docs: DataFrame,
+    *,
+    lang: str = "en",
+    min_words: int = 5,
+    max_punct_q: int = 200,
+    min_stop_q: int = 10,
+) -> DataFrame:
+    """End-to-end corpus curation: exact-dedup (keep the min-doc_id copy),
+    language filter, and quality thresholds — the composite filter a
+    training-data pipeline applies before tokenization. Pure Catalyst:
+    two hash aggregations (dup groups, via a self-join on fingerprint) +
+    codegen'd quality expressions; no Python anywhere.
+
+    Returns (doc_id, pred_lang, n_words, punct_ratio_q, stop_ratio_q) for
+    the surviving documents."""
+    fps = doc_fingerprints(docs)
+    keepers = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    q = quality_scores(docs)
+    lid = lang_id(docs).select("doc_id", "pred_lang")
+    return (
+        keepers.join(q, "doc_id")
+        .join(lid, "doc_id")
+        .filter(
+            (F.col("pred_lang") == lang)
+            & (F.col("n_words") >= min_words)
+            & (F.col("punct_ratio_q") <= max_punct_q)
+            & (F.col("stop_ratio_q") >= min_stop_q)
+        )
+        .select("doc_id", "pred_lang", "n_words", "punct_ratio_q", "stop_ratio_q")
+    )
+
+
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
