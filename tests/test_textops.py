@@ -85,3 +85,17 @@ def test_token_counts(docs):
     assert t[0]["n_tok_ws"] == 9 and t[0]["n_tok_re"] == 9
     # "a b! c2 d,e" → ws: 4; regex: a,b,!,c,2,d,',',e = 8
     assert t[5]["n_tok_ws"] == 4 and t[5]["n_tok_re"] == 8
+
+
+def test_corpus_filter_composite(spark):
+    rows = [
+        (1, "the cat and the dog of the house and a bird to see"),      # en, clean -> keep
+        (2, "the cat and the dog of the house and a bird to see"),      # exact dup of 1 -> dropped
+        (3, "el gato y la casa de la playa que el sol y la luna"),      # es -> dropped
+        (4, "the!!! cat??? and### the$$$ dog%%% of*** the a to!!!"),    # punct-heavy -> dropped
+        (5, "a b"),                                                     # too short -> dropped
+        (6, "we walked to the park and sat by a tree of the garden"),   # en -> keep
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"] for r in textops.corpus_filter(docs).collect()}
+    assert got == {1, 6}

@@ -93,6 +93,9 @@ class PipelineConfig:
     dedup_mode: str = "auto"
     dedup_min_amplification: float = 3.0
     binlog_schema: str = field(default=BINLOG_DDL)
+    # WAL segment encoding: 'parquet' (columnar segments) or 'json'
+    # (JSON-lines, the debezium-style wire format) — same schema contract
+    source_format: str = "parquet"
 
     @property
     def lake_path(self) -> str:
@@ -122,6 +125,9 @@ def _file_lineage(batch: DataFrame) -> list[dict]:
         files = batch.inputFiles()
     except Exception:
         files = []
+    if files and not all(f.endswith(".parquet") for f in files):
+        files = []  # non-parquet WAL segments (e.g. JSON): no footer stats →
+        # fall through to the one-pass aggregation below
     if not files:
         # streaming micro-batch plans don't expose inputFiles(): fall back
         # to one column-pruned aggregation job over input_file_name()
@@ -537,6 +543,14 @@ class CdcPipeline:
         return mstats, {"n_udf_failure": n_udf_failure}
 
 
+    def _read_source(self, *paths: str):
+        """Batch read of WAL segments in the configured source format."""
+        return (
+            self.spark.read.schema(self.cfg.binlog_schema)
+            .format(self.cfg.source_format)
+            .load(list(paths) if len(paths) > 1 else paths[0])
+        )
+
     # ------------------------------------------------------------- streaming
 
     def run_stream(
@@ -572,7 +586,8 @@ class CdcPipeline:
         stream = (
             self.spark.readStream.schema(self.cfg.binlog_schema)
             .option("maxFilesPerTrigger", self.cfg.max_files_per_trigger)
-            .parquet(binlog_dir)
+            .format(self.cfg.source_format)
+            .load(binlog_dir)
         )
         writer = (
             stream.writeStream.foreachBatch(_sink)
@@ -589,7 +604,7 @@ class CdcPipeline:
 
     def replay_batch_mode(self, binlog_dir: str, *, batch_id: int = 0) -> dict:
         """Whole-directory replay as one maximal-parallelism batch (bench path)."""
-        df = self.spark.read.schema(self.cfg.binlog_schema).parquet(binlog_dir)
+        df = self._read_source(binlog_dir)
         return self.process_batch(df, batch_id)
 
     def replay_in_batches(self, binlog_dir: str, n_batches: int = 4) -> list[dict]:
@@ -597,14 +612,16 @@ class CdcPipeline:
         batches of whole files (LSN-ordered), without streaming-checkpoint
         overhead — the bench path for *sustained* throughput: batch 0 also
         absorbs residual session warm-up, batches 1.. are steady state."""
+        ext = ".parquet" if self.cfg.source_format == "parquet" else ""
         files = sorted(
-            f for f in os.listdir(binlog_dir) if f.endswith(".parquet")
+            f for f in os.listdir(binlog_dir)
+            if f.endswith(ext) and not f.startswith("_") and not f.startswith(".")
         )
         per = max(1, -(-len(files) // n_batches))  # ceil: no runt trailing batch
         audits = []
         for bid, i in enumerate(range(0, len(files), per)):
             group = [os.path.join(binlog_dir, f) for f in files[i : i + per]]
-            df = self.spark.read.schema(self.cfg.binlog_schema).parquet(*group)
+            df = self._read_source(*group)
             audits.append(self.process_batch(df, bid))
         return audits
 
@@ -619,7 +636,7 @@ class CdcPipeline:
         the binlog computed independently in Spark. Returns mismatch counts
         (all zeros = pass)."""
         state = ops.decrypt_batch(self.table.read(), self.settings, self.cfg.fmt)
-        log = self.spark.read.schema(self.cfg.binlog_schema).parquet(binlog_dir)
+        log = self._read_source(binlog_dir)
         ok = log.filter((F.col("op") == "D") | F.col("tdf_attribute").isNotNull())
         expected = ops.latest_wins(ok).filter(F.col("op") != "D")
         joined = state.alias("s").join(
