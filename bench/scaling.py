@@ -224,6 +224,20 @@ heaps/GC/Python-worker pools):
 
 Per-phase wall attribution for every batch is recorded in the audit rows
 (`phase_s`) and in BENCH/scaling.json.
+
+## Single-node sustained throughput
+
+`python bench.py` (local[32], shared JVM, sf0.1 query set + 1M-event
+replay) is recorded per-round by the driver in `BENCH_r*.json`. The
+reference (opentdf/nifi) publishes no throughput numbers to compare
+against (repo-root BASELINE.md); round-over-round deltas are the signal.
+
+## Correctness gates run with every bench
+
+- final-state match: latest-wins replay oracles (DuckDB SQL + independent
+  pandas re-implementations) — `tools/check_oracles.py`, `CORRECTNESS_r*.json`
+- decrypt round-trip: token-array equality per row
+  (`CdcPipeline.verify_roundtrip`, `bench/replay_once.py --verify`)
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
