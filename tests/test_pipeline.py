@@ -171,3 +171,27 @@ def test_json_binlog_source(spark, tmp_path, binlog_dir):
               for f in os.listdir(jpipe.cfg.audit_path)]
     assert sum(len(a["partitions"]) for a in audits) == 4
     assert all(p["n_events"] is not None for a in audits for p in a["partitions"])
+
+
+def test_pathological_hot_key_batch(spark, tmp_path):
+    """Skew defense: a batch where ONE key carries 96% of events. The
+    map-only MOR ingest has no key partitioning at all (skew-immune by
+    construction); with dedup engaged (hot-key regime, auto threshold),
+    map-side partial aggregation pre-reduces the hot key. Either way the
+    final state is exact."""
+    hot = [(i, "U", "doc-hot", [i % 100], 1, "web", None,
+            "https://opentdf.io/attr/ip/value/ts", None) for i in range(4_800)]
+    cold = [(10_000 + i, "I", f"doc-{i:04d}", [i], 1, "web", None,
+             "https://opentdf.io/attr/ip/value/ts", None) for i in range(200)]
+    df_rows = hot + cold
+    log = tmp_path / "hotlog"
+    spark.createDataFrame(df_rows, BINLOG_DDL).repartition(8).write.mode("overwrite").parquet(str(log))
+    pipe = _pipe(spark, tmp_path / "hotp", dedup_mode="auto")
+    audits = pipe.replay_in_batches(str(log), n_batches=2)
+    state = {r["doc_id"]: r["lsn"] for r in pipe.table.read().collect()}
+    assert state["doc-hot"] == 4_799  # latest-wins on the hot key
+    assert len(state) == 201
+    res = pipe.verify_roundtrip(str(log))
+    assert sum(v for k, v in res.items() if k != "compared") == 0
+    # amplification was measured and recorded per batch
+    assert all("amplification_est" in a for a in audits)
