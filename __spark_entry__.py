@@ -6,10 +6,14 @@
 sf0.01. All oracle-checked outputs are integer/string typed (floats are
 quantized via floor(x·10^k)) so value hashes are bit-stable across engines.
 
-Non-SQL-expressible ops (minhash LSH, simhash, hyperplane LSH ANN, true-
-cosine ANN, multimodal mapInPandas plumbing, the streaming encrypt/merge
-pipeline itself) are included WITHOUT oracle entries → rows-only checks;
-their full semantics are pinned by tests/ instead.
+Non-SQL-expressible ops (minhash LSH, simhash, hyperplane LSH / IVF ANN,
+true-cosine ANN, multimodal mapInPandas plumbing, the streaming
+encrypt/merge pipeline itself) are included WITHOUT oracle entries →
+rows-only checks; their full semantics are pinned by tests/ plus the
+independent pandas value-oracles in tools/check_oracles.py. The flagship
+crypto entries (encrypt round-trip, rewrap rotation) ARE oracle-checked:
+their outputs are deterministic invariant columns DuckDB constructs
+directly; sign-bit LSH is the oracle-checkable ANN family member.
 """
 
 from __future__ import annotations
@@ -300,7 +304,16 @@ def q_doc_fingerprints(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    return textops.exact_dup_groups(_t(spark, sf_dir, "documents"))
+    """Exact dedup over documents PLUS planted duplicates (a lowercased copy
+    of every doc_id < 50 at doc_id + 10000), derived identically in the
+    DuckDB oracle — the base corpus has no exact dups at sf0.01, so without
+    planting the green row would be 0-rows-vacuous (VERDICT r2 #8)."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id").cast("long") + 10000).alias("doc_id"), F.lower("text").alias("text")
+    )
+    aug = d.select(F.col("doc_id").cast("long").alias("doc_id"), "text").unionByName(planted)
+    return textops.exact_dup_groups(aug)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -356,6 +369,16 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_ann_signbit_lsh(spark, sf_dir):
+    """Sign-bit LSH ANN: fixed-coordinate sign buckets + integer-quantized
+    rerank — the fully oracle-checkable LSH family member (the bucketing is
+    a DuckDB-expressible CASE WHEN sum; hyperplane/IVF stay the
+    recall-optimal numpy paths)."""
+    return simops.signbit_lsh_topk(
+        _t(spark, sf_dir, "embeddings"), n_queries=10, k=5, n_bits=6, n_tables=4
+    )
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF coarse-quantizer ANN (spherical k-means cells, n_probe=3)."""
     return simops.ann_ivf_topk(
@@ -401,7 +424,9 @@ def q_cdc_rewrap_rotation(spark, sf_dir):
     region is byte-identical (no payload re-encryption)."""
     from pyspark.sql import types as T
 
-    docs = _t(spark, sf_dir, "documents").limit(100)
+    # deterministic subset (doc_id < 100, not limit(): limit takes arbitrary
+    # rows, which would make the DuckDB oracle's row set undefined)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     b = _with_tokens(docs).withColumn("lsn", F.col("doc_id_num")).withColumn("op", F.lit("I"))
     b = b.withColumn("tdf_attribute", F.lit(CANON_ATTR)).withColumn("doc_id", F.col("doc_id_str"))
     enc = ops.encrypt_batch(b, Settings(), fmt="ztdf").select("doc_id", "tokens", "ciphertext")
@@ -435,9 +460,13 @@ def q_cdc_rewrap_rotation(spark, sf_dir):
 
 
 def q_cdc_encrypt_roundtrip(spark, sf_dir):
-    """The flagship non-SQL op: vectorized ZTDF encrypt → route → decrypt →
-    token-array equality per row (the BASELINE.json per-row invariant)."""
-    docs = _t(spark, sf_dir, "documents").limit(200)
+    """The flagship op: vectorized ZTDF encrypt → route → decrypt →
+    token-array equality per row (the BASELINE.json per-row invariant).
+    DRIVER-ORACLE-CHECKED: the output columns are deterministic SQL-typed
+    invariants (route/mime/tokens_match constants over a doc_id-filtered
+    subset), so DuckDB constructs the expected rows and any crypto
+    regression (wrong route, broken round trip) breaks the value hash."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     b = _with_tokens(docs).withColumn("lsn", F.col("doc_id_num")).withColumn("op", F.lit("I"))
     b = b.withColumn("tdf_attribute", F.lit(CANON_ATTR)).withColumn("doc_id", F.col("doc_id_str"))
     enc = ops.encrypt_batch(b, Settings(), fmt="ztdf")
@@ -498,8 +527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_attr_explode": q_cdc_attr_explode,
         "cdc_lineage_batches": q_cdc_lineage_batches,
         "cdc_hot_keys": q_cdc_hot_keys,
-        "cdc_encrypt_roundtrip": q_cdc_encrypt_roundtrip,  # rows-only
-        "cdc_rewrap_rotation": q_cdc_rewrap_rotation,  # rows-only
+        "cdc_encrypt_roundtrip": q_cdc_encrypt_roundtrip,
+        "cdc_rewrap_rotation": q_cdc_rewrap_rotation,
         # relational coverage
         "events_sessionize": q_events_sessionize,
         "events_windowed": q_events_windowed,
@@ -521,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_quantized": q_ann_topk_quantized,
         "ann_topk_cosine": q_ann_topk_cosine,  # rows-only
         "ann_lsh": q_ann_lsh,  # rows-only
+        "ann_signbit_lsh": q_ann_signbit_lsh,
         "ann_ivf": q_ann_ivf,  # rows-only
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,  # rows-only
@@ -646,9 +676,61 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprints": "SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(lower(text)) AS fp FROM documents",
         "dedup_exact": """
+        WITH aug AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+          UNION ALL
+          SELECT CAST(doc_id AS BIGINT) + 10000, lower(text) FROM documents WHERE doc_id < 50
+        )
         SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper FROM (
-          SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(lower(text)) AS fp FROM documents)
+          SELECT doc_id, md5(lower(text)) AS fp FROM aug)
         GROUP BY fp HAVING COUNT(*) > 1
+        """,
+        # Flagship crypto invariants: the Spark side encrypts, routes, and
+        # decrypts for real; the oracle constructs the EXPECTED invariant
+        # rows (round-trip success constants over the same doc subset). A
+        # regression anywhere in the crypto path (gate misroute, manifest
+        # corruption, failed decrypt, token mismatch) flips a value and
+        # breaks the hash.
+        "cdc_encrypt_roundtrip": """
+        SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+               'success' AS route,
+               'application/ztdf+zip' AS mime_type,
+               TRUE AS tokens_match
+        FROM documents WHERE doc_id < 200
+        """,
+        "cdc_rewrap_rotation": """
+        SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+               TRUE AS tokens_match,
+               'https://kas-rotated.example.com' AS kas_after,
+               TRUE AS payload_unchanged
+        FROM documents WHERE doc_id < 100
+        """,
+        "ann_signbit_lsh": """
+        WITH tt AS (SELECT unnest(generate_series(0,3)) AS t),
+        sig AS (
+          SELECT vec_id,
+                 CAST(tt.t * 64 + list_sum([CASE WHEN embedding[tt.t*6 + j] >= 0
+                                                 THEN (64 >> j) ELSE 0 END
+                                            for j in generate_series(1,6)]) AS BIGINT) AS probe
+          FROM embeddings CROSS JOIN tt
+        ),
+        pairs AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM sig q JOIN sig c USING (probe)
+          WHERE q.vec_id < 10 AND c.vec_id >= 10
+        ),
+        qz AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+          FROM embeddings),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 CAST(list_sum(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2])) AS BIGINT) AS dot_q
+          FROM pairs JOIN qz a ON a.vec_id = query_id JOIN qz b ON b.vec_id = neighbor_id)
+        SELECT query_id, neighbor_id, dot_q, rank FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY dot_q DESC, neighbor_id ASC) AS BIGINT) AS rank
+          FROM scored)
+        WHERE rank <= 5
         """,
         "dedup_ngram_jaccard": """
         WITH sh AS (

@@ -141,6 +141,17 @@ def main():
         ],
     )
 
+    sb = em.q_ann_signbit_lsh(spark, sf)
+    dump(
+        "ann_signbit_lsh",
+        sb,
+        [
+            ("bucketing is pure Catalyst (no Python eval)", r"ArrowEvalPython|BatchEvalPython", False),
+            ("candidate join is an equi-join on the probe id", r"hashpartitioning\(probe|BroadcastHashJoin", True),
+            ("NO cartesian anywhere", r"CartesianProduct", False),
+        ],
+    )
+
     ndl = em.q_emb_near_dup_lsh(spark, sf)
     dump(
         "emb_near_dup_lsh",

@@ -150,6 +150,59 @@ def lsh_ann_topk(
     )
 
 
+def signbit_lsh_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5, n_bits: int = 6, n_tables: int = 4
+) -> DataFrame:
+    """Sign-bit LSH ANN — the fully ORACLE-CHECKABLE member of the LSH
+    family: bucketing uses the sign bits of FIXED embedding coordinates
+    (table t reads coordinates [t·n_bits, (t+1)·n_bits)), so the exact same
+    bucketing is expressible as a DuckDB CTE and the whole query — buckets,
+    candidate join, integer-quantized dot rerank, top-k — hash-matches a SQL
+    oracle end to end. The random-hyperplane (``lsh_ann_topk``) and IVF
+    variants remain the recall-optimal paths (numpy projections, recall
+    measured in tests); this variant pins the LSH *plan shape* under the
+    hard driver signal: equi-join on bucket, O(n · n_tables) shuffle, no
+    cross join.
+
+    Pure Catalyst: the bucket id is a static unrolled sum of ``CASE WHEN
+    emb[i] >= 0`` bit terms (whole-stage codegen, no Python)."""
+    if (n_tables * n_bits) > 64:
+        raise ValueError("n_tables * n_bits must fit the embedding dim (64)")
+
+    def bucket(t: int):
+        b = F.lit(t * (1 << n_bits)).cast("long")
+        for j in range(1, n_bits + 1):
+            b = b + F.when(
+                F.element_at("embedding", t * n_bits + j) >= 0, F.lit(1 << (n_bits - j))
+            ).otherwise(F.lit(0)).cast("long")
+        return b
+
+    probes = F.array(*[bucket(t) for t in range(n_tables)])
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            _quantized(F.col("embedding")).alias("qv"),
+            F.explode(probes).alias("probe"),
+        )
+    )
+    c = emb.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"),
+        _quantized(F.col("embedding")).alias("cv"),
+        F.explode(probes).alias("probe"),
+    )
+    pairs = q.join(c, "probe").dropDuplicates(["query_id", "neighbor_id"])
+    scored = pairs.withColumn(
+        "dot_q",
+        F.aggregate(F.zip_with("qv", "cv", lambda a, b: a * b), F.lit(0).cast("long"), lambda s, x: s + x),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot_q", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     n_queries: int = 10,
@@ -172,9 +225,16 @@ def ann_ivf_topk(
     """
     d = F.col("embedding").cast("array<double>")
     cand = emb.filter(F.col("vec_id") >= n_queries)
+    # a REAL random sample: fraction sized from the candidate count so the
+    # training set is approximately uniform across partitions (fraction 1.0 +
+    # limit() would take the first partitions' rows — partition-ordered or
+    # clustered inputs would bias the centroids). The count is a narrow
+    # one-column job and runs once per index build, not per query.
+    n_cand = cand.count()
+    frac = min(1.0, (train_sample * 1.5) / max(1, n_cand))
     sample = np.stack(
         cand.select("embedding")
-        .sample(False, 1.0, seed=seed)
+        .sample(False, frac, seed=seed)
         .limit(train_sample)
         .toPandas()["embedding"]
         .to_numpy()
