@@ -411,6 +411,13 @@ def q_mm_features(spark, sf_dir):
     )
 
 
+def q_mm_resize(spark, sf_dir):
+    """Nearest-neighbor thumbnail resize of the REAL-decodable image rows
+    (PPM/BMP parsed by the pure-Python decoders) to 8×8; output is an md5
+    of the resized RGB bytes — deterministic and engine-independent."""
+    return mmops.resize_images(mmops.synthetic_media(spark, n=30), out_w=8, out_h=8)
+
+
 def q_mm_frames(spark, sf_dir):
     """Video frame-sampling plumbing (mapInPandas row explosion): one row
     per sampled frame with a deterministic positional content hash."""
@@ -554,7 +561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,  # rows-only
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,  # rows-only
-        "mm_features": q_mm_features,  # rows-only
+        "mm_features": q_mm_features,  # rows-only (real wav/ppm/bmp decode; pandas oracle)
+        "mm_resize": q_mm_resize,  # rows-only (real image resample; pandas oracle)
         "mm_frames": q_mm_frames,  # rows-only
     }
 

@@ -141,46 +141,132 @@ def _pandas_ann_cosine(sf_dir, n_queries=10, k=5):
     return pd.DataFrame(recs, columns=["query_id", "neighbor_id", "cos", "rank"])
 
 
+# -- multimodal oracles: the FIXTURE rows are shared (test input), but the
+# -- container parsing below is an INDEPENDENT implementation (chunk walk /
+# -- regex header / vectorized stride math) from ztdf_spark/mmops.py's
+# -- decoders (stdlib wave / scanner loop / per-row slicing), so a parser
+# -- bug on either side fails the comparison. Feature ARITHMETIC mirrors
+# -- the spec exactly (same numpy reductions), as with the hash oracles.
+
+
+def _oracle_decode(payload: bytes, mtype: str):
+    import hashlib
+    import re
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        pos, nch, sr, data = 12, None, None, None
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            sz = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            if cid == b"fmt ":
+                _, nch, sr = struct.unpack_from("<HHI", b, pos + 8)
+            elif cid == b"data":
+                data = b[pos + 8 : pos + 8 + sz]
+            pos += 8 + sz + (sz & 1)
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        n = max(1, len(x))
+        zc = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))) / n
+        seg_rms = [float(np.sqrt(np.mean(p * p))) if len(p) else 0.0 for p in np.array_split(x, 8)]
+        feats = [float(nch), sr / 1000.0, (len(x) / nch) / sr,
+                 float(np.sqrt(np.mean(x * x))), float(np.max(np.abs(x))) if len(x) else 0.0,
+                 float(np.mean(np.abs(x))), zc, float(np.mean(x)), *seg_rms]
+        return np.asarray(feats, dtype=np.float32)
+    px = fmt_tag = None
+    if b[:2] == b"P6":
+        m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", b)
+        w, h = int(m.group(1)), int(m.group(2))
+        px = np.frombuffer(b, np.uint8, count=w * h * 3, offset=m.end()).reshape(h, w, 3)
+        fmt_tag = 1.0
+    elif b[:2] == b"BM":
+        data_off = struct.unpack_from("<I", b, 10)[0]
+        w, h = struct.unpack_from("<ii", b, 18)
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3
+        arr = np.frombuffer(b, np.uint8, count=stride * h, offset=data_off).reshape(h, stride)
+        px = arr[:, : w * 3].reshape(h, w, 3)[..., ::-1][::-1]
+        fmt_tag = 2.0
+    if px is not None:
+        f = px.astype(np.float64)
+        mean, std = f.mean(axis=(0, 1)), f.std(axis=(0, 1))
+        luma = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+        gx = float(np.mean(np.abs(np.diff(luma, axis=1)))) if px.shape[1] > 1 else 0.0
+        gy = float(np.mean(np.abs(np.diff(luma, axis=0)))) if px.shape[0] > 1 else 0.0
+        feats = [float(px.shape[1]), float(px.shape[0]), mean[0], mean[1], mean[2],
+                 std[0], std[1], std[2], float(f.min()), float(f.max()),
+                 float(luma.mean()), gx, gy, 0.0, 0.0, fmt_tag]
+        return np.asarray(feats, dtype=np.float32)
+    digest = hashlib.blake2b(b, digest_size=64, key=mtype.encode()[:16]).digest()
+    return (np.frombuffer(digest, dtype=np.uint32).astype(np.float32) / np.float32(2**32))[:16]
+
+
+def _mm_rows(n=30, seed=42):
+    from ztdf_spark.mmops import synthetic_media_rows
+
+    return synthetic_media_rows(n, seed)
+
+
 def _pandas_mm_features(sf_dir, n=30, seed=42):
     import hashlib
 
     import numpy as np
     import pandas as pd
 
-    rng = np.random.default_rng(seed)
     recs = []
-    for i in range(n):
-        mtype = ["image", "audio", "video"][i % 3]
-        payload = rng.integers(0, 256, size=int(rng.integers(64, 256)), dtype=np.uint8).tobytes()
-        rng.integers(16, 512), rng.integers(16, 512)  # meta draws (keep rng stream aligned)
-        if mtype == "video":
-            rng.integers(1000, 10000)
-        digest = hashlib.blake2b(payload, digest_size=64, key=mtype.encode()[:16]).digest()
-        feat = (np.frombuffer(digest, dtype=np.uint32).astype(np.float32) / np.float32(2**32))[:16]
+    for mid, mtype, payload, _meta in _mm_rows(n, seed):
+        feat = _oracle_decode(payload, mtype)
         q = [str(int(np.floor(float(x) * 1_000_000))) for x in feat.astype("float64")]
-        recs.append((i, mtype, len(payload), 16, hashlib.md5(",".join(q).encode()).hexdigest()))
+        recs.append((mid, mtype, len(payload), 16, hashlib.md5(",".join(q).encode()).hexdigest()))
     return pd.DataFrame(recs, columns=["media_id", "media_type", "n_bytes", "feat_dim", "feat_checksum"])
 
 
 def _pandas_mm_frames(sf_dir, n=30, seed=42, every_ms=1000):
     import hashlib
 
+    import pandas as pd
+
+    recs = []
+    for mid, mtype, payload, meta in _mm_rows(n, seed):
+        if mtype != "video":
+            continue
+        dur = int(meta[2] or 0)
+        for fi in range(max(1, dur // every_ms)):
+            h = hashlib.blake2b(bytes(payload) + fi.to_bytes(4, "little"), digest_size=8).hexdigest()
+            recs.append((mid, fi, h))
+    return pd.DataFrame(recs, columns=["media_id", "frame_idx", "frame_hash"])
+
+
+def _pandas_mm_resize(sf_dir, n=30, seed=42, out_w=8, out_h=8):
+    import hashlib
+    import re
+    import struct
+
     import numpy as np
     import pandas as pd
 
-    rng = np.random.default_rng(seed)
     recs = []
-    for i in range(n):
-        mtype = ["image", "audio", "video"][i % 3]
-        payload = rng.integers(0, 256, size=int(rng.integers(64, 256)), dtype=np.uint8).tobytes()
-        rng.integers(16, 512), rng.integers(16, 512)
-        dur = int(rng.integers(1000, 10000)) if mtype == "video" else 0
-        if mtype != "video":
+    for mid, _mtype, payload, _meta in _mm_rows(n, seed):
+        b = bytes(payload)
+        if b[:2] == b"P6":
+            m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", b)
+            w, h = int(m.group(1)), int(m.group(2))
+            px = np.frombuffer(b, np.uint8, count=w * h * 3, offset=m.end()).reshape(h, w, 3)
+        elif b[:2] == b"BM":
+            data_off = struct.unpack_from("<I", b, 10)[0]
+            w, h = struct.unpack_from("<ii", b, 18)
+            h = abs(h)
+            stride = (w * 3 + 3) & ~3
+            arr = np.frombuffer(b, np.uint8, count=stride * h, offset=data_off).reshape(h, stride)
+            px = arr[:, : w * 3].reshape(h, w, 3)[..., ::-1][::-1]
+        else:
             continue
-        for fi in range(max(1, dur // every_ms)):
-            h = hashlib.blake2b(payload + fi.to_bytes(4, "little"), digest_size=8).hexdigest()
-            recs.append((i, fi, h))
-    return pd.DataFrame(recs, columns=["media_id", "frame_idx", "frame_hash"])
+        small = px[np.ix_((np.arange(out_h) * px.shape[0]) // out_h,
+                          (np.arange(out_w) * px.shape[1]) // out_w)]
+        recs.append((mid, out_w, out_h, hashlib.md5(np.ascontiguousarray(small).tobytes()).hexdigest()))
+    return pd.DataFrame(recs, columns=["media_id", "out_w", "out_h", "resized_md5"])
 
 
 PANDAS_ORACLES = {
@@ -189,6 +275,7 @@ PANDAS_ORACLES = {
     "ann_topk_cosine": _pandas_ann_cosine,
     "mm_features": _pandas_mm_features,
     "mm_frames": _pandas_mm_frames,
+    "mm_resize": _pandas_mm_resize,
 }
 
 

@@ -1,24 +1,29 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-``decode_media`` raises ``NotImplementedError`` unless
-``deterministic_fake=True``, in which case a seeded, content-hash-derived
-fake decoder produces stable feature vectors / frame samples — so the
-Spark-side plumbing (schema, partitioning, UDF signature, Arrow batch
-shape) is real and fully tested, and a real decoder (PIL/ffmpeg/torchaudio)
-drops in behind the same signature.
+Decode status (round 3): REAL pure-Python decoders for one container per
+modality — WAV/PCM-16 audio (stdlib ``wave``), PPM (P6) and BMP (24-bit
+uncompressed) images — no external media libraries needed. Formats this
+container cannot decode (compressed codecs: jpeg/h264/opus...) still fall
+back to the disclosed deterministic fake (content-hash-derived vector)
+when ``deterministic_fake=True``, else ``NotImplementedError``; a real
+codec library (PIL/ffmpeg/torchaudio) drops in behind the same
+``decode_media`` signature.
 
 Scale notes: media blobs dominate row size → ``spark.sql.files.
 maxPartitionBytes`` and Arrow ``maxRecordsPerBatch`` must be tuned so one
-Arrow batch of blobs fits executor memory; feature extraction is
-embarrassingly parallel (no shuffle), and outputs are narrow rows, so the
-pattern is scan-heavy map-only — the ideal 100 TB shape.
+Arrow batch of blobs fits executor memory; feature extraction / resize /
+frame sampling are embarrassingly parallel (no shuffle), and outputs are
+narrow rows, so the pattern is scan-heavy map-only — the ideal 100 TB
+shape.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -33,26 +38,191 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = "media_id long, media_type string, n_bytes long, feature array<float>"
 FRAME_SCHEMA = "media_id long, frame_idx int, frame_hash string"
+RESIZE_SCHEMA = "media_id long, out_w int, out_h int, resized_md5 string"
+
+FEAT_DIM = 16
+
+
+# ---------------------------------------------------------------------------
+# Fixture builders (manual struct packing — deliberately a DIFFERENT code
+# path from the decoders below, so an encode/decode bug cannot cancel out)
+# ---------------------------------------------------------------------------
+
+
+def make_wav(samples: np.ndarray, sample_rate: int, n_channels: int) -> bytes:
+    """Minimal RIFF/WAVE PCM-16 container around interleaved int16 samples."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def make_ppm(pixels: np.ndarray, maxval: int = 255) -> bytes:
+    """Binary PPM (P6): ASCII header + raw RGB bytes. pixels: (h, w, 3) u8."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n{maxval}\n".encode() + np.asarray(pixels, dtype=np.uint8).tobytes()
+
+
+def make_bmp(pixels: np.ndarray) -> bytes:
+    """Uncompressed 24-bit bottom-up BMP. pixels: (h, w, 3) u8 in RGB order."""
+    h, w, _ = pixels.shape
+    row_pad = (-(w * 3)) % 4
+    body = b"".join(
+        pixels[r, :, ::-1].tobytes() + b"\x00" * row_pad  # rows bottom-up, BGR
+        for r in range(h - 1, -1, -1)
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return hdr + info + body
+
+
+# ---------------------------------------------------------------------------
+# Decoders
+# ---------------------------------------------------------------------------
+
+
+def sniff_format(payload: bytes) -> str | None:
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:2] == b"BM":
+        return "bmp"
+    return None
+
+
+def _wav_pcm(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """(interleaved int16 samples, sample_rate, n_channels) via stdlib wave."""
+    with wave.open(io.BytesIO(payload)) as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError("only PCM-16 wav supported")
+        sr, nch = wf.getframerate(), wf.getnchannels()
+        raw = wf.readframes(wf.getnframes())
+    return np.frombuffer(raw, dtype="<i2"), sr, nch
+
+
+def _wav_features(payload: bytes) -> np.ndarray:
+    s, sr, nch = _wav_pcm(payload)
+    x = s.astype(np.float64) / 32768.0
+    n = max(1, len(x))
+    zc = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))) / n
+    seg = np.array_split(x, 8)
+    seg_rms = [float(np.sqrt(np.mean(p * p))) if len(p) else 0.0 for p in seg]
+    feats = [
+        float(nch),
+        sr / 1000.0,
+        (len(x) / nch) / sr,  # duration seconds
+        float(np.sqrt(np.mean(x * x))),
+        float(np.max(np.abs(x))) if len(x) else 0.0,
+        float(np.mean(np.abs(x))),
+        zc,
+        float(np.mean(x)),  # dc offset
+        *seg_rms,
+    ]
+    return np.asarray(feats, dtype=np.float32)
+
+
+def _rgb_features(px: np.ndarray, fmt_tag: float) -> np.ndarray:
+    h, w, _ = px.shape
+    f = px.astype(np.float64)
+    mean = f.mean(axis=(0, 1))
+    std = f.std(axis=(0, 1))
+    luma = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    gx = float(np.mean(np.abs(np.diff(luma, axis=1)))) if w > 1 else 0.0
+    gy = float(np.mean(np.abs(np.diff(luma, axis=0)))) if h > 1 else 0.0
+    feats = [
+        float(w), float(h),
+        mean[0], mean[1], mean[2],
+        std[0], std[1], std[2],
+        float(f.min()), float(f.max()),
+        float(luma.mean()), gx, gy,
+        0.0, 0.0, fmt_tag,
+    ]
+    return np.asarray(feats, dtype=np.float32)
+
+
+def _ppm_pixels(payload: bytes) -> np.ndarray:
+    """Parse binary PPM (P6) incl. comments → (h, w, 3) u8."""
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    pos += 1  # single whitespace after maxval
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return px.reshape(h, w, 3)
+
+
+def _bmp_pixels(payload: bytes) -> np.ndarray:
+    """Parse uncompressed 24-bit BMP → (h, w, 3) u8 RGB, top-down."""
+    if len(payload) < 54:
+        raise ValueError("truncated BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for r in range(h):
+        off = data_off + r * stride
+        row = np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=off).reshape(w, 3)
+        rows.append(row[:, ::-1])  # BGR → RGB
+    px = np.stack(rows)
+    return px[::-1] if bottom_up else px
 
 
 def decode_media(payload: bytes, media_type: str, *, deterministic_fake: bool = False) -> np.ndarray:
-    """STUB: decode a media blob into a dense array.
+    """Decode a media blob into a FEAT_DIM-dim float32 feature vector.
 
-    Real implementation requires PIL/ffmpeg/torchaudio (absent here). The
-    deterministic fake derives a 16-dim float vector from the content hash —
-    stable across runs, executors, and parallelism levels.
-    """
+    Real decode for WAV/PCM-16 (audio), PPM-P6 and 24-bit BMP (image) —
+    pure Python/numpy, no external libs. Unrecognized or compressed
+    formats: the deterministic fake (content-hash-derived vector, stable
+    across runs/executors/parallelism) when ``deterministic_fake=True``,
+    else ``NotImplementedError`` — the drop-in point for PIL/ffmpeg."""
+    fmt = sniff_format(bytes(payload))
+    try:
+        if fmt == "wav":
+            return _wav_features(bytes(payload))
+        if fmt == "ppm":
+            return _rgb_features(_ppm_pixels(bytes(payload)), fmt_tag=1.0)
+        if fmt == "bmp":
+            return _rgb_features(_bmp_pixels(bytes(payload)), fmt_tag=2.0)
+    except ValueError:
+        pass  # sniffed but malformed/unsupported variant → fall through
     if not deterministic_fake:
         raise NotImplementedError(
-            "media decoding requires image/audio libs not present in this container; "
+            "no pure-Python decoder for this format (wav/ppm/bmp are supported; "
+            "compressed codecs need image/audio libs not present in this container); "
             "pass deterministic_fake=True for the test double"
         )
-    digest = hashlib.blake2b(payload, digest_size=64, key=media_type.encode()[:16]).digest()
-    return (np.frombuffer(digest, dtype=np.uint32).astype(np.float32) / np.float32(2**32))[:16]
+    digest = hashlib.blake2b(bytes(payload), digest_size=64, key=media_type.encode()[:16]).digest()
+    return (np.frombuffer(digest, dtype=np.uint32).astype(np.float32) / np.float32(2**32))[:FEAT_DIM]
+
+
+# ---------------------------------------------------------------------------
+# Spark operators (all map-only mapInPandas)
+# ---------------------------------------------------------------------------
 
 
 def extract_features(media: DataFrame, *, deterministic_fake: bool = True) -> DataFrame:
-    """Per-blob feature extraction via mapInPandas (map-only, no shuffle)."""
+    """Per-blob feature extraction via mapInPandas (map-only, no shuffle).
+    wav/ppm/bmp rows get REAL decoded features; others the fake (or raise)."""
 
     def _extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -72,9 +242,48 @@ def extract_features(media: DataFrame, *, deterministic_fake: bool = True) -> Da
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Nearest-neighbor resize of REAL decodable images (ppm/bmp rows) to
+    (out_w, out_h); emits an md5 of the resized RGB bytes — a deterministic,
+    engine-independent fingerprint of the resample. Non-image / undecodable
+    rows are skipped (map-only; at scale this is the thumbnail stage)."""
+
+    def _resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, sums = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                fmt = sniff_format(b)
+                try:
+                    if fmt == "ppm":
+                        px = _ppm_pixels(b)
+                    elif fmt == "bmp":
+                        px = _bmp_pixels(b)
+                    else:
+                        continue
+                except ValueError:
+                    continue
+                h, w, _ = px.shape
+                ri = (np.arange(out_h) * h) // out_h
+                ci = (np.arange(out_w) * w) // out_w
+                small = px[np.ix_(ri, ci)]
+                ids.append(mid)
+                ws.append(out_w)
+                hs.append(out_h)
+                sums.append(hashlib.md5(small.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {"media_id": ids, "out_w": pd.Series(ws, dtype="int32"),
+                 "out_h": pd.Series(hs, dtype="int32"), "resized_md5": sums}
+            )
+
+    return media.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000, *, deterministic_fake: bool = True) -> DataFrame:
-    """Frame sampling for video rows: one output row per sampled frame
-    (frame decode stubbed as a positional content hash)."""
+    """Frame sampling for video rows: one output row per sampled frame.
+    Compressed video (h264...) cannot be decoded without ffmpeg — the frame
+    content hash is the disclosed positional stand-in; the fan-out shape
+    (row explosion driven by duration metadata) is the real contract."""
 
     def _frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -98,18 +307,40 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, *, deterministic_fake:
     return media.mapInPandas(_frames, schema=FRAME_SCHEMA)
 
 
-def synthetic_media(spark, n: int = 20, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table matching MEDIA_SCHEMA (for tests)."""
+# ---------------------------------------------------------------------------
+# Fixture
+# ---------------------------------------------------------------------------
+
+
+def synthetic_media_rows(n: int = 20, seed: int = 42) -> list:
+    """Deterministic media rows: REAL WAV payloads for audio, REAL PPM/BMP
+    (alternating) for images, opaque bytes for video (h264 stand-in).
+    Shared by the Spark fixture below and the independent pandas oracle
+    (the fixture is test INPUT; the decode path under test is not shared)."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         mtype = ["image", "audio", "video"][i % 3]
-        payload = rng.integers(0, 256, size=int(rng.integers(64, 256)), dtype=np.uint8).tobytes()
-        meta = (
-            int(rng.integers(16, 512)),
-            int(rng.integers(16, 512)),
-            int(rng.integers(1000, 10000)) if mtype == "video" else 0,
-            {"image": "png", "audio": "pcm", "video": "h264"}[mtype],
-        )
+        if mtype == "image":
+            w, h = int(rng.integers(4, 32)), int(rng.integers(4, 32))
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = make_ppm(px) if (i // 3) % 2 == 0 else make_bmp(px)
+            meta = (w, h, 0, "ppm" if (i // 3) % 2 == 0 else "bmp")
+        elif mtype == "audio":
+            sr = (8000, 16000)[(i // 3) % 2]
+            nch = 1 + (i // 3) % 2
+            nsamp = int(rng.integers(256, 2048))
+            samples = rng.integers(-32768, 32768, size=nsamp * nch, dtype=np.int16)
+            payload = make_wav(samples, sr, nch)
+            meta = (0, 0, int(nsamp * 1000 / sr), "pcm_s16le")
+        else:
+            payload = rng.integers(0, 256, size=int(rng.integers(64, 256)), dtype=np.uint8).tobytes()
+            meta = (int(rng.integers(16, 512)), int(rng.integers(16, 512)),
+                    int(rng.integers(1000, 10000)), "h264")
         rows.append((i, mtype, bytearray(payload), meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synthetic_media(spark, n: int = 20, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table matching MEDIA_SCHEMA (for tests)."""
+    return spark.createDataFrame(synthetic_media_rows(n, seed), MEDIA_SCHEMA)
