@@ -108,7 +108,7 @@ def test_copy_on_write_prunes_untouched_files(spark, tmp_path):
     # 1000 keys over ~5 files (target_file_rows=200), range-clustered
     rows = [("I", f"doc-{i:05d}", i, [i], 1, "web") for i in range(1000)]
     t.merge(_changes(spark, rows), batch_id=0)
-    n_files = len(t.snapshot()["files"])
+    n_files = len(t._files(t.snapshot()))
     assert n_files >= 4
     # touch one key at the very top of the range → only 1 file rewritten
     r = t.merge(_changes(spark, [("U", "doc-00999", 5000, [9], 1, "web")]), batch_id=1)
@@ -117,8 +117,8 @@ def test_copy_on_write_prunes_untouched_files(spark, tmp_path):
     # the rewritten range may come back as 1-2 files; the other ~4 files of
     # the table must be untouched
     assert 1 <= r["files_added"] <= 2
-    assert len(t.snapshot()["files"]) <= n_files + 1
-    untouched = {f["path"] for f in t.snapshot(1)["files"]} & {f["path"] for f in t.snapshot()["files"]}
+    assert len(t._files(t.snapshot())) <= n_files + 1
+    untouched = {f["path"] for f in t._files(t.snapshot(1))} & {f["path"] for f in t._files(t.snapshot())}
     assert len(untouched) == n_files - 1
     assert t.read().count() == 1000
 
@@ -216,11 +216,11 @@ def test_mor_merge_is_pure_append(spark, tmp_path):
             t.spark.createDataFrame(rows, "op string, doc_id string, lsn long, tokens array<int>, n_tok int, source string"),
             batch_id=bid,
         )
-        files = {f["path"] for f in t.snapshot()["files"]}
+        files = {f["path"] for f in t._files(t.snapshot())}
         assert seen <= files  # strict append: nothing removed
         assert t.snapshot()["summary"]["files_rewritten"] == 0
         seen = files
-    assert all(f.get("delta") for f in t.snapshot()["files"])
+    assert all(f.get("delta") for f in t._files(t.snapshot()))
 
 
 def test_mor_compact_preserves_state(spark, tmp_path):
@@ -236,8 +236,8 @@ def test_mor_compact_preserves_state(spark, tmp_path):
     # file rows = live rows + retained DELETE tombstone winners (b@11, zz@21
     # must keep shadowing out-of-order stale updates even after compaction)
     snap = t.snapshot()
-    assert not any(f.get("delta") for f in snap["files"])
-    assert sum(f["rows"] for f in snap["files"]) == len(after) + 2
+    assert not any(f.get("delta") for f in t._files(snap))
+    assert sum(f["rows"] for f in t._files(snap)) == len(after) + 2
     assert t.delta_ratio() == 0.0
     assert t.compact().get("noop")  # idempotent
     # and MOR merging continues to work on top of the compacted base
@@ -423,3 +423,166 @@ def test_stale_update_cannot_resurrect_deleted_key(spark, tmp_path, mode):
     t.merge(_changes(spark, [("U", "a", 30, [30], 1, "web")]), batch_id=4)  # genuinely newer
     got = t.read().collect()
     assert len(got) == 1 and got[0]["lsn"] == 30
+
+
+# ---------------------------------------------------------------------------
+# Round 3: manifest-list scalability, ratio-driven compaction, concurrency,
+# intra-batch duplicate defense
+# ---------------------------------------------------------------------------
+
+
+def _mk_mor_t(spark, tmp_path, name="mman", target_rows=200):
+    return LakeTable.create(
+        spark, str(tmp_path / name), schema=STATE_SCHEMA,
+        target_file_rows=target_rows, merge_mode="mor",
+    )
+
+
+def _staged_delta(tmp_path, i, n_rows=2):
+    """Write one tiny delta parquet via pyarrow (no Spark job) so many-commit
+    tests measure COMMIT cost, not job scheduling."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / f"_stage-{i}"
+    d.mkdir()
+    tbl = pa.table(
+        {
+            "doc_id": [f"doc-{i:06d}-{j}" for j in range(n_rows)],
+            "lsn": pa.array([i * 10 + j for j in range(n_rows)], type=pa.int64()),
+            "tokens": pa.array([[1, 2]] * n_rows, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * n_rows, type=pa.int32()),
+            "source": ["web"] * n_rows,
+            "_tombstone": [False] * n_rows,
+        }
+    )
+    pq.write_table(tbl, str(d / "part-0.parquet"))
+    return str(d)
+
+
+def test_manifest_list_commit_cost_stays_flat(spark, tmp_path):
+    """300 MOR commits: commit cost must be O(files-added), not
+    O(files-total) — the late commits may not degrade vs the early ones,
+    and the snapshot JSON must hold a manifest LIST, not the file
+    inventory. history/time-travel/vacuum stay green afterwards."""
+    import json
+    import time as _time
+
+    t = _mk_mor_t(spark, tmp_path)
+    n = 300
+    walls = []
+    for i in range(n):
+        staged = _staged_delta(tmp_path, i)
+        t0 = _time.monotonic()
+        r = t.commit_staged(staged, batch_id=i)
+        walls.append(_time.monotonic() - t0)
+        assert not r.get("noop")
+    early = sorted(walls[10:60])[25]  # medians, skipping warm-up
+    late = sorted(walls[-50:])[25]
+    assert late < max(early * 3, early + 0.02), (early, late)
+    # snapshot JSON is a manifest list: no per-file entries inline
+    snap_path = os.path.join(t._snap_dir, f"v{t.current_version():010d}.json")
+    raw = json.load(open(snap_path))
+    assert "files" not in raw and len(raw["manifests"]) == n
+    assert raw["manifests"][0]["rows"] == 2
+    # totals/delta_ratio are manifest-list arithmetic
+    assert t.delta_rows() == 2 * n and t.delta_ratio() == 1.0
+    # read reconstructs all rows; time travel sees the prefix
+    assert t.read().count() == 2 * n
+    assert t.read(version=10).count() == 2 * 10
+    assert len(t.history()) == n + 1
+    # compaction folds the manifest list back to ONE manifest
+    c = t.compact()
+    assert not c.get("noop")
+    assert len(t.snapshot()["manifests"]) == 1
+    assert t.read().count() == 2 * n
+    removed = t.vacuum()  # old delta files still referenced by old snapshots
+    assert t.read().count() == 2 * n
+    t.expire_snapshots(keep_last=2)
+    assert t.read().count() == 2 * n
+
+
+def test_ratio_driven_autocompaction_bounds_deltas(spark, tmp_path):
+    """Pipeline default policy: an unattended MOR stream must keep
+    delta_ratio bounded (read cost amortized) without a fixed cadence."""
+    import numpy as np
+
+    from ztdf_spark.pipeline import CdcPipeline, PipelineConfig
+    from ztdf_spark.settings import Settings
+
+    root = str(tmp_path / "auto")
+    d = str(tmp_path / "binlog")
+    spec = BinlogSpec(n_events=6_000, n_docs=400, n_files=12, seed=11)
+    write_binlog(d, spec)
+    cfg = PipelineConfig(
+        root=root, compact_delta_ratio=0.5, compact_min_delta_rows=500,
+        dedup_mode="never", target_file_rows=2000,
+    )
+    pipe = CdcPipeline(spark, Settings(), cfg)
+    audits = pipe.replay_in_batches(d, n_batches=6)
+    assert any(a.get("compacted") for a in audits)
+    # bounded: after every batch the policy re-arms, so deltas never pile
+    # beyond one threshold crossing + one batch
+    assert pipe.table.delta_rows() <= 500 + 1100  # floor + one batch slack
+    v = pipe.verify_roundtrip(d)
+    assert sum(n for k, n in v.items() if k != "compared") == 0
+
+
+def test_concurrent_merge_and_compact_converge(spark, tmp_path):
+    """Optimistic concurrency: a merge and a compact racing on the same
+    table — the snapshot swap is atomic (O_EXCL), the compact rebases on
+    conflict, no rows are lost or duplicated, vacuum leaves no corruption."""
+    import threading
+
+    t = _mk_mor_t(spark, tmp_path, "race")
+    rows0 = [("I", f"doc-{i:05d}", i, [i], 1, "web") for i in range(400)]
+    t.merge(_changes(spark, rows0), batch_id=0)
+    assert t.delta_ratio() == 1.0
+
+    errs = []
+    results = {}
+
+    def do_merge():
+        try:
+            rows = [("U", f"doc-{i:05d}", 1000 + i, [i + 1], 1, "web") for i in range(0, 400, 4)]
+            results["merge"] = t.merge(_changes(spark, rows), batch_id=1)
+        except Exception as e:  # noqa: BLE001
+            errs.append(("merge", e))
+
+    def do_compact():
+        try:
+            results["compact"] = LakeTable.load(spark, t.path).compact()
+        except Exception as e:  # noqa: BLE001
+            errs.append(("compact", e))
+
+    th = [threading.Thread(target=do_merge), threading.Thread(target=do_compact)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs, errs
+    # both landed (compact possibly after a rebase retry): versions distinct
+    assert results["merge"]["version"] != results["compact"]["version"]
+    # final state: 400 keys, the 100 updated ones at their new lsn
+    got = {r["doc_id"]: r["lsn"] for r in t.read().collect()}
+    assert len(got) == 400
+    for i in range(0, 400, 4):
+        assert got[f"doc-{i:05d}"] == 1000 + i
+    t.vacuum()
+    got2 = {r["doc_id"]: r["lsn"] for r in t.read().collect()}
+    assert got2 == got
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_intra_batch_duplicate_redelivery_collapses(spark, tmp_path, mode):
+    """An at-least-once source re-delivering the SAME (key, lsn) event
+    inside one micro-batch must yield ONE row from read() (ADVICE r2)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / f"dup-{mode}"), schema=STATE_SCHEMA,
+        target_file_rows=200, merge_mode=mode,
+    )
+    dup = ("I", "a", 7, [7], 1, "web")
+    t.merge(_changes(spark, [dup, dup, ("I", "b", 8, [8], 1, "web")]), batch_id=0)
+    rows = t.read().collect()
+    assert len(rows) == 2
+    assert {r["doc_id"] for r in rows} == {"a", "b"}

@@ -426,10 +426,16 @@ def latest_wins(df: DataFrame, key: str = "doc_id", seq: str = "lsn") -> DataFra
 
 def broadcast_key_limit(spark) -> int:
     """Max narrow-key-set size we broadcast in merge/dedup joins; above it,
-    shuffled hash joins. Tune per deployment via spark.ztdf.broadcastKeyLimit
-    (executor heaps must hold the hashed relation; default sized for
-    multi-GB executor heaps)."""
-    return int(spark.conf.get("spark.ztdf.broadcastKeyLimit", "16000000"))
+    shuffled hash joins. Tune per deployment via spark.ztdf.broadcastKeyLimit.
+
+    Heap sizing: a broadcast winner row is ~30 B of data but ~60-100 B as a
+    JVM hashed relation, and EVERY executor holds one full copy next to its
+    scan/shuffle buffers — the default 8M keys ≈ 0.5-0.8 GB, safe for the
+    4 GB+ executor heaps this engine targets (the scaling bench runs 12 GB
+    executors at exactly this limit). Raise it only with the heap to match;
+    above the limit the join degrades gracefully to shuffled-hash (never
+    sort-merge — sorting wide rows is the cost this knob exists to avoid)."""
+    return int(spark.conf.get("spark.ztdf.broadcastKeyLimit", "8000000"))
 
 
 def latest_wins_join(

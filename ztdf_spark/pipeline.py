@@ -70,10 +70,21 @@ class PipelineConfig:
     # scaling-efficiency killer. 'cow' remains available for small tables
     # where read-path simplicity wins.
     merge_mode: str = "mor"
-    # fold MOR deltas into clustered base files every k batches (None =
-    # caller-scheduled). Compaction is maintenance, not ingest: it runs
-    # AFTER the batch commit, off the exactly-once path.
+    # MOR delta compaction policy. Compaction is maintenance, not ingest:
+    # it runs AFTER the batch commit, off the exactly-once path.
+    #   compact_every=k     — fixed cadence (every k batches)
+    #   compact_every=None  — RATIO-DRIVEN (default): compact when the
+    #       snapshot's delta_ratio ≥ compact_delta_ratio AND at least
+    #       compact_min_delta_rows delta rows have accumulated (the floor
+    #       keeps small tables / short benches from thrashing; both checks
+    #       are O(#manifests) snapshot arithmetic, no I/O). An unattended
+    #       MOR stream therefore has BOUNDED read()-reconstruction cost:
+    #       delta rows never exceed max(compact_min_delta_rows,
+    #       ratio_bound(table)) between compactions.
+    #   compact_delta_ratio=None — never auto-compact (caller-scheduled)
     compact_every: int | None = None
+    compact_delta_ratio: float | None = 0.5
+    compact_min_delta_rows: int = 4_000_000
     # pre-encrypt latest-wins dedup policy (MOR only — COW always dedups):
     #   'always' — dedup every batch (hot-key streams: crypto only on winners)
     #   'never'  — shuffle-free map-only ingest; read-time latest-wins is
@@ -392,15 +403,24 @@ class CdcPipeline:
         t_sink = time.monotonic()
 
         compacted = False
-        if (
-            self.cfg.compact_every
-            and not mstats.get("noop")
-            and (batch_id + 1) % self.cfg.compact_every == 0
-        ):
-            cstats = self.table.compact()
-            compacted = not cstats.get("noop")
-            if compacted:
-                mstats = {**mstats, "version": cstats["version"]}
+        if not mstats.get("noop"):
+            if self.cfg.compact_every:
+                do_compact = (batch_id + 1) % self.cfg.compact_every == 0
+            elif self.cfg.compact_delta_ratio is not None:
+                # ratio-driven (default): both signals are manifest-list
+                # arithmetic — no file I/O, no Spark job, on the no-compact
+                # path this costs one snapshot JSON read
+                do_compact = (
+                    self.table.delta_rows() >= self.cfg.compact_min_delta_rows
+                    and self.table.delta_ratio() >= self.cfg.compact_delta_ratio
+                )
+            else:
+                do_compact = False
+            if do_compact:
+                cstats = self.table.compact()
+                compacted = not cstats.get("noop")
+                if compacted:
+                    mstats = {**mstats, "version": cstats["version"]}
 
         dt = time.monotonic() - t0
         audit = {
