@@ -175,6 +175,36 @@ def q_cdc_attr_explode(spark, sf_dir):
     )
 
 
+def q_cdc_el_properties(spark, sf_dir):
+    """Per-property NiFi expression-language evaluation
+    (AbstractTDFProcessor.java:113-115: ``isExpressionLanguagePresent() ?
+    evaluateAttributeExpressions() : propertyValue``). Property templates
+    compile ONCE on the driver into Catalyst Column trees (ztdf_spark/el.py)
+    and evaluate per row inside whole-stage codegen — flow-file attributes
+    are row columns here. `policy_rev` has no EL so it stays a constant,
+    exactly the reference's gate."""
+    from ztdf_spark.el import el_columns
+
+    b = _binlog(spark, sf_dir)
+    props = el_columns(
+        {
+            "endpoint": "https://kas-${source:substring(0,4):toUpper()}.example.com/v2",
+            "size_class": "${n_tok:multiply(4):gt(8192):ifElse('jumbo','standard')}",
+            "kas_defaulted": "${kas_url:isEmpty()}",
+            "doc_serial": "${doc_id:substringAfter('doc-'):toNumber()}",
+            "policy_rev": "r17",
+        }
+    )
+    return (
+        b.withColumns(props)
+        .groupBy("endpoint", "size_class", "kas_defaulted", "policy_rev")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("doc_serial").cast("long").alias("serial_sum"),
+        )
+    )
+
+
 def q_cdc_lineage_batches(spark, sf_dir):
     b = _binlog(spark, sf_dir)
     return (
@@ -532,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_route_counts": q_cdc_route_counts,
         "cdc_kas_resolution": q_cdc_kas_resolution,
         "cdc_attr_explode": q_cdc_attr_explode,
+        "cdc_el_properties": q_cdc_el_properties,
         "cdc_lineage_batches": q_cdc_lineage_batches,
         "cdc_hot_keys": q_cdc_hot_keys,
         "cdc_encrypt_roundtrip": q_cdc_encrypt_roundtrip,
@@ -555,7 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_text_token_counts,
         "corpus_filter": q_corpus_filter,
         "ann_topk_quantized": q_ann_topk_quantized,
-        "ann_topk_cosine": q_ann_topk_cosine,  # rows-only
+        "ann_topk_cosine": q_ann_topk_cosine,
         "ann_lsh": q_ann_lsh,  # rows-only
         "ann_signbit_lsh": q_ann_signbit_lsh,
         "ann_ivf": q_ann_ivf,  # rows-only
@@ -609,6 +640,22 @@ def oracle_sql() -> dict[str, str]:
                  x -> trim(x)), x -> x <> '')) AS attr
           FROM binlog)
         GROUP BY attr
+        """,
+        "cdc_el_properties": _BINLOG_CTE
+        + """
+        , stamped AS (
+          SELECT
+            'https://kas-' || upper(substr(source, 1, 4)) || '.example.com/v2' AS endpoint,
+            CASE WHEN n_tok * 4 > 8192 THEN 'jumbo' ELSE 'standard' END AS size_class,
+            (kas_url IS NULL OR trim(kas_url) = '') AS kas_defaulted,
+            'r17' AS policy_rev,
+            CAST(CASE WHEN position('doc-' IN doc_id) > 0
+                      THEN substr(doc_id, position('doc-' IN doc_id) + 4)
+                      ELSE doc_id END AS BIGINT) AS doc_serial
+          FROM binlog)
+        SELECT endpoint, size_class, kas_defaulted, policy_rev,
+               COUNT(*) AS n_events, CAST(SUM(doc_serial) AS BIGINT) AS serial_sum
+        FROM stamped GROUP BY 1, 2, 3, 4
         """,
         "cdc_lineage_batches": _BINLOG_CTE
         + """
@@ -846,6 +893,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, dot_q, rank FROM (
           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                      ORDER BY dot_q DESC, neighbor_id ASC) AS BIGINT) AS rank
+          FROM scored)
+        WHERE rank <= 5
+        """,
+        "ann_topk_cosine": """
+        WITH dv AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+          FROM dv q JOIN dv c ON q.vec_id < 10 AND c.vec_id >= 10)
+        SELECT query_id, neighbor_id, cos, rank FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
           FROM scored)
         WHERE rank <= 5
         """,

@@ -121,9 +121,12 @@ def main_impl(args):
     # realistic (2:1) rather than the hot-key-heavy correctness workload
     # file count chosen so each micro-batch's task count divides evenly
     # into whole waves at BOTH levels (wave-quantization-free tails):
-    # 256 files / 4 batches = 64 single-file tasks = 8 waves of 8 / 32 of 2
+    # e.g. 512 files / 4 batches = 128 single-file tasks = 16 waves of 8 /
+    # 64 of 2. More waves per batch shrinks the last-wave straggler tail,
+    # which costs the 4N level proportionally more (fewer waves per batch).
+    nfiles = args.files or max(256, args.n * 64)
     binlog = bench.ensure_binlog(
-        args.events, n_files=max(256, args.n * 64), n_docs=args.events // args.docs_ratio
+        args.events, n_files=nfiles, n_docs=args.events // args.docs_ratio
     )
     zpath = build_zip()
 
@@ -165,7 +168,6 @@ def main_impl(args):
         json.dump(result, f, indent=1)
 
     ec = args.exec_cores
-    nfiles = max(256, args.n * 64)
     verify_line = ""
     if args.verify:
         vp = all(levels[k].get("verify_pass") for k in (n, n4))
@@ -311,6 +313,8 @@ if __name__ == "__main__":
     # saturation, a local-mode artifact a multi-executor cluster (separate
     # JVMs, separate heaps, separate disks) does not share.
     ap.add_argument("--events", type=int, default=16_000_000)
+    ap.add_argument("--files", type=int, default=None,
+                    help="WAL segment count (default max(256, n*64)); keep divisible by batches*4N-cores")
     ap.add_argument("--n", type=int, default=1)
     ap.add_argument("--docs-ratio", type=int, default=2, dest="docs_ratio")
     ap.add_argument("--batches", type=int, default=2)

@@ -1,0 +1,169 @@
+"""NiFi expression-language analog (ztdf_spark/el.py): templates compile to
+Catalyst columns and match NiFi EL guide semantics per row.
+
+Reference behavior being mirrored: AbstractTDFProcessor.java:113-115
+(evaluate only when EL is present) and AbstractToProcessor.java:56-62
+(attribute-driven config like kas_url)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ztdf_spark.el import ELSyntaxError, compile_template, el_columns, is_el
+
+
+@pytest.fixture(scope="module")
+def rows(spark):
+    return spark.createDataFrame(
+        [
+            ("a1", "  Alpha  ", "purchase", 7, "https://kas.example.com"),
+            ("b2", "beta", "signup", 2100, None),
+            ("c3", "", "error", 0, "  "),
+            ("d4", None, "update", 512, "k1,k2"),
+        ],
+        "id string, name string, source string, n_tok long, kas_url string",
+    )
+
+
+def _vals(df, col):
+    return [r[0] for r in df.select(col).orderBy("id").collect()]
+
+
+def _eval(rows, template):
+    return [
+        r[0]
+        for r in rows.select(compile_template(template).alias("v"), "id").orderBy("id").collect()
+    ]
+
+
+def test_is_el_gate():
+    assert is_el("${a}")
+    assert is_el("x${a:trim()}y")
+    assert not is_el("plain value")
+    assert not is_el("price in $$ {not el}")
+    assert not is_el(True)
+    # $$ escapes one $, the following ${..} IS el (NiFi escaping rule)
+    assert is_el("$$${a}")
+
+
+def test_plain_attr_and_mixed_text(rows):
+    assert _eval(rows, "${source}") == ["purchase", "signup", "error", "update"]
+    assert _eval(rows, "ep-${source}/v2") == [
+        "ep-purchase/v2",
+        "ep-signup/v2",
+        "ep-error/v2",
+        "ep-update/v2",
+    ]
+    # $$ renders as a literal dollar, the ${..} after it still evaluates
+    assert _eval(rows, "$$${n_tok}") == ["$7", "$2100", "$0", "$512"]
+
+
+def test_string_chain(rows):
+    got = _eval(rows, "${name:trim():toUpper():append('!')}")
+    assert got == ["ALPHA!", "BETA!", "!", None]
+    assert _eval(rows, "${source:substring(0,4):toUpper()}") == ["PURC", "SIGN", "ERRO", "UPDA"]
+    assert _eval(rows, "${source:substringBefore('ch')}") == ["pur", "signup", "error", "update"]
+    assert _eval(rows, "${source:substringAfter('ch')}") == ["ase", "signup", "error", "update"]
+    assert _eval(rows, "${name:replace('a','o')}") == ["  Alpho  ", "beto", "", None]
+    assert _eval(rows, "${id:replaceAll('[0-9]+','#')}") == ["a#", "b#", "c#", "d#"]
+    assert _eval(rows, "${id:padLeft(4,'0')}") == ["00a1", "00b2", "00c3", "00d4"]
+
+
+def test_null_and_empty_handling(rows):
+    assert _eval(rows, "${kas_url:replaceNull('D')}") == [
+        "https://kas.example.com",
+        "D",
+        "  ",
+        "k1,k2",
+    ]
+    # replaceEmpty also swallows whitespace-only and null (NiFi semantics)
+    assert _eval(rows, "${kas_url:replaceEmpty('D')}") == [
+        "https://kas.example.com",
+        "D",
+        "D",
+        "k1,k2",
+    ]
+    assert _eval(rows, "${kas_url:isEmpty()}") == [False, True, True, False]
+    assert _eval(rows, "${name:isNull():ifElse('missing','present')}") == [
+        "present",
+        "present",
+        "present",
+        "missing",
+    ]
+
+
+def test_boolean_and_numeric(rows):
+    assert _eval(rows, "${n_tok:multiply(4):gt(8192):ifElse('jumbo','standard')}") == [
+        "standard",
+        "jumbo",
+        "standard",
+        "standard",
+    ]
+    assert _eval(rows, "${n_tok:plus(1):toString()}") == ["8", "2101", "1", "513"]
+    assert _eval(rows, "${source:equals('error'):or(${n_tok:gt(1000)})}") == [
+        False,
+        True,
+        True,
+        False,
+    ]
+    assert _eval(rows, "${source:matches('pur.*')}") == [True, False, False, False]
+    assert _eval(rows, "${source:find('r')}") == [True, False, True, False]
+    # substringAfter falls through to the whole subject when absent, and a
+    # non-numeric cast is a SQL null, not an error
+    assert _eval(rows, "${id:substringAfter('a'):toNumber()}") == [1, None, None, None]
+
+
+def test_embedded_expression_args(rows):
+    assert _eval(rows, "${source:append(${id})}") == [
+        "purchasea1",
+        "signupb2",
+        "errorc3",
+        "updated4",
+    ]
+    assert _eval(rows, "${literal('kas-'):append(${source:substring(0,3)})}") == [
+        "kas-pur",
+        "kas-sig",
+        "kas-err",
+        "kas-upd",
+    ]
+
+
+def test_el_columns_constant_gate(rows):
+    cols = el_columns({"a": "no el here", "b": "${source:toUpper()}"})
+    out = rows.withColumns(cols)
+    got = [(r["a"], r["b"]) for r in out.orderBy("id").collect()]
+    assert got[0] == ("no el here", "PURCHASE")
+
+
+def test_whole_stage_codegen_no_python(rows, spark):
+    """The entire stamped projection must be Catalyst-only: no
+    BatchEvalPython/ArrowEvalPython node may appear in the physical plan."""
+    cols = el_columns(
+        {
+            "endpoint": "https://kas-${source:substring(0,4):toUpper()}.example.com/v2",
+            "cls": "${n_tok:multiply(4):gt(8192):ifElse('jumbo','standard')}",
+        }
+    )
+    df = rows.withColumns(cols)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    # codegen'd stages render as "*(n)" in the executed-plan tree
+    assert "*(" in plan or "WholeStageCodegen" in plan
+
+
+def test_syntax_errors():
+    for bad in (
+        "${a:uuid()}",  # nondeterministic — unsupported by design
+        "${now()}",
+        "${a:substring(}",
+        "${a",
+        "${a:unknownFn()}",
+        "${a:equals('x','y')}",  # arity
+    ):
+        with pytest.raises(ELSyntaxError):
+            compile_template(bad)
+
+
+def test_quoted_attribute_name(spark):
+    df = spark.createDataFrame([("v",)], ["weird.name"])
+    got = df.select(compile_template("${'weird.name'}:ok").alias("v")).collect()
+    assert got[0][0] == "v:ok"

@@ -195,3 +195,34 @@ def test_pathological_hot_key_batch(spark, tmp_path):
     assert sum(v for k, v in res.items() if k != "compared") == 0
     # amplification was measured and recorded per batch
     assert all("amplification_est" in a for a in audits)
+
+
+def test_el_attribute_properties_stamp(spark, tmp_path, binlog_dir):
+    """UpdateAttribute-with-EL stage (AbstractTDFProcessor.java:113-115):
+    per-property templates compile once, evaluate per row, and the stamped
+    columns ride the full pipeline — into the lake state as data attributes
+    AND onto DLQ rows — while non-EL properties stay constants."""
+    pipe = _pipe(
+        spark,
+        tmp_path / "elp",
+        attribute_properties={
+            "tenant": "acme",  # no EL → constant (the reference's gate)
+            "shard": "${doc_id:substringAfter('doc-'):toNumber():mod(4)}",
+            "ingest_tier": "${n_tok:gt(100):ifElse('bulk','light')}",
+        },
+    )
+    pipe.run_stream(binlog_dir)
+    state = pipe.table.read()
+    assert {"tenant", "shard", "ingest_tier"} <= set(state.columns)
+    rows = state.select("doc_id", "n_tok", "tenant", "shard", "ingest_tier").collect()
+    assert rows and all(r["tenant"] == "acme" for r in rows)
+    for r in rows:
+        assert r["shard"] == int(r["doc_id"].split("doc-")[1]) % 4
+        assert r["ingest_tier"] == ("bulk" if r["n_tok"] > 100 else "light")
+    # DLQ rows (failure route) carry the stamped attributes too
+    dlq = spark.read.parquet(os.path.join(str(tmp_path / "elp"), "dlq"))
+    assert {"tenant", "shard", "ingest_tier"} <= set(dlq.columns)
+    assert dlq.filter(F.col("tenant") != "acme").count() == 0
+    # round-trip still exact with the extra attribute columns present
+    res = pipe.verify_roundtrip(binlog_dir)
+    assert sum(v for k, v in res.items() if k != "compared") == 0

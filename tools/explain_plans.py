@@ -89,6 +89,17 @@ def main():
         ],
     )
 
+    elq = em.q_cdc_el_properties(spark, sf)
+    dump(
+        "cdc_el_properties",
+        elq,
+        [
+            ("EL templates stay Catalyst-only (no Python eval)", r"EvalPython", False),
+            ("stamped projection is codegen'd", r"\* (HashAggregate|Project)", True),
+            ("partial agg before exchange", r"partial", True),
+        ],
+    )
+
     q1 = em.q_tpch_q1_quantized(spark, sf)
     dump(
         "tpch_q1",

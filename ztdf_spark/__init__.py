@@ -9,6 +9,9 @@ SimpleOpenTDFControllerService), re-expressed Spark-first:
                    deterministic nonces, local KAS emulation via AES-KEK wrap
 - ``ops``        — vectorized Arrow/pandas-UDF operator layer + Catalyst-side
                    routing (success / failure / exceeds_size_limit)
+- ``el``         — NiFi expression-language analog: property templates
+                   compiled once into Catalyst Column expressions (reference
+                   ``AbstractTDFProcessor.java:113-115``)
 - ``lake``       — minimal Iceberg-v2-semantics table format over Parquet
                    (atomic snapshot commits, copy-on-write MERGE, additive
                    schema evolution, time travel, batch-id fencing)

@@ -107,6 +107,13 @@ class PipelineConfig:
     # WAL segment encoding: 'parquet' (columnar segments) or 'json'
     # (JSON-lines, the debezium-style wire format) — same schema contract
     source_format: str = "parquet"
+    # UpdateAttribute-with-EL properties: {column: template}. Templates may
+    # use the NiFi expression-language subset (ztdf_spark/el.py) over the
+    # batch's columns; non-EL values become constants. Stamped BEFORE
+    # routing, so stamped columns ride the whole pipeline as data
+    # attributes (DLQ rows keep them; the lake's additive schema evolution
+    # admits new names).
+    attribute_properties: dict[str, str] | None = None
 
     @property
     def lake_path(self) -> str:
@@ -219,6 +226,16 @@ class CdcPipeline:
         # last observed update amplification (events / distinct keys) for
         # dedup_mode='auto'; None → batch 0 dedups conservatively
         self._last_amp: float | None = None
+        # UpdateAttribute-with-EL stage: property templates compile ONCE per
+        # pipeline into Catalyst Column trees (reference evaluates EL per
+        # FlowFile, AbstractTDFProcessor.java:113-115 — here the compiled
+        # expression runs per row inside whole-stage codegen)
+        if cfg.attribute_properties:
+            from .el import el_columns
+
+            self._attr_cols = el_columns(cfg.attribute_properties)
+        else:
+            self._attr_cols = None
 
     def _ensure_table(self) -> LakeTable:
         if LakeTable.exists(self.cfg.lake_path):
@@ -289,6 +306,8 @@ class CdcPipeline:
         import shutil
 
         t0 = time.monotonic()
+        if self._attr_cols:
+            batch = batch.withColumns(self._attr_cols)
         extra_cols = [c for c in batch.columns if c not in _CORE_COLS]
         mor = self.table.snapshot().get("merge_mode", "cow") == "mor"
 
