@@ -205,6 +205,43 @@ def q_cdc_el_properties(spark, sf_dir):
     )
 
 
+def q_cdc_changes_feed(spark, sf_dir):
+    """Incremental change feed — the CDC *output* side (`LakeTable.changes`,
+    the Iceberg changelog-scan / Delta CDF analog). Replays the binlog into
+    a MOR lake as two snapshot commits (events split by lsn % 3), then
+    emits the NET row-level changes between the snapshots. The DuckDB
+    oracle diffs the two latest-wins states at the same split — so this
+    entry pins winner reconstruction, tombstone handling, and net-change
+    classification end-to-end through the real table format."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ztdf_spark.lake import LakeTable
+
+    b = _binlog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("n_tok", T.LongType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, os.path.join(tempfile.mkdtemp(prefix="ztdf-chfeed-"), "t"),
+        schema, key_col="doc_id", seq_col="lsn", merge_mode="mor",
+    )
+    cols = ["op", "doc_id", "lsn", "n_tok", "source"]
+    t.merge(b.filter(F.col("lsn") % 3 != 0).select(*cols), batch_id=0)
+    v1 = t.current_version()
+    t.merge(b.filter(F.col("lsn") % 3 == 0).select(*cols), batch_id=1)
+    v2 = t.current_version()
+    return t.changes(v1, v2).select(
+        "doc_id", "lsn", "n_tok", "source", F.col("_change_type").alias("change_type")
+    )
+
+
 def q_cdc_lineage_batches(spark, sf_dir):
     b = _binlog(spark, sf_dir)
     return (
@@ -563,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_kas_resolution": q_cdc_kas_resolution,
         "cdc_attr_explode": q_cdc_attr_explode,
         "cdc_el_properties": q_cdc_el_properties,
+        "cdc_changes_feed": q_cdc_changes_feed,
         "cdc_lineage_batches": q_cdc_lineage_batches,
         "cdc_hot_keys": q_cdc_hot_keys,
         "cdc_encrypt_roundtrip": q_cdc_encrypt_roundtrip,
@@ -656,6 +694,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT endpoint, size_class, kas_defaulted, policy_rev,
                COUNT(*) AS n_events, CAST(SUM(doc_serial) AS BIGINT) AS serial_sum
         FROM stamped GROUP BY 1, 2, 3, 4
+        """,
+        "cdc_changes_feed": _BINLOG_CTE
+        + """
+        , w1 AS (
+          SELECT doc_id, lsn, op,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+          FROM binlog WHERE lsn % 3 <> 0),
+        s1 AS (SELECT doc_id, lsn, (op = 'D') AS dead FROM w1 WHERE rn = 1),
+        w2 AS (
+          SELECT doc_id, lsn, n_tok, source, op,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+          FROM binlog),
+        s2 AS (SELECT doc_id, lsn, n_tok, source, (op = 'D') AS dead FROM w2 WHERE rn = 1),
+        j AS (
+          SELECT s2.doc_id, s2.lsn, s2.n_tok, s2.source,
+                 s2.dead AS t_dead, s1.dead AS f_dead, s1.lsn AS f_lsn,
+                 (s1.doc_id IS NOT NULL) AS f_has
+          FROM s2 LEFT JOIN s1 ON s2.doc_id = s1.doc_id),
+        typed AS (
+          SELECT doc_id, lsn, n_tok, source,
+                 CASE
+                   WHEN NOT t_dead AND (NOT f_has OR f_dead) THEN 'insert'
+                   WHEN NOT t_dead AND f_has AND NOT f_dead AND lsn <> f_lsn THEN 'update'
+                   WHEN t_dead AND f_has AND NOT f_dead THEN 'delete'
+                 END AS change_type
+          FROM j)
+        SELECT doc_id, lsn, n_tok, source, change_type
+        FROM typed WHERE change_type IS NOT NULL
         """,
         "cdc_lineage_batches": _BINLOG_CTE
         + """

@@ -586,3 +586,140 @@ def test_intra_batch_duplicate_redelivery_collapses(spark, tmp_path, mode):
     rows = t.read().collect()
     assert len(rows) == 2
     assert {r["doc_id"] for r in rows} == {"a", "b"}
+
+
+# ---------------------------------------------------------------------------
+# Round 3: incremental change feed — changes(), the CDC OUTPUT side
+# (Iceberg changelog-scan / Delta CDF analog)
+# ---------------------------------------------------------------------------
+
+
+def _py_state(events):
+    """Latest-wins winner per key, tombstone winners included."""
+    best = {}
+    for op, k, lsn, *_ in events:
+        if k not in best or lsn > best[k][1]:
+            best[k] = (op, lsn)
+    return best
+
+
+def _py_changes(events_from, events_to):
+    """Brute-force net change oracle: {key: (change_type, to_winner_lsn)}."""
+    sa, sb = _py_state(events_from), _py_state(events_to)
+    out = {}
+    for k, (op_b, lsn_b) in sb.items():
+        live_b = op_b != "D"
+        wa = sa.get(k)
+        live_a = wa is not None and wa[0] != "D"
+        if live_b and not live_a:
+            out[k] = ("insert", lsn_b)
+        elif live_b and live_a and lsn_b != wa[1]:
+            out[k] = ("update", lsn_b)
+        elif not live_b and live_a:
+            out[k] = ("delete", lsn_b)
+    return out
+
+
+def test_changes_feed_net_semantics(spark, tmp_path):
+    """One row per net-changed key; intra-interval churn collapses; stale
+    cross-batch updates and insert-then-delete emit nothing; delete rows
+    carry the tombstone event's own seq."""
+    t = _mk_mor(spark, tmp_path, "chg")
+    b0 = [("I", "a", 1, [1], 1, "web"), ("I", "b", 2, [2], 1, "web"), ("I", "c", 3, [3], 1, "code")]
+    t.merge(_changes(spark, b0), batch_id=0)
+    v1 = t.current_version()
+    t.merge(_changes(spark, [("U", "a", 10, [10], 1, "web"), ("D", "b", 11, None, None, None),
+                             ("I", "d", 12, [12], 1, "web")]), batch_id=1)
+    t.merge(_changes(spark, [("D", "d", 13, None, None, None),
+                             ("U", "c", 2, [9], 1, "code")]), batch_id=2)  # stale for c
+    v3 = t.current_version()
+    got = {r["doc_id"]: (r["_change_type"], r["lsn"]) for r in t.changes(v1, v3).collect()}
+    # c unchanged (stale update lost), d inserted+deleted inside → nothing
+    assert got == {"a": ("update", 10), "b": ("delete", 11)}
+    # to_version defaults to current
+    got2 = {r["doc_id"]: (r["_change_type"], r["lsn"]) for r in t.changes(v1).collect()}
+    assert got2 == got
+    # post-image payload columns come from the to-winner
+    a_row = t.changes(v1, v3).filter(F.col("doc_id") == "a").collect()[0]
+    assert a_row["tokens"] == [10]
+    assert t.changes(v3, v3).count() == 0
+    with pytest.raises(ValueError):
+        t.changes(v3, v1)
+
+
+def test_changes_fast_path_is_pruned_semi_join(spark, tmp_path):
+    """Delta-only intervals must take the touched-keys fast path: the plan
+    carries LeftSemi probes and no full-table winner diff."""
+    t = _mk_mor(spark, tmp_path, "chgplan")
+    t.merge(_changes(spark, [("I", f"k{i:03d}", i, [i], 1, "web") for i in range(1, 51)]), batch_id=0)
+    v1 = t.current_version()
+    t.merge(_changes(spark, [("U", "k001", 100, [100], 1, "web")]), batch_id=1)
+    v2 = t.current_version()
+    df = t.changes(v1, v2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    got = {r["doc_id"]: r["_change_type"] for r in df.collect()}
+    assert got == {"k001": "update"}
+
+
+def test_changes_across_compaction_falls_back_correct(spark, tmp_path):
+    """A compaction inside the interval adds non-delta files → full winner
+    diff; results still match the brute-force oracle."""
+    t = _mk_mor(spark, tmp_path, "chgcomp")
+    b0 = [("I", "a", 1, [1], 1, "web"), ("I", "b", 2, [2], 1, "web")]
+    t.merge(_changes(spark, b0), batch_id=0)
+    v1 = t.current_version()
+    b1 = [("U", "a", 5, [5], 1, "web"), ("D", "b", 6, None, None, None),
+          ("I", "e", 7, [7], 1, "code")]
+    t.merge(_changes(spark, b1), batch_id=1)
+    t.compact()
+    vN = t.current_version()
+    expect = _py_changes(b0, b0 + b1)
+    got = {r["doc_id"]: (r["_change_type"], r["lsn"]) for r in t.changes(v1, vN).collect()}
+    assert got == expect
+
+
+def test_property_changes_matches_oracle_both_modes(spark, tmp_path):
+    """Property: for random CDC batch sequences and a random snapshot split,
+    changes(v_split, v_final) == the brute-force winner-state diff — in MOR
+    (delta fast path) and COW (non-delta full path) alike."""
+    from hypothesis import given, settings, strategies as st
+
+    keys = [f"k{i}" for i in range(6)]
+    event = st.tuples(st.sampled_from(["I", "U", "D"]), st.sampled_from(keys))
+    seq = st.lists(st.lists(event, min_size=1, max_size=6), min_size=2, max_size=4)
+    counter = [0]
+
+    @settings(max_examples=6, deadline=None)
+    @given(seq, st.data())
+    def run(batches, data):
+        counter[0] += 1
+        import random
+
+        n_ev = sum(len(b) for b in batches)
+        lsns = list(range(1, n_ev + 1))
+        random.Random(counter[0]).shuffle(lsns)
+        it = iter(lsns)
+        rows_per_batch = [
+            [(op, k, next(it), [ord(k[-1])], 1, "w") for op, k in b] for b in batches
+        ]
+        split = data.draw(st.integers(min_value=1, max_value=len(rows_per_batch) - 1))
+        ev_from = [r for b in rows_per_batch[:split] for r in b]
+        ev_to = [r for b in rows_per_batch for r in b]
+        expect = _py_changes(ev_from, ev_to)
+        for mode in ("mor", "cow"):
+            t = LakeTable.create(
+                spark, str(tmp_path / f"chprop{counter[0]}-{mode}"), schema=STATE_SCHEMA,
+                target_file_rows=200, merge_mode=mode,
+            )
+            versions = []
+            for bid, rows in enumerate(rows_per_batch):
+                t.merge(_changes(spark, rows), batch_id=bid)
+                versions.append(t.current_version())
+            got = {
+                r["doc_id"]: (r["_change_type"], r["lsn"])
+                for r in t.changes(versions[split - 1], versions[-1]).collect()
+            }
+            assert got == expect, f"{mode}: {got} vs {expect}"
+
+    run()

@@ -324,17 +324,25 @@ class LakeTable:
         live = self._winners_df(snap).filter(~F.coalesce(F.col(_TOMBSTONE), F.lit(False)))
         return live.select(*[f.name for f in schema.fields])
 
-    def _winners_df(self, snap: dict) -> DataFrame:
+    def _winners_df(self, snap: dict, files: list[dict] | None = None) -> DataFrame:
         """Latest-wins rows per key INCLUDING delete-tombstone winners
         (``_tombstone`` column retained). Tombstones must survive until the
         key is overwritten by a newer event — dropping them would let an
         out-of-order stale update resurrect a deleted key (found by the
-        MOR/COW/oracle property test)."""
+        MOR/COW/oracle property test).
+
+        ``files``: optional snapshot-file subset — winners are only valid
+        for keys ALL of whose rows live in the subset (callers pass a
+        key-range-matched superset from ``_matched_files``, e.g. the
+        ``changes()`` incremental fast path)."""
         schema = T.StructType.fromJson(snap["schema"])
-        files = self._files(snap)
-        paths = [os.path.join(self._data_dir, f["path"]) for f in files]
+        if files is None:
+            files = self._files(snap)
         key_col, seq_col = snap["key_col"], snap["seq_col"]
         read_schema = T.StructType(list(schema.fields) + [T.StructField(_TOMBSTONE, T.BooleanType())])
+        if not files:
+            return self.spark.createDataFrame([], read_schema)
+        paths = [os.path.join(self._data_dir, f["path"]) for f in files]
         base = self.spark.read.schema(read_schema).parquet(*paths)
         if not any(f.get("delta") for f in files):
             return base  # COW/compacted: already one row per key
@@ -352,11 +360,11 @@ class LakeTable:
         )
         from .ops import broadcast_key_limit
 
-        # broadcast decision: total snapshot rows is an UPPER BOUND on
-        # distinct keys (the broadcast side is one row per key) — above the
-        # limit the join degrades to shuffled-hash. See broadcast_key_limit
-        # for the per-executor heap sizing this implies.
-        est_rows, _ = self._totals(snap)
+        # broadcast decision: scanned rows is an UPPER BOUND on distinct
+        # keys (the broadcast side is one row per key) — above the limit
+        # the join degrades to shuffled-hash. See broadcast_key_limit for
+        # the per-executor heap sizing this implies.
+        est_rows = sum(f["rows"] for f in files)
         if est_rows <= broadcast_key_limit(self.spark):
             winners = F.broadcast(winners)
         else:
@@ -367,6 +375,98 @@ class LakeTable:
             & (F.col(seq_col) == F.col("_wseq"))
             & (F.col("_cseq") == F.col("_wcseq")),
         ).select(*[f.name for f in schema.fields], _TOMBSTONE)
+
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental change feed between two snapshots — the CDC *output*
+        side of the engine (Iceberg changelog-scan / Delta CDF analog): NET
+        row-level changes as ``to``-snapshot post-image rows plus a
+        ``_change_type`` column in {'insert','update','delete'}.
+
+        Net semantics: a key whose latest-wins winner differs between the
+        snapshots yields exactly one row — 'insert' if live at ``to`` but
+        absent/deleted at ``from``; 'update' if live at both with a
+        different winning seq; 'delete' if live at ``from`` but deleted (or
+        compacted away) at ``to``. MOR tombstone winners carry the delete
+        event's own columns, so 'delete' rows keep that event's seq.
+        Intermediate churn inside the interval collapses, like Iceberg's
+        net changelog. Identical winners emit nothing.
+
+        Scale: when every file added in ``(from, to]`` is a MOR delta file
+        (the steady-state ingest regime), the changed-key set is bounded by
+        the keys in those files — both winner reconstructions are then
+        key-range-pruned (two-level ``_matched_files``) and semi-joined to
+        the touched keys, so cost is O(changed keys ∪ matched files), NOT
+        O(table). Any non-delta file in the interval (compaction / COW
+        rewrite) falls back to the full winner diff.
+        """
+        snap_to = self.snapshot(to_version)
+        snap_from = self.snapshot(from_version)
+        if snap_from["version"] > snap_to["version"]:
+            raise ValueError(
+                f"from_version {snap_from['version']} is newer than to_version {snap_to['version']}"
+            )
+        key_col, seq_col = snap_to["key_col"], snap_to["seq_col"]
+        schema = T.StructType.fromJson(snap_to["schema"])
+        data_cols = [f.name for f in schema.fields]
+        out_schema = T.StructType(
+            list(schema.fields) + [T.StructField("_change_type", T.StringType())]
+        )
+        from_paths = {f["path"] for f in self._files(snap_from)}
+        new_files = [f for f in self._files(snap_to) if f["path"] not in from_paths]
+        if snap_from["version"] == snap_to["version"] or not new_files:
+            return self.spark.createDataFrame([], out_schema)
+
+        if all(f.get("delta") for f in new_files):
+            from .ops import broadcast_key_limit
+
+            touched = (
+                self.spark.read.schema(schema)
+                .parquet(*[os.path.join(self._data_dir, f["path"]) for f in new_files])
+                .select(key_col)
+                .distinct()
+                .persist()  # reused by both prunes and both semi-joins
+            )
+            small = sum(f["rows"] for f in new_files) <= broadcast_key_limit(self.spark)
+            probe = F.broadcast(touched) if small else touched
+            w_from = self._winners_df(
+                snap_from, self._matched_files(snap_from, touched, key_col)
+            ).join(probe, key_col, "left_semi")
+            w_to = self._winners_df(
+                snap_to, self._matched_files(snap_to, touched, key_col)
+            ).join(probe, key_col, "left_semi")
+        else:
+            w_from = self._winners_df(snap_from)
+            w_to = self._winners_df(snap_to)
+
+        f_side = w_from.select(
+            F.col(key_col).alias("_ck"),
+            F.col(seq_col).alias("_fseq"),
+            F.coalesce(F.col(_TOMBSTONE), F.lit(False)).alias("_fdead"),
+            F.lit(True).alias("_fhas"),
+        )
+        t_side = w_to.select(
+            *data_cols,
+            F.coalesce(F.col(_TOMBSTONE), F.lit(False)).alias("_tdead"),
+            F.lit(True).alias("_thas"),
+        )
+        j = t_side.join(f_side, F.col(key_col) == F.col("_ck"), "full_outer")
+        t_live = F.coalesce(F.col("_thas"), F.lit(False)) & ~F.coalesce(
+            F.col("_tdead"), F.lit(False)
+        )
+        f_live = F.coalesce(F.col("_fhas"), F.lit(False)) & ~F.coalesce(
+            F.col("_fdead"), F.lit(False)
+        )
+        ctype = (
+            F.when(t_live & ~f_live, F.lit("insert"))
+            .when(t_live & f_live & (F.col(seq_col) != F.col("_fseq")), F.lit("update"))
+            .when(~t_live & f_live, F.lit("delete"))
+        )
+        return (
+            j.withColumn("_change_type", ctype)
+            .filter(F.col("_change_type").isNotNull())
+            .withColumn(key_col, F.coalesce(F.col(key_col), F.col("_ck")))
+            .select(*data_cols, "_change_type")
+        )
 
     # ----------------------------------------------------------------- merge
 
@@ -569,6 +669,32 @@ class LakeTable:
         return out
 
     def merge(
+        self,
+        changes: DataFrame,
+        *,
+        batch_id: int | None = None,
+        app_id: str = "default",
+        extra_summary: dict | None = None,
+        retries: int = 2,
+    ) -> dict:
+        """Public MERGE entry — ``_merge_once`` plus optimistic-concurrency
+        retry: losing the atomic snapshot swap to a racing writer (e.g. a
+        concurrent ``compact()``) re-runs the merge from a fresh snapshot.
+        Safe to re-run: data files are staged under the NEW target version
+        each attempt and the exactly-once fence is re-checked, so a retry
+        can never double-apply a batch; orphans from a lost attempt are
+        ``vacuum()`` fodder, never visible."""
+        for attempt in range(retries + 1):
+            try:
+                return self._merge_once(
+                    changes, batch_id=batch_id, app_id=app_id, extra_summary=extra_summary
+                )
+            except CommitConflict:
+                if attempt == retries:
+                    raise
+        raise AssertionError("unreachable")
+
+    def _merge_once(
         self,
         changes: DataFrame,
         *,
