@@ -239,3 +239,57 @@ def test_rewrap_batch_rotates_and_roundtrips(spark):
     )
     got = {r["doc_id"]: list(r["tokens_out"]) for r in dec.collect()}
     assert got == {"d1": [1, 2], "d2": [3, 4]}
+
+
+def test_el_sign_assertions_per_row(spark):
+    """The reference's one EL-bearing property — SIGN_ASSERTIONS
+    (AbstractTDFProcessor.java:123-129) — as a per-row decision: an EL
+    template over row columns decides which records' assertions get RS256
+    bindings; all rows still encrypt and round-trip."""
+    import json as _json
+
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+
+    from ztdf_spark import tdf
+    from ztdf_spark.settings import Settings
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    priv = key.private_bytes(
+        serialization.Encoding.PEM, serialization.PrivateFormat.PKCS8, serialization.NoEncryption()
+    )
+    s = Settings(sign_assertions="${source:equals('web')}", signing_key_pem=priv)
+    adoc = _json.dumps([
+        {"id": "1", "type": "handling", "scope": "payload",
+         "appliesToState": "unencrypted",
+         "statement": {"value": "classified", "format": "txt"}}
+    ])
+    df = spark.createDataFrame(
+        [("d1", 1, [1, 2], "web", adoc), ("d2", 2, [3, 4], "api", adoc),
+         ("d3", 3, [5, 6], "web", adoc)],
+        "doc_id string, lsn long, tokens array<int>, source string, assertions string",
+    ).withColumn("tdf_attribute", F.lit("https://a/attr/x/value/y"))
+    out = ops.encrypt_batch(df, s, "ztdf").select("doc_id", "source", "route", "ciphertext").collect()
+    assert all(r["route"] == "success" for r in out)
+    for r in out:
+        m = tdf.read_manifest(bytes(r["ciphertext"]))
+        has_binding = "binding" in m["assertions"][0]
+        assert has_binding == (r["source"] == "web"), r["doc_id"]
+    # both signed and unsigned records round-trip
+    dec = ops.decrypt_batch(
+        spark.createDataFrame(
+            [(r["doc_id"], bytes(r["ciphertext"])) for r in out],
+            "doc_id string, ciphertext binary",
+        ), s, fmt="ztdf",
+    )
+    got = {r["doc_id"]: list(r["tokens_out"]) for r in dec.collect()}
+    assert got == {"d1": [1, 2], "d2": [3, 4], "d3": [5, 6]}
+
+
+def test_el_sign_assertions_template_validated():
+    from ztdf_spark.settings import ConfigurationError, Settings
+
+    with pytest.raises(ConfigurationError, match="EL template invalid"):
+        Settings(sign_assertions="${source:equals('web')", signing_key_pem=b"-----BEGIN X-----")
+    with pytest.raises(ConfigurationError, match="signing_key_pem"):
+        Settings(sign_assertions="${source:equals('web')}")

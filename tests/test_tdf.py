@@ -301,3 +301,26 @@ def test_rewrap_rotates_kas_without_payload_change():
         tdf.rewrap_ztdf(blob, master_secret=b"other-master-secret!", kas_urls=["https://kas2"])
     with pytest.raises(tdf.TdfError, match="no KAS URL"):
         tdf.rewrap_ztdf(blob, master_secret=MASTER, kas_urls=[])
+
+
+def test_encryptor_per_call_sign_flag():
+    """ZtdfEncryptor.encrypt(sign=...) toggles assertion bindings per call
+    (per-row SIGN_ASSERTIONS); default follows key presence; signed and
+    unsigned manifest templates cache independently."""
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    pem = key.private_bytes(
+        serialization.Encoding.PEM, serialization.PrivateFormat.PKCS8, serialization.NoEncryption()
+    )
+    enc = tdf.ZtdfEncryptor(MASTER, pem)
+    a = tdf.parse_assertion(dict(ASSERTION_DOC))
+    kw = dict(doc_id="d", lsn=1, kas_urls=["https://kas1"],
+              data_attributes=["https://a/attr/x/value/y"], assertions=(a,))
+    m_on = tdf.read_manifest(enc.encrypt(tdf.serialize_tokens([1]), sign=True, **kw))
+    m_off = tdf.read_manifest(enc.encrypt(tdf.serialize_tokens([1]), sign=False, **kw))
+    m_default = tdf.read_manifest(enc.encrypt(tdf.serialize_tokens([1]), **kw))
+    assert m_on["assertions"][0]["binding"]["method"] == "jws"
+    assert "binding" not in m_off["assertions"][0]
+    assert "binding" in m_default["assertions"][0]  # key present → signs

@@ -405,6 +405,13 @@ def compile_template(template: str) -> Column:
     return _compile(_parse_template(template))
 
 
+def validate_template(template: str) -> None:
+    """Parse-only syntax check — pure Python, no Spark session required, so
+    config validation (Settings) can reject bad templates at construction
+    time. Unknown function NAMES are still caught later at compile time."""
+    _parse_template(template)
+
+
 def el_columns(properties: dict[str, str]) -> dict[str, Column]:
     """The UpdateAttribute-with-EL analog: each property whose value
     contains EL compiles per-row; plain values become constants

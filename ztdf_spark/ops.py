@@ -163,7 +163,7 @@ def _encrypt_pandas(
 
     @F.pandas_udf(_ENCRYPT_RESULT)
     def encrypt_udf(
-        it: Iterator[Tuple[pd.Series, pd.Series, pd.Series, pd.Series, pd.Series, pd.Series, pd.Series, pd.Series]],
+        it: Iterator[Tuple[pd.Series, pd.Series, pd.Series, pd.Series, pd.Series, pd.Series, pd.Series, pd.Series, pd.Series]],
     ) -> Iterator[pd.DataFrame]:
         # per-worker init (lazy SDK-singleton analog, AbstractTDFProcessor.java:139-161)
         if fmt == "ztdf":
@@ -173,7 +173,7 @@ def _encrypt_pandas(
         resolve_cache: dict[tuple, tuple] = {}
         assertion_cache: dict[str, list] = {}
 
-        for doc_id, lsn, op, tokens, kas_url, attrs_s, asserts_s, pre_err in it:
+        for doc_id, lsn, op, tokens, kas_url, attrs_s, asserts_s, pre_err, sign_f in it:
             n = len(doc_id)
             out_ct: list = [None] * n
             out_err: list = [None] * n
@@ -186,6 +186,9 @@ def _encrypt_pandas(
             attrs_l = attrs_s.tolist()
             ass_l = asserts_s.tolist()
             pre_l = pre_err.tolist()
+            # per-row SIGN_ASSERTIONS decision (EL-evaluated Catalyst-side;
+            # constant False/True when the property has no EL)
+            sign_l = sign_f.fillna(False).tolist()
             for i in range(n):
                 pe = pre_l[i]
                 if pe is not None:
@@ -225,6 +228,7 @@ def _encrypt_pandas(
                             assertions=assertions,
                             master_secret=master,
                             signing_key_pem=signing_pem,
+                            sign=bool(sign_l[i]),
                         )
                     else:
                         out_ct[i] = encrypt(
@@ -264,6 +268,17 @@ def encrypt_batch(df: DataFrame, settings: Settings, fmt: str = "ztdf") -> DataF
             df = df.withColumn(col, default)
 
     gated = with_pre_route(df, settings, fmt)
+    # SIGN_ASSERTIONS: the reference's EL-capable property
+    # (AbstractTDFProcessor.java:123-129) — a template evaluates per row in
+    # Catalyst; a plain bool is a constant column. The flag rides into the
+    # UDF so the per-worker encryptor caches signed and unsigned manifest
+    # templates separately.
+    if isinstance(settings.sign_assertions, str):
+        from .el import compile_template
+
+        sign_col = compile_template(settings.sign_assertions).cast("boolean")
+    else:
+        sign_col = F.lit(bool(settings.sign_assertions))
     # asNondeterministic: Catalyst's projection collapse would otherwise
     # DUPLICATE the UDF expression into one ArrowEvalPython per referenced
     # struct field (ciphertext, error) — running the crypto twice per row
@@ -281,6 +296,7 @@ def encrypt_batch(df: DataFrame, settings: Settings, fmt: str = "ztdf") -> DataF
             F.col("tdf_attribute"),
             F.col("assertions"),
             F.col("pre_error"),
+            sign_col,
         ),
     )
     mime = ZTDF_MIME if fmt == "ztdf" else NANO_MIME

@@ -50,7 +50,12 @@ class Settings:
     client_secret: str = field(default="local-secret", repr=False)
     use_plaintext: bool = True
     default_kas_url: str | None = "https://kas1.example.com"
-    sign_assertions: bool = False
+    # bool, or a NiFi-EL template string evaluated PER ROW to a boolean —
+    # the reference's one EL-bearing property (SIGN_ASSERTIONS,
+    # AbstractTDFProcessor.java:123-129 via the :113-115 EL gate), e.g.
+    # "${source:equals('web')}" signs only web-sourced records. Template
+    # syntax is validated here; compilation happens in ops.encrypt_batch.
+    sign_assertions: bool | str = False
     signing_key_pem: bytes | None = field(default=None, repr=False)
     master_secret: bytes = field(default=_DEFAULT_TEST_SECRET, repr=False)
     # decrypt-side RS256 assertion-binding verification. The reference
@@ -85,9 +90,16 @@ class Settings:
             raise ConfigurationError("master_secret must be non-empty")
         if self.sign_assertions and not self.signing_key_pem:
             raise ConfigurationError(
-                "sign_assertions=True requires signing_key_pem "
+                "sign_assertions requires signing_key_pem "
                 "(reference: Private Key Controller Service, ConvertToZTDF.java:91-98)"
             )
+        if isinstance(self.sign_assertions, str):
+            from .el import ELSyntaxError, validate_template
+
+            try:
+                validate_template(self.sign_assertions)
+            except ELSyntaxError as e:
+                raise ConfigurationError(f"sign_assertions EL template invalid: {e}") from e
         if self.verify_assertions and not (self.verification_key_pem or self.signing_key_pem):
             raise ConfigurationError(
                 "verify_assertions=True requires verification_key_pem (or signing_key_pem "

@@ -379,8 +379,8 @@ class ZtdfEncryptor:
             c = self._keks[url] = AESGCM(kek_for_kas(self.master, url))
         return c
 
-    def _context(self, kas_urls: tuple, attrs: tuple, assertions: tuple):
-        key = (kas_urls, attrs, assertions)
+    def _context(self, kas_urls: tuple, attrs: tuple, assertions: tuple, sign: bool = True):
+        key = (kas_urls, attrs, assertions, sign)
         ctx = self._ctx.get(key)
         if ctx is None:
             if len(self._ctx) >= self.MAX_CACHE:
@@ -426,7 +426,7 @@ class ZtdfEncryptor:
                 adocs = []
                 for a in assertions:
                     d = a.to_manifest()
-                    if self.signing_pem is not None:
+                    if sign and self.signing_pem is not None:
                         d["binding"] = {
                             "method": "jws",
                             "signature": _sign_assertion_rs256(a, self.signing_pem),
@@ -449,6 +449,7 @@ class ZtdfEncryptor:
         assertions: Sequence[Assertion] = (),
         master_secret: bytes | None = None,  # signature-compat; must equal self.master
         signing_key_pem: bytes | None = None,  # signature-compat
+        sign: bool | None = None,  # per-row SIGN_ASSERTIONS EL decision; None = key-present default
     ) -> bytes:
         kas_urls = tuple(kas_urls)
         attrs = tuple(data_attributes)
@@ -456,7 +457,8 @@ class ZtdfEncryptor:
             raise TdfError("no KAS URL provided via attribute or property")
         if not attrs:
             raise TdfError("no data attribute(s) provided")
-        template_policy, template = self._context(kas_urls, attrs, tuple(assertions))
+        do_sign = (self.signing_pem is not None) if sign is None else bool(sign)
+        template_policy, template = self._context(kas_urls, attrs, tuple(assertions), do_sign)
 
         policy_bytes = template_policy.replace(
             f"@{self._sent}:UUID@", _h(b"policy", doc_id.encode())[:8].hex()
