@@ -1,0 +1,124 @@
+"""ztdf_lake Structured Streaming source (Spark 4 Python Data Source API):
+snapshot-version offsets, per-delta-file partitions, exactly-once resume
+from checkpoint, compaction transparency, schema evolution."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ztdf_spark.lake import LakeTable
+from ztdf_spark.source import ZtdfLakeDataSource
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(ZtdfLakeDataSource)
+
+
+def _mk(spark, tmp_path, name):
+    return LakeTable.create(
+        spark, str(tmp_path / name), schema=STATE_SCHEMA, target_file_rows=200, merge_mode="mor"
+    )
+
+
+def _merge(t, rows, bid):
+    t.merge(
+        t.spark.createDataFrame(rows, "op string, doc_id string, lsn long, n_tok int, source string"),
+        batch_id=bid,
+    )
+
+
+def _drain(spark, path, ckpt, sink_name, start_version=None):
+    r = spark.readStream.format("ztdf_lake").option("path", path)
+    if start_version is not None:
+        r = r.option("startVersion", start_version)
+    out = []
+    q = (
+        r.load()
+        .writeStream.foreachBatch(lambda df, _bid: out.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return out
+
+
+def test_stream_source_raw_feed_and_resume(spark, tmp_path):
+    t = _mk(spark, tmp_path, "src")
+    _merge(t, [("I", "a", 1, 1, "web"), ("I", "b", 2, 1, "web")], 0)
+    _merge(t, [("U", "a", 10, 2, "web"), ("D", "b", 11, None, None)], 1)
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = _drain(spark, t.path, ckpt, "feed1")
+    got = {(r["doc_id"], r["lsn"]): (r["_change_type"], r["_commit_version"]) for r in rows}
+    # RAW append-scan: every committed change event, op mapped from tombstone
+    assert got == {
+        ("a", 1): ("upsert", 1),
+        ("b", 2): ("upsert", 1),
+        ("a", 10): ("upsert", 2),
+        ("b", 11): ("delete", 2),
+    }
+
+    # exactly-once resume: a new commit + restart from the SAME checkpoint
+    # yields only the new commit's rows
+    _merge(t, [("I", "c", 20, 3, "api")], 2)
+    rows2 = _drain(spark, t.path, ckpt, "feed2")
+    assert {(r["doc_id"], r["lsn"], r["_change_type"]) for r in rows2} == {("c", 20, "upsert")}
+
+
+def test_stream_source_skips_compaction_rewrites(spark, tmp_path):
+    """compact() rewrites state without changing it — a change stream that
+    re-emitted compacted rows would double-count; snapshot-chain walking
+    must also survive the compaction REMOVING old delta manifests."""
+    t = _mk(spark, tmp_path, "srcc")
+    _merge(t, [("I", "a", 1, 1, "web"), ("I", "b", 2, 1, "web")], 0)
+    _merge(t, [("U", "a", 5, 2, "web")], 1)
+    t.compact()
+    _merge(t, [("I", "d", 9, 4, "api")], 3)
+    rows = _drain(spark, t.path, str(tmp_path / "ckptc"), "feedc")
+    got = sorted((r["doc_id"], r["lsn"], r["_commit_version"]) for r in rows)
+    assert got == [("a", 1, 1), ("a", 5, 2), ("b", 2, 1), ("d", 9, 4)]
+
+
+def test_stream_source_start_version_and_schema_evolution(spark, tmp_path):
+    t = _mk(spark, tmp_path, "srce")
+    _merge(t, [("I", "a", 1, 1, "web")], 0)
+    v1 = t.current_version()
+    # additive evolution: later batch carries a new column
+    t.merge(
+        t.spark.createDataFrame(
+            [("I", "b", 2, 1, "web", "eu")],
+            "op string, doc_id string, lsn long, n_tok int, source string, region string",
+        ),
+        batch_id=1,
+    )
+    # stream from v1: only the second commit, with the evolved column
+    rows = _drain(spark, t.path, str(tmp_path / "ckpte"), "feede", start_version=v1)
+    assert [(r["doc_id"], r["region"]) for r in rows] == [("b", "eu")]
+    # stream from 0: the pre-evolution file reads the new column as null
+    rows0 = _drain(spark, t.path, str(tmp_path / "ckpte0"), "feede0", start_version=0)
+    got = {r["doc_id"]: r["region"] for r in rows0}
+    assert got == {"a": None, "b": "eu"}
+
+
+def test_stream_source_rejects_cow(spark, tmp_path):
+    LakeTable.create(spark, str(tmp_path / "cowt"), schema=STATE_SCHEMA, merge_mode="cow")
+    with pytest.raises(Exception, match="mor"):
+        (
+            spark.readStream.format("ztdf_lake")
+            .option("path", str(tmp_path / "cowt"))
+            .load()
+            .writeStream.format("noop")
+            .start()
+        )

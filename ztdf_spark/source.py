@@ -1,0 +1,171 @@
+"""The lake as a Structured Streaming SOURCE (Spark 4 Python Data Source
+API): ``spark.readStream.format("ztdf_lake").option("path", ...)`` streams
+every MOR delta commit as raw CDC rows — the Iceberg incremental
+append-scan analog, and the streaming complement of the batch net-diff
+``LakeTable.changes()``.
+
+Design:
+
+- **Offsets ARE snapshot versions** (``{"version": N}``). Spark's offset
+  log + the table's atomic snapshot chain give exactly-once consumption
+  with no extra bookkeeping: a restarted stream resumes from the last
+  committed version.
+- ``partitions(start, end)`` walks the HISTORICAL snapshots
+  ``start+1..end`` (driver-side, O(#commits) tiny JSON reads) and emits
+  one input partition per delta file added by each commit — so a later
+  ``compact()`` removing those manifests from the CURRENT snapshot cannot
+  lose in-flight stream data (snapshots are immutable until
+  ``expire_snapshots``; falling behind retention is a hard error, same as
+  Iceberg).
+- ``read(partition)`` runs ON EXECUTORS and yields pyarrow RecordBatches
+  straight from the delta parquet (no Python row loop): data columns plus
+  ``_change_type`` ('upsert' / 'delete' from the tombstone flag) and
+  ``_commit_version``. Compaction commits are skipped — they rewrite
+  state, they don't change it.
+- Raw append-scan semantics: per-commit change rows in commit order,
+  including intra-interval churn (downstream stateful ops want the full
+  feed). For NET changes between two versions use ``LakeTable.changes()``.
+
+MOR tables only: COW rewrites change rows in place, so the file set alone
+cannot identify the changed rows; the engine's CDC default is MOR.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+
+from .lake import _DATA_DIR, _MANIFEST_DIR, _SNAP_DIR, _TOMBSTONE
+
+CHANGE_TYPE_COL = "_change_type"
+COMMIT_VERSION_COL = "_commit_version"
+
+
+def _read_snapshot(table_path: str, version: int) -> dict:
+    p = os.path.join(table_path, _SNAP_DIR, f"v{version:010d}.json")
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise RuntimeError(
+            f"snapshot v{version} of {table_path} is expired or missing — the "
+            "stream fell behind the table's retention window (expire_snapshots)"
+        ) from None
+
+
+def _current_version(table_path: str) -> int:
+    with open(os.path.join(table_path, _SNAP_DIR, "CURRENT")) as f:
+        return int(f.read().strip())
+
+
+class DeltaFilePartition(InputPartition):
+    def __init__(self, file_path: str, version: int):
+        self.file_path = file_path
+        self.version = version
+
+
+class LakeChangeStreamReader(DataSourceStreamReader):
+    def __init__(self, table_path: str, start_version: int, schema: T.StructType):
+        self.table_path = table_path
+        self.start_version = start_version
+        self.schema = schema
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        return {"version": _current_version(self.table_path)}
+
+    def partitions(self, start: dict, end: dict):
+        out: list[DeltaFilePartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            snap = _read_snapshot(self.table_path, v)
+            if snap.get("summary", {}).get("operation") == "compact":
+                continue  # state rewrite, not a change
+            for m in snap.get("manifests", []):
+                mm = re.match(r"m-v(\d+)-", m["path"])
+                if not mm or int(mm.group(1)) != v:
+                    continue  # carried over from an earlier commit
+                with open(os.path.join(self.table_path, _MANIFEST_DIR, m["path"])) as f:
+                    for e in json.load(f)["entries"]:
+                        if e.get("delta"):
+                            out.append(
+                                DeltaFilePartition(
+                                    os.path.join(self.table_path, _DATA_DIR, e["path"]), v
+                                )
+                            )
+        return out
+
+    def read(self, partition: DeltaFilePartition):
+        # executor-side: stream Arrow batches straight off the delta
+        # parquet — no per-row Python
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        out_schema = to_arrow_schema(self.schema)
+        f = pq.ParquetFile(partition.file_path)
+        have = set(f.schema_arrow.names)
+        for batch in f.iter_batches():
+            dead = pc.fill_null(batch.column(_TOMBSTONE), False)
+            arrays = []
+            for field in out_schema:
+                if field.name == CHANGE_TYPE_COL:
+                    arrays.append(pc.if_else(dead, pa.scalar("delete"), pa.scalar("upsert")))
+                elif field.name == COMMIT_VERSION_COL:
+                    arrays.append(pa.array([partition.version] * batch.num_rows, type=pa.int64()))
+                elif field.name in have:
+                    arrays.append(batch.column(field.name).cast(field.type))
+                else:
+                    # file written before an additive schema evolution: the
+                    # new column reads as null, Iceberg-style
+                    arrays.append(pa.nulls(batch.num_rows, type=field.type))
+            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # Spark's offset log is the consumption watermark
+
+
+class ZtdfLakeDataSource(DataSource):
+    """Register once per session::
+
+        spark.dataSource.register(ZtdfLakeDataSource)
+        df = (spark.readStream.format("ztdf_lake")
+              .option("path", table_path)
+              .option("startVersion", 0)   # default: from the beginning
+              .load())
+
+    Emits the table's data columns + ``_change_type`` + ``_commit_version``.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "ztdf_lake"
+
+    def _table_path(self) -> str:
+        p = self.options.get("path")
+        if not p:
+            raise ValueError("ztdf_lake source requires .option('path', <table dir>)")
+        return p
+
+    def schema(self) -> T.StructType:
+        snap = _read_snapshot(self._table_path(), _current_version(self._table_path()))
+        if snap.get("merge_mode") != "mor":
+            raise ValueError(
+                "ztdf_lake streaming source requires a merge_mode='mor' table "
+                "(COW rewrites state in place; there is no per-commit change file set)"
+            )
+        fields = list(T.StructType.fromJson(snap["schema"]).fields)
+        fields.append(T.StructField(CHANGE_TYPE_COL, T.StringType()))
+        fields.append(T.StructField(COMMIT_VERSION_COL, T.LongType()))
+        return T.StructType(fields)
+
+    def streamReader(self, schema: T.StructType) -> LakeChangeStreamReader:
+        start = int(self.options.get("startversion", 0))
+        return LakeChangeStreamReader(self._table_path(), start, schema)
