@@ -17,10 +17,11 @@ SimpleOpenTDFControllerService), re-expressed Spark-first:
                    schema evolution, time travel, batch-id fencing)
 - ``pipeline``   — Structured Streaming binlog tail → dedup → encrypt →
                    MERGE → audit/lineage, exactly-once, checkpoint-resumable
-- ``source``     — the lake AS a Structured Streaming source
-                   (``spark.readStream.format('ztdf_lake')``): snapshot-
-                   version offsets, per-delta-file partitions, Arrow-batch
-                   executor reads (Spark 4 Python Data Source API)
+- ``source``     — the lake AS a Structured Streaming source AND sink
+                   (``format('ztdf_lake')``): snapshot-version offsets,
+                   per-delta-file partitions, Arrow-batch executor
+                   reads/writes, epoch-fenced exactly-once commits
+                   (Spark 4 Python Data Source API)
 - ``datagen``    — deterministic synthetic binlog / tokens generators
 - ``textops``    — training-data text pipeline (dedup exact/minhash/simhash,
                    n-gram jaccard, language-id, quality, token count,

@@ -37,7 +37,13 @@ import os
 import re
 
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from .lake import _DATA_DIR, _MANIFEST_DIR, _SNAP_DIR, _TOMBSTONE
 
@@ -132,16 +138,125 @@ class LakeChangeStreamReader(DataSourceStreamReader):
         pass  # Spark's offset log is the consumption watermark
 
 
+class StagedFileMessage(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class LakeStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming SINK: ``df.writeStream.format("ztdf_lake")`` lands each
+    micro-batch as a MOR delta commit — making the table writable from ANY
+    Structured Streaming pipeline, not just the engine's own fused sink.
+
+    Executor side (``write``): Arrow batches stream straight to ONE staged
+    parquet per partition (op → ``_tombstone``, no per-row Python). Driver
+    side (``commit``): the staged files are adopted by ``commit_staged`` —
+    a pure-metadata O(files-added) commit — fenced on Spark's epoch id, so
+    a replayed micro-batch after crash recovery is a recorded no-op
+    (exactly-once, same contract as the pipeline). ``abort`` deletes the
+    batch's staged files.
+
+    Caller contract (inherited from ``commit_staged``): (key, seq) unique
+    within a micro-batch — true for WAL/binlog feeds; dedup upstream
+    otherwise.
+    """
+
+    def __init__(self, table_path: str, schema: T.StructType, app_id: str):
+        self.table_path = table_path
+        self.schema = schema
+        self.app_id = app_id
+        self.stage_root = os.path.join(table_path, "_staging")
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.stage_root, exist_ok=True)
+        path = os.path.join(self.stage_root, f"stream-{uuid.uuid4().hex}.parquet")
+        writer = None
+        rows = 0
+        for batch in iterator:
+            if "op" in batch.schema.names:
+                dead = pc.equal(pc.fill_null(batch.column("op"), "U"), pa.scalar("D"))
+                keep = [n for n in batch.schema.names if n != "op"]
+                batch = pa.RecordBatch.from_arrays(
+                    [batch.column(n) for n in keep] + [dead], keep + [_TOMBSTONE]
+                )
+            elif _TOMBSTONE not in batch.schema.names:
+                batch = pa.RecordBatch.from_arrays(
+                    [batch.column(n) for n in batch.schema.names]
+                    + [pa.array([False] * batch.num_rows, type=pa.bool_())],
+                    list(batch.schema.names) + [_TOMBSTONE],
+                )
+            if writer is None:
+                writer = pq.ParquetWriter(path, batch.schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+        if writer is None:
+            return StagedFileMessage("", 0)
+        writer.close()
+        return StagedFileMessage(path, rows)
+
+    def _batch_dir(self, batch_id: int) -> str:
+        return os.path.join(self.stage_root, f"batch-{batch_id}")
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+        import uuid
+
+        from pyspark.sql import SparkSession
+
+        from .lake import LakeTable
+
+        d = self._batch_dir(batchId)
+        shutil.rmtree(d, ignore_errors=True)  # idempotent re-execution
+        os.makedirs(d)
+        n = 0
+        for m in messages:
+            if m is not None and m.rows:
+                os.replace(m.path, os.path.join(d, f"{uuid.uuid4().hex}.parquet"))
+                n += m.rows
+        t = LakeTable.load(SparkSession.getActiveSession(), self.table_path)
+        data_fields = [f for f in self.schema.fields if f.name not in ("op", _TOMBSTONE)]
+        try:
+            if n:
+                t.commit_staged(
+                    d, batch_id=batchId, app_id=self.app_id,
+                    batch_schema=T.StructType(data_fields),
+                    extra_summary={"sink": "ztdf_lake_stream"},
+                )
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.path:
+                try:
+                    os.remove(m.path)
+                except FileNotFoundError:
+                    pass
+
+
 class ZtdfLakeDataSource(DataSource):
     """Register once per session::
 
         spark.dataSource.register(ZtdfLakeDataSource)
+
+        # source: stream the table's delta commits
         df = (spark.readStream.format("ztdf_lake")
               .option("path", table_path)
               .option("startVersion", 0)   # default: from the beginning
               .load())
+        # emits data columns + _change_type + _commit_version
 
-    Emits the table's data columns + ``_change_type`` + ``_commit_version``.
+        # sink: land any streaming DF (op + data columns) as MOR commits
+        q = (changes.writeStream.format("ztdf_lake")
+             .option("path", table_path)
+             .option("checkpointLocation", ckpt).start())
     """
 
     @classmethod
@@ -169,3 +284,10 @@ class ZtdfLakeDataSource(DataSource):
     def streamReader(self, schema: T.StructType) -> LakeChangeStreamReader:
         start = int(self.options.get("startversion", 0))
         return LakeChangeStreamReader(self._table_path(), start, schema)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool) -> LakeStreamWriter:
+        path = self._table_path()
+        snap = _read_snapshot(path, _current_version(path))
+        if snap.get("merge_mode") != "mor":
+            raise ValueError("ztdf_lake streaming sink requires a merge_mode='mor' table")
+        return LakeStreamWriter(path, schema, self.options.get("appid", "ztdf_lake_sink"))
