@@ -723,3 +723,20 @@ def test_property_changes_matches_oracle_both_modes(spark, tmp_path):
             assert got == expect, f"{mode}: {got} vs {expect}"
 
     run()
+
+
+def test_vacuum_collects_crashed_staging(spark, tmp_path):
+    """A writer that crashed between staging and commit leaves files under
+    _staging; vacuum removes them without touching committed state."""
+    t = _mk_mor(spark, tmp_path, "vstg")
+    t.merge(_changes(spark, [("I", "a", 1, [1], 1, "web")]), batch_id=0)
+    stage = tmp_path / "vstg" / "_staging" / "batch-99"
+    stage.mkdir(parents=True)
+    (stage / "orphan.parquet").write_bytes(b"junk")
+    # within the grace window the in-flight file is protected
+    assert not any("orphan" in r for r in t.vacuum())
+    assert (stage / "orphan.parquet").exists()
+    removed = t.vacuum(orphan_grace_s=0.0)
+    assert any("orphan.parquet" in r for r in removed)
+    assert not (tmp_path / "vstg" / "_staging" / "batch-99").exists()
+    assert t.read().count() == 1

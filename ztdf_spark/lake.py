@@ -1042,9 +1042,12 @@ class LakeTable:
             "oldest_kept": keep_from,
         }
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, orphan_grace_s: float = 600.0) -> list[str]:
         """Delete data files and manifest files not referenced by any
-        remaining snapshot (crash / losing-writer orphans)."""
+        remaining snapshot (crash / losing-writer orphans). Staging files
+        younger than ``orphan_grace_s`` are kept — an IN-FLIGHT writer's
+        staged batch must not be collected from under it (the same age
+        guard as Iceberg's remove_orphan_files)."""
         referenced_manifests: set[str] = set()
         referenced_data: set[str] = set()
         for name in os.listdir(self._snap_dir):
@@ -1068,4 +1071,18 @@ class LakeTable:
                     os.unlink(os.path.join(self._manifest_dir, name))
                     self._manifest_cache.pop(name, None)
                     removed.append(name)
+        # staging leftovers from crashed writers (streaming sink / fused
+        # pipeline): nothing under _staging is ever referenced by a
+        # snapshot — committed files are MOVED out before the commit
+        staging = os.path.join(self.path, "_staging")
+        if os.path.isdir(staging):
+            cutoff = time.time() - orphan_grace_s
+            for root, _dirs, names in os.walk(staging, topdown=False):
+                for n in names:
+                    p = os.path.join(root, n)
+                    if os.path.getmtime(p) <= cutoff:
+                        os.unlink(p)
+                        removed.append(os.path.join(os.path.relpath(root, self.path), n))
+                if root != staging and not os.listdir(root):
+                    os.rmdir(root)
         return removed
