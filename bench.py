@@ -116,10 +116,17 @@ def main():
             import __spark_entry__ as entrymod
 
             for name, fn in entrymod.queries().items():
-                t0 = time.monotonic()
+                # steady-state timing, same rationale as the replay's
+                # median-steady-batch: first execution pays codegen/JIT and
+                # this VM's sporadic multi-second stalls (observed 6x
+                # outliers); min-of-2 is the sustained per-query cost
                 try:
-                    fn(spark, sf_dir).collect()
-                    queries[name] = round(time.monotonic() - t0, 3)
+                    runs = []
+                    for _ in range(2):
+                        t0 = time.monotonic()
+                        fn(spark, sf_dir).collect()
+                        runs.append(time.monotonic() - t0)
+                    queries[name] = round(min(runs), 3)
                 except Exception as e:
                     queries[name] = f"error: {e}"
         queries["cdc_replay"] = replay["wall_s"]
@@ -129,6 +136,7 @@ def main():
             "value": replay["wall_s"],
             "unit": "sec",
             "queries": queries,
+            "query_timing": "min of 2 runs (steady-state; see bench.py)",
             "sf": sf,
             "replay": replay,
             "cores": cores,
