@@ -167,3 +167,117 @@ def test_quoted_attribute_name(spark):
     df = spark.createDataFrame([("v",)], ["weird.name"])
     got = df.select(compile_template("${'weird.name'}:ok").alias("v")).collect()
     assert got[0][0] == "v:ok"
+
+
+def test_property_el_matches_reference_interpreter(spark):
+    """Property test: random EL templates (drawn as ASTs, rendered to
+    template strings) evaluate identically through the Catalyst compiler
+    and an INDEPENDENT pure-Python reference interpreter, across rows with
+    nulls, empties, and whitespace."""
+    from hypothesis import given, settings, strategies as st
+
+    ROWS = [
+        {"s": "Alpha", "t": "  pad  ", "n": 7},
+        {"s": "", "t": "beta", "n": 2100},
+        {"s": None, "t": None, "n": 0},
+        {"s": "gamma delta", "t": "X", "n": None},
+    ]
+    df = spark.createDataFrame(
+        [(i, r["s"], r["t"], r["n"]) for i, r in enumerate(ROWS)],
+        "i long, s string, t string, n long",
+    )
+
+    # ---- reference interpreter (independent of el.py internals) ----
+    def ev(node, row):
+        kind = node[0]
+        if kind == "attr":
+            return row[node[1]]
+        if kind == "lit":
+            return node[1]
+        if kind == "call":
+            sub = ev(node[1], row)
+            fn, args = node[2], [ev(a, row) for a in node[3]]
+            if fn in ("trim", "toUpper", "toLower", "length") and sub is None:
+                return None
+            if fn == "trim":
+                return str(sub).strip()
+            if fn == "toUpper":
+                return str(sub).upper()
+            if fn == "toLower":
+                return str(sub).lower()
+            if fn == "length":
+                return len(str(sub))
+            if fn == "append":
+                return None if sub is None or args[0] is None else str(sub) + str(args[0])
+            if fn == "prepend":
+                return None if sub is None or args[0] is None else str(args[0]) + str(sub)
+            if fn == "replaceNull":
+                return args[0] if sub is None else sub
+            if fn == "isEmpty":
+                return sub is None or str(sub).strip() == ""
+            if fn == "equals":
+                return None if sub is None else sub == args[0]
+            if fn == "plus":
+                return None if sub is None else sub + args[0]
+            if fn == "ifElse":
+                if sub is None:
+                    return args[1]  # SQL CASE: null condition -> otherwise
+                return args[0] if sub else args[1]
+            raise AssertionError(fn)
+        raise AssertionError(kind)
+
+    def render(node):
+        kind = node[0]
+        if kind == "attr":
+            return node[1]
+        if kind == "lit":
+            v = node[1]
+            return f"'{v}'" if isinstance(v, str) else str(v)
+        sub, fn, args = render(node[1]), node[2], node[3]
+        rendered = ", ".join(
+            "${" + render(a) + "}" if a[0] != "lit" else render(a) for a in node[3]
+        )
+        return f"{sub}:{fn}({rendered})" if args else f"{sub}:{fn}()"
+
+    str_attr = st.sampled_from([("attr", "s"), ("attr", "t")])
+    str_lit = st.sampled_from([("lit", "x"), ("lit", "Y z"), ("lit", "")])
+    num_attr = st.just(("attr", "n"))
+
+    def str_expr(depth):
+        if depth <= 0:
+            return str_attr
+        inner = st.deferred(lambda: str_expr(depth - 1))
+        return st.one_of(
+            str_attr,
+            st.tuples(inner).map(lambda t: ("call", t[0], "trim", [])),
+            st.tuples(inner).map(lambda t: ("call", t[0], "toUpper", [])),
+            st.tuples(inner).map(lambda t: ("call", t[0], "toLower", [])),
+            st.tuples(inner, str_lit).map(lambda t: ("call", t[0], "append", [t[1]])),
+            st.tuples(inner, str_lit).map(lambda t: ("call", t[0], "prepend", [t[1]])),
+            st.tuples(inner, str_lit).map(lambda t: ("call", t[0], "replaceNull", [t[1]])),
+            st.tuples(inner, str_lit, str_lit).map(
+                lambda t: ("call", ("call", t[0], "isEmpty", []), "ifElse", [t[1], t[2]])
+            ),
+        )
+
+    top = st.one_of(
+        str_expr(3),
+        st.tuples(str_expr(2), str_lit).map(lambda t: ("call", t[0], "equals", [t[1]])),
+        st.tuples(num_attr, st.sampled_from([("lit", 1), ("lit", 40)])).map(
+            lambda t: ("call", t[0], "plus", [t[1]])
+        ),
+        st.tuples(str_expr(1)).map(lambda t: ("call", t[0], "length", [])),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(top)
+    def run(ast):
+        template = "${" + render(ast) + "}"
+        got = [
+            r["v"]
+            for r in df.select("i", compile_template(template).alias("v")).orderBy("i").collect()
+        ]
+        want = [ev(ast, row) for row in ROWS]
+        assert got == want, f"{template}: {got} != {want}"
+
+    run()
