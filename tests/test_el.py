@@ -150,7 +150,7 @@ def test_whole_stage_codegen_no_python(rows, spark):
     assert "*(" in plan or "WholeStageCodegen" in plan
 
 
-def test_syntax_errors():
+def test_syntax_errors(spark):  # Column building needs an active context
     for bad in (
         "${a:uuid()}",  # nondeterministic — unsupported by design
         "${now()}",
@@ -281,3 +281,10 @@ def test_property_el_matches_reference_interpreter(spark):
         assert got == want, f"{template}: {got} != {want}"
 
     run()
+
+
+def test_arity_errors_are_el_syntax_errors(spark):
+    for bad in ("${a:substring()}", "${a:matches()}", "${a:padLeft()}",
+                "${a:substringAfter()}", "${a:find()}", "${a:padRight()}"):
+        with pytest.raises(ELSyntaxError):
+            compile_template(bad)

@@ -290,10 +290,15 @@ def _compile_call(node: _Call) -> Column:
         return F.lower(c)
     if f == "substring":
         # NiFi: 0-based start, exclusive end (end optional = to length)
+        if len(args) not in (1, 2):
+            raise ELSyntaxError(f"substring() takes 1-2 arguments, got {len(args)}")
         if len(args) == 1:
             return c.substr(a[0].cast("int") + F.lit(1), F.lit(_BIG))
         need(2)
         return c.substr(a[0].cast("int") + F.lit(1), (a[1] - a[0]).cast("int"))
+    if f in ("substringBefore", "substringAfter", "matches", "find", "padLeft", "padRight"):
+        if not args:
+            raise ELSyntaxError(f"{f}() requires an argument")
     if f == "substringBefore":
         need(1)
         # whole subject when the search string is absent — substring_index's

@@ -273,8 +273,9 @@ class ZtdfLakeDataSource(DataSource):
         snap = _read_snapshot(self._table_path(), _current_version(self._table_path()))
         if snap.get("merge_mode") != "mor":
             raise ValueError(
-                "ztdf_lake streaming source requires a merge_mode='mor' table "
-                "(COW rewrites state in place; there is no per-commit change file set)"
+                "ztdf_lake streaming (source and sink) requires a merge_mode='mor' "
+                "table (COW rewrites state in place; there is no per-commit change "
+                "file set to stream or adopt)"
             )
         fields = list(T.StructType.fromJson(snap["schema"]).fields)
         fields.append(T.StructField(CHANGE_TYPE_COL, T.StringType()))
