@@ -165,3 +165,14 @@ def test_stream_sink_replicates_table(spark, tmp_path):
     v_before = b.current_version()
     replicate(ckpt)
     assert b.current_version() == v_before
+
+
+def test_stream_source_expired_snapshot_is_hard_error(spark, tmp_path):
+    """A stream that fell behind the retention window must fail loudly
+    (Iceberg semantics), not silently skip the expired commits."""
+    t = _mk(spark, tmp_path, "srcexp")
+    for i in range(6):
+        _merge(t, [("I", f"k{i}", i + 1, 1, "web")], i)
+    t.expire_snapshots(keep_last=2)
+    with pytest.raises(Exception, match="expired|retention"):
+        _drain(spark, t.path, str(tmp_path / "ckptexp"), "feedexp", start_version=0)

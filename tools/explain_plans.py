@@ -100,6 +100,17 @@ def main():
         ],
     )
 
+    chf = em.q_cdc_changes_feed(spark, sf)
+    dump(
+        "cdc_changes_feed",
+        chf,
+        [
+            ("delta-only interval takes the touched-keys fast path (semi joins)", r"LeftSemi", True),
+            ("no cartesian in the winner diff", r"CartesianProduct", False),
+            ("winner agg is hash-based", r"HashAggregate", True),
+        ],
+    )
+
     q1 = em.q_tpch_q1_quantized(spark, sf)
     dump(
         "tpch_q1",
