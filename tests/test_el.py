@@ -288,3 +288,18 @@ def test_arity_errors_are_el_syntax_errors(spark):
                 "${a:substringAfter()}", "${a:find()}", "${a:padRight()}"):
         with pytest.raises(ELSyntaxError):
             compile_template(bad)
+
+
+def test_delimited_index_url_base64_date(rows, spark):
+    assert _eval(rows, "${kas_url:getDelimitedField(2)}") == [None, None, None, "k2"]
+    assert _eval(rows, "${source:indexOf('ch')}") == [3, -1, -1, -1]
+    assert _eval(rows, "${source:in('error','signup')}") == [False, True, True, False]
+    df = spark.createDataFrame([("a b/c", "2024-03-05")], "s string, d string")
+    assert df.select(compile_template("${s:urlEncode():urlDecode()}").alias("v")).collect()[0][0] == "a b/c"
+    assert df.select(compile_template("${s:base64Encode():base64Decode()}").alias("v")).collect()[0][0] == "a b/c"
+    millis = df.select(compile_template("${d:toDate('yyyy-MM-dd')}").alias("v")).collect()[0][0]
+    assert millis == 1709596800000  # 2024-03-05T00:00:00Z
+    got = df.select(
+        compile_template("${d:toDate('yyyy-MM-dd'):format('yyyy/MM/dd')}").alias("v")
+    ).collect()[0][0]
+    assert got == "2024/03/05"

@@ -24,11 +24,14 @@ Supported subset (semantics follow the public NiFi EL guide):
 
 String: trim, toUpper, toLower, substring, substringBefore,
 substringAfter, replace, replaceAll, replaceNull, replaceEmpty, append,
-prepend, length, padLeft, padRight.
+prepend, length, padLeft, padRight, getDelimitedField, indexOf,
+urlEncode, urlDecode, base64Encode, base64Decode.
 Boolean/tests: equals, equalsIgnoreCase, contains, startsWith, endsWith,
-matches, find, isEmpty, isNull, notNull, not, and, or, ifElse.
+matches, find, in, isEmpty, isNull, notNull, not, and, or, ifElse.
 Numeric: toNumber, toDecimal, plus, minus, multiply, divide, mod, gt, ge,
 lt, le, toString.
+Date (deterministic; Spark datetime pattern dialect): toDate (string →
+epoch millis), format (epoch millis → string).
 
 Deliberately unsupported (nondeterministic or engine-foreign — raise
 ``ELSyntaxError`` rather than silently misbehave): uuid, now, hostname,
@@ -256,6 +259,10 @@ def _nonempty(c: Column) -> Column:
     return c.isNotNull() & (F.trim(c) != F.lit(""))
 
 
+def _err_arity(f: str):
+    raise ELSyntaxError(f"{f}() requires an argument")
+
+
 def _compile(node) -> Column:
     if isinstance(node, _Lit):
         return F.lit(node.value)
@@ -336,7 +343,42 @@ def _compile_call(node: _Call) -> Column:
         size = args and _lit_value(args[0], f)
         pad = str(_lit_value(args[1], f)) if len(args) > 1 else "_"
         return F.rpad(c, int(size), pad)
+    if f == "getDelimitedField":
+        # NiFi: 1-based field index, literal delimiter (default ',')
+        idx = int(_lit_value(args[0], f)) if args else _err_arity(f)
+        delim = str(_lit_value(args[1], f)) if len(args) > 1 else ","
+        # try_element_at: a missing field is null, not an ANSI index error
+        return F.try_element_at(F.split(c, re.escape(delim)), F.lit(idx))
+    if f == "indexOf":
+        need(1)
+        # NiFi: 0-based, -1 when absent — locate() is 1-based, 0 when absent
+        return (F.locate(str(_lit_value(args[0], f)), c) - 1).cast("long")
+    if f == "urlEncode":
+        return F.url_encode(c)
+    if f == "urlDecode":
+        return F.url_decode(c)
+    if f == "base64Encode":
+        return F.base64(c.cast("binary"))
+    if f == "base64Decode":
+        return F.unbase64(c).cast("string")
+    # ---- date/time (deterministic only — now()/nextInt stay unsupported).
+    # Pattern dialect caveat: Spark datetime patterns, which cover the
+    # common SimpleDateFormat forms (yyyy-MM-dd HH:mm:ss etc.) but are not
+    # the full Java SimpleDateFormat language.
+    if f == "toDate":
+        # string → epoch millis (NiFi's Date subject, represented numerically
+        # so :format()/:toNumber() chain exactly)
+        fmt = str(_lit_value(args[0], f)) if args else _err_arity(f)
+        return F.unix_millis(F.to_timestamp(c, fmt))
+    if f == "format":
+        # epoch-millis number → formatted string
+        fmt = str(_lit_value(args[0], f)) if args else _err_arity(f)
+        return F.date_format(F.timestamp_millis(c.cast("long")), fmt)
     # ---- tests / boolean
+    if f == "in":
+        if not args:
+            _err_arity(f)
+        return c.isin(*[_lit_value(x, f) for x in args])
     if f == "equals":
         need(1)
         return c == a[0]
