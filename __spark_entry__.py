@@ -299,6 +299,58 @@ def q_tpch_q1_quantized(spark, sf_dir):
     )
 
 
+def q_tpch_q3_shipping(spark, sf_dir):
+    """TPC-H Q3 shape (shipping-priority top-k), integer-quantized revenue:
+    selective dim filter broadcast into the fact join, partial agg, top-10
+    window — the classic join-order + broadcast plan."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    rev = F.sum(
+        F.floor(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.floor(F.col("l_discount") * 100).cast("long"))
+    ).cast("long")
+    agg = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(rev.alias("revenue_q"), F.count("*").alias("n_items"))
+    )
+    w = Window.orderBy(F.desc("revenue_q"), F.asc("l_orderkey"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("l_orderkey", "revenue_q", "n_items", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def q_tpch_q5_region_volume(spark, sf_dir):
+    """TPC-H Q5 shape (local-supplier volume per nation within a region):
+    the five-way snowflake join with every dim broadcast; revenue only
+    counts lineitems whose supplier sits in the customer's nation."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.sum(
+        F.floor(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.floor(F.col("l_discount") * 100).cast("long"))
+    ).cast("long")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(rev.alias("revenue_q"), F.count("*").alias("n_items"))
+    )
+
+
 def q_join_orders_nation(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -609,6 +661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_windowed": q_events_windowed,
         "tpch_q1_quantized": q_tpch_q1_quantized,
+        "tpch_q3_shipping": q_tpch_q3_shipping,
+        "tpch_q5_region_volume": q_tpch_q5_region_volume,
         "join_orders_nation": q_join_orders_nation,
         "topk_orders_per_priority": q_topk_orders_per_priority,
         "part_brand_rollup": q_part_brand_rollup,
@@ -777,6 +831,36 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_rows
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3_shipping": """
+        WITH agg AS (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_q,
+                 COUNT(*) AS n_items
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey AND o_orderdate < TIMESTAMP '1998-01-01'
+          JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+          WHERE l_shipdate > TIMESTAMP '1998-01-01'
+          GROUP BY l_orderkey)
+        SELECT l_orderkey, revenue_q, n_items, rank FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY revenue_q DESC, l_orderkey ASC) AS BIGINT) AS rank
+          FROM agg)
+        WHERE rank <= 10
+        """,
+        "tpch_q5_region_volume": """
+        SELECT n_name,
+               CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_q,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+         AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        GROUP BY n_name
         """,
         "join_orders_nation": """
         SELECT n_name, COUNT(*) AS n_orders,

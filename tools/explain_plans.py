@@ -122,6 +122,28 @@ def main():
         ],
     )
 
+    q3 = em.q_tpch_q3_shipping(spark, sf)
+    dump(
+        "tpch_q3",
+        q3,
+        [
+            ("filtered dims broadcast into the fact join", r"BroadcastHashJoin", True),
+            ("date filters pushed to the lineitem scan", r"PushedFilters: \[.*GreaterThan\(l_shipdate", True),
+            ("no sort-merge join", r"SortMergeJoin", False),
+        ],
+    )
+
+    q5 = em.q_tpch_q5_region_volume(spark, sf)
+    dump(
+        "tpch_q5",
+        q5,
+        [
+            ("snowflake dims all broadcast", r"BroadcastHashJoin", True),
+            ("no sort-merge join in the five-way join", r"SortMergeJoin", False),
+            ("partial agg before exchange", r"partial", True),
+        ],
+    )
+
     jn = em.q_join_orders_nation(spark, sf)
     dump(
         "join_orders_nation",
