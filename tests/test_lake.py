@@ -740,3 +740,25 @@ def test_vacuum_collects_crashed_staging(spark, tmp_path):
     assert any("orphan.parquet" in r for r in removed)
     assert not (tmp_path / "vstg" / "_staging" / "batch-99").exists()
     assert t.read().count() == 1
+
+
+def test_read_keys_point_lookup(spark, tmp_path):
+    """read_keys prunes at the metadata layer and agrees with a read()
+    filter — including deleted keys (absent), unknown keys (absent), and
+    time travel."""
+    t = _mk_mor(spark, tmp_path, "ptlk")
+    t.merge(_changes(spark, [("I", f"doc-{i:04d}", i + 1, [i], 1, "web") for i in range(200)]),
+            batch_id=0)
+    v1 = t.current_version()
+    t.merge(_changes(spark, [("U", "doc-0005", 900, [900], 1, "web"),
+                             ("D", "doc-0007", 901, None, None, None)]), batch_id=1)
+    got = {r["doc_id"]: r["lsn"]
+           for r in t.read_keys(["doc-0005", "doc-0007", "doc-0100", "nope"]).collect()}
+    assert got == {"doc-0005": 900, "doc-0100": 101}
+    # time travel: pre-update snapshot still sees the original rows
+    got1 = {r["doc_id"]: r["lsn"] for r in t.read_keys(["doc-0005", "doc-0007"], version=v1).collect()}
+    assert got1 == {"doc-0005": 6, "doc-0007": 8}
+    # after compaction (tight per-file ranges) the same lookups hold
+    t.compact()
+    got2 = {r["doc_id"]: r["lsn"] for r in t.read_keys(["doc-0005", "doc-0007", "doc-0100"]).collect()}
+    assert got2 == got

@@ -376,6 +376,35 @@ class LakeTable:
             & (F.col("_cseq") == F.col("_wcseq")),
         ).select(*[f.name for f in schema.fields], _TOMBSTONE)
 
+    def read_keys(self, keys: list, version: int | None = None) -> DataFrame:
+        """Point/multi-key lookup: latest-wins rows for exactly ``keys``,
+        tombstones filtered — at O(matched files), not O(table).
+
+        ``read()`` cannot push a key predicate below the MOR winner join
+        (the join must see every row of a key to pick its winner), so a
+        filter on read() still reconstructs the full table first. This
+        path instead prunes at the metadata layer — manifest-list key
+        ranges, then per-file ranges (``_matched_files``) — and
+        reconstructs winners only over the surviving files, exactly the
+        pruning a 100 TB point-lookup needs. Correct because a file
+        containing any row of key k always covers k in its [min,max]
+        range, so the matched subset holds ALL of k's rows.
+        """
+        snap = self.snapshot(version)
+        schema = T.StructType.fromJson(snap["schema"])
+        key_col = snap["key_col"]
+        key_type = schema[key_col].dataType
+        wanted = self.spark.createDataFrame(
+            [(k,) for k in keys], T.StructType([T.StructField(key_col, key_type)])
+        )
+        files = self._matched_files(snap, wanted, key_col)
+        live = self._winners_df(snap, files).filter(
+            ~F.coalesce(F.col(_TOMBSTONE), F.lit(False))
+        )
+        return live.join(F.broadcast(wanted), key_col, "left_semi").select(
+            *[f.name for f in schema.fields]
+        )
+
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental change feed between two snapshots — the CDC *output*
         side of the engine (Iceberg changelog-scan / Delta CDF analog): NET
