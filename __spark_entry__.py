@@ -213,6 +213,8 @@ def q_cdc_changes_feed(spark, sf_dir):
     oracle diffs the two latest-wins states at the same split — so this
     entry pins winner reconstruction, tombstone handling, and net-change
     classification end-to-end through the real table format."""
+    import hashlib
+    import shutil
     import tempfile
 
     from pyspark.sql import types as T
@@ -220,6 +222,12 @@ def q_cdc_changes_feed(spark, sf_dir):
     from ztdf_spark.lake import LakeTable
 
     b = _binlog(spark, sf_dir)
+    # fixed per-sf scratch location, rebuilt per call (mkdtemp would leak
+    # one lake per invocation across bench/correctness runs)
+    root = os.path.join(
+        tempfile.gettempdir(), f"ztdf-chfeed-{hashlib.sha1(sf_dir.encode()).hexdigest()[:10]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
     schema = T.StructType(
         [
             T.StructField("doc_id", T.StringType()),
@@ -229,7 +237,7 @@ def q_cdc_changes_feed(spark, sf_dir):
         ]
     )
     t = LakeTable.create(
-        spark, os.path.join(tempfile.mkdtemp(prefix="ztdf-chfeed-"), "t"),
+        spark, os.path.join(root, "t"),
         schema, key_col="doc_id", seq_col="lsn", merge_mode="mor",
     )
     cols = ["op", "doc_id", "lsn", "n_tok", "source"]

@@ -762,3 +762,25 @@ def test_read_keys_point_lookup(spark, tmp_path):
     t.compact()
     got2 = {r["doc_id"]: r["lsn"] for r in t.read_keys(["doc-0005", "doc-0007", "doc-0100"]).collect()}
     assert got2 == got
+
+
+def test_changes_across_schema_evolution(spark, tmp_path):
+    """changes() emits the TO-snapshot's evolved schema: rows updated after
+    an additive evolution carry the new column; the classification join
+    only needs (key, seq) from the FROM side, so pre-evolution winners
+    compare fine."""
+    t = _mk_mor(spark, tmp_path, "chgevo")
+    t.merge(_changes(spark, [("I", "a", 1, [1], 1, "web"), ("I", "b", 2, [2], 1, "web")]),
+            batch_id=0)
+    v1 = t.current_version()
+    t.merge(
+        spark.createDataFrame(
+            [("U", "a", 10, [10], 1, "web", "eu")],
+            "op string, doc_id string, lsn long, tokens array<int>, n_tok int, source string, region string",
+        ),
+        batch_id=1,
+    )
+    ch = t.changes(v1)
+    assert "region" in ch.columns
+    got = {r["doc_id"]: (r["_change_type"], r["lsn"], r["region"]) for r in ch.collect()}
+    assert got == {"a": ("update", 10, "eu")}
