@@ -176,3 +176,32 @@ def test_stream_source_expired_snapshot_is_hard_error(spark, tmp_path):
     t.expire_snapshots(keep_last=2)
     with pytest.raises(Exception, match="expired|retention"):
         _drain(spark, t.path, str(tmp_path / "ckptexp"), "feedexp", start_version=0)
+
+
+def test_stream_sink_fresh_checkpoint_not_fenced(spark, tmp_path):
+    """Epoch ids restart at 0 under a NEW checkpoint; the fence key derives
+    from the checkpoint location, so a second independent query into the
+    same table must COMMIT its epoch-0 batch, not fence it as a replay."""
+    a = _mk(spark, tmp_path, "fcA")
+    b = _mk(spark, tmp_path, "fcB")
+    _merge(a, [("I", "x", 1, 1, "web")], 0)
+
+    def ship(ckpt):
+        feed = (
+            spark.readStream.format("ztdf_lake").option("path", a.path).load()
+            .selectExpr("CASE WHEN _change_type='delete' THEN 'D' ELSE 'U' END AS op",
+                        "doc_id", "lsn", "n_tok", "source")
+        )
+        q = (feed.writeStream.format("ztdf_lake").option("path", b.path)
+             .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+
+    ship(str(tmp_path / "ck1"))
+    assert {r["doc_id"] for r in b.read().collect()} == {"x"}
+    _merge(a, [("I", "y", 2, 1, "web")], 1)
+    # a brand-new checkpoint streams from version 0 again: both commits
+    # re-ship; latest-wins dedup in the table absorbs the overlap and the
+    # epoch-0 batch is NOT silently fenced
+    ship(str(tmp_path / "ck2"))
+    assert {r["doc_id"] for r in b.read().collect()} == {"x", "y"}

@@ -159,7 +159,10 @@ class LakeStreamWriter(DataSourceStreamArrowWriter):
 
     Caller contract (inherited from ``commit_staged``): (key, seq) unique
     within a micro-batch — true for WAL/binlog feeds; dedup upstream
-    otherwise.
+    otherwise. Distinct concurrent streaming queries into ONE table must
+    set distinct ``.option("appId", ...)`` values — the exactly-once fence
+    is a per-app epoch watermark, and two queries sharing an app id would
+    fence each other's (independently numbered) epochs as replays.
     """
 
     def __init__(self, table_path: str, schema: T.StructType, app_id: str):
@@ -287,8 +290,21 @@ class ZtdfLakeDataSource(DataSource):
         return LakeChangeStreamReader(self._table_path(), start, schema)
 
     def streamWriter(self, schema: T.StructType, overwrite: bool) -> LakeStreamWriter:
+        import hashlib
+
         path = self._table_path()
         snap = _read_snapshot(path, _current_version(path))
         if snap.get("merge_mode") != "mor":
             raise ValueError("ztdf_lake streaming sink requires a merge_mode='mor' table")
-        return LakeStreamWriter(path, schema, self.options.get("appid", "ztdf_lake_sink"))
+        # exactly-once fence key: epoch ids are scoped to a CHECKPOINT (a
+        # fresh checkpoint restarts at 0), so the default app id derives
+        # from the checkpoint location — same checkpoint restart → same
+        # fence (replays no-op); new checkpoint → new fence (epoch 0 is
+        # real data, not a replay); concurrent queries → distinct fences.
+        ckpt = self.options.get("checkpointlocation")
+        default_app = (
+            "ztdf_lake_sink-" + hashlib.sha1(ckpt.encode()).hexdigest()[:12]
+            if ckpt
+            else "ztdf_lake_sink"
+        )
+        return LakeStreamWriter(path, schema, self.options.get("appid", default_app))
