@@ -784,3 +784,39 @@ def test_changes_across_schema_evolution(spark, tmp_path):
     assert "region" in ch.columns
     got = {r["doc_id"]: (r["_change_type"], r["lsn"], r["region"]) for r in ch.collect()}
     assert got == {"a": ("update", 10, "eu")}
+
+
+def test_property_read_keys_equals_filtered_read(spark, tmp_path):
+    """Property: for random CDC sequences and random probe sets (hit, miss,
+    and deleted keys), read_keys == read().filter(isin) — the pruned path
+    never misses a row a full reconstruction would return."""
+    from hypothesis import given, settings, strategies as st
+
+    keys = [f"k{i}" for i in range(8)]
+    event = st.tuples(st.sampled_from(["I", "U", "D"]), st.sampled_from(keys))
+    seq = st.lists(st.lists(event, min_size=1, max_size=6), min_size=1, max_size=3)
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(seq, st.lists(st.sampled_from(keys + ["absent1", "absent2"]), min_size=1,
+                         max_size=5, unique=True))
+    def run(batches, probes):
+        counter[0] += 1
+        import random
+
+        n_ev = sum(len(b) for b in batches)
+        lsns = list(range(1, n_ev + 1))
+        random.Random(1000 + counter[0]).shuffle(lsns)
+        it = iter(lsns)
+        t = _mk_mor(spark, tmp_path, f"rkprop{counter[0]}")
+        for bid, b in enumerate(batches):
+            rows = [(op, k, next(it), [ord(k[-1])], 1, "w") for op, k in b]
+            t.merge(_changes(spark, rows), batch_id=bid)
+        want = sorted(
+            (r["doc_id"], r["lsn"])
+            for r in t.read().filter(F.col("doc_id").isin(probes)).collect()
+        )
+        got = sorted((r["doc_id"], r["lsn"]) for r in t.read_keys(probes).collect())
+        assert got == want, f"{probes}: {got} != {want}"
+
+    run()
