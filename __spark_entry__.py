@@ -222,11 +222,21 @@ def q_cdc_changes_feed(spark, sf_dir):
     from ztdf_spark.lake import LakeTable
 
     b = _binlog(spark, sf_dir)
-    # fixed per-sf scratch location, rebuilt per call (mkdtemp would leak
-    # one lake per invocation across bench/correctness runs)
-    root = os.path.join(
+    # per-(sf, pid) scratch location, rebuilt per call: stable within one
+    # process (mkdtemp would leak one lake per invocation across
+    # bench/correctness runs) but private per process — two concurrent
+    # harness runs on the same sf must not rmtree each other's live lake
+    # mid-query (ADVICE r3 #5)
+    import glob
+
+    base = os.path.join(
         tempfile.gettempdir(), f"ztdf-chfeed-{hashlib.sha1(sf_dir.encode()).hexdigest()[:10]}"
     )
+    for stale in glob.glob(base + "-*"):  # dead processes' leftovers
+        pid = stale.rsplit("-", 1)[-1]
+        if pid != str(os.getpid()) and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(stale, ignore_errors=True)
+    root = f"{base}-{os.getpid()}"
     shutil.rmtree(root, ignore_errors=True)
     schema = T.StructType(
         [

@@ -205,3 +205,71 @@ def test_stream_sink_fresh_checkpoint_not_fenced(spark, tmp_path):
     # epoch-0 batch is NOT silently fenced
     ship(str(tmp_path / "ck2"))
     assert {r["doc_id"] for r in b.read().collect()} == {"x", "y"}
+
+
+def test_stream_source_v2_upgrade_no_reemission(spark, tmp_path):
+    """First v3 commit over a v2-format table: the carry-over manifest
+    repackages ALL historical files under the new commit — the source must
+    attribute changes per commit (explicit added_at / v2 inline diff), not
+    by manifest filename, or the whole history re-emits as that commit's
+    changes (ADVICE r3 #1)."""
+    import json
+    import os
+
+    t = _mk(spark, tmp_path, "v2up")
+    _merge(t, [("I", "a", 1, 1, "web"), ("I", "b", 2, 1, "web")], 0)
+    _merge(t, [("U", "a", 3, 2, "web")], 1)
+    # rewrite the snapshot chain into format v2 (inline file lists)
+    for v in range(t.current_version() + 1):
+        p = os.path.join(t._snap_dir, f"v{v:010d}.json")
+        with open(p) as f:
+            snap = json.load(f)
+        files = []
+        for m in snap.pop("manifests", []):
+            files.extend(t._read_manifest(m["path"]))
+        snap["files"] = files
+        snap["format_version"] = 2
+        with open(p, "w") as f:
+            json.dump(snap, f)
+    t2 = LakeTable.load(spark, t.path)
+    _merge(t2, [("I", "c", 9, 1, "api")], 2)  # upgrade commit: v2 → v3
+
+    # stream the full history: v2 commits emit via inline file diff, the
+    # upgrade commit emits ONLY its own row — nothing re-emitted
+    rows = _drain(spark, t.path, str(tmp_path / "ckv2"), "feedv2", start_version=0)
+    got = sorted((r["doc_id"], r["lsn"], r["_commit_version"]) for r in rows)
+    assert got == [("a", 1, 1), ("a", 3, 2), ("b", 2, 1), ("c", 9, 3)]
+    # stream from just before the upgrade commit: exactly one row
+    rows2 = _drain(spark, t.path, str(tmp_path / "ckv2b"), "feedv2b", start_version=2)
+    assert [(r["doc_id"], r["lsn"]) for r in rows2] == [("c", 9)]
+
+
+def test_stream_sink_requires_fence_key(spark, tmp_path):
+    """No checkpointLocation option and no explicit appId → the sink must
+    refuse (a silent shared-constant fence would let two queries fence each
+    other's epochs as replays, ADVICE r3 #2)."""
+    a = _mk(spark, tmp_path, "fkA")
+    b = _mk(spark, tmp_path, "fkB")
+    _merge(a, [("I", "x", 1, 1, "web")], 0)
+    feed = (
+        spark.readStream.format("ztdf_lake").option("path", a.path).load()
+        .selectExpr("CASE WHEN _change_type='delete' THEN 'D' ELSE 'U' END AS op",
+                    "doc_id", "lsn", "n_tok", "source")
+    )
+    # checkpoint comes only from the conf-level default, which the data
+    # source cannot see → ValueError from the writer
+    spark.conf.set("spark.sql.streaming.checkpointLocation", str(tmp_path / "confck"))
+    try:
+        with pytest.raises(Exception, match="appId|checkpointLocation"):
+            q = (feed.writeStream.format("ztdf_lake").option("path", b.path)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            q.stop()
+        # an explicit appId is a valid fence key without any checkpoint option
+        q = (feed.writeStream.format("ztdf_lake").option("path", b.path)
+             .option("appId", "fence-test-app").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.checkpointLocation")
+    assert {r["doc_id"] for r in b.read().collect()} == {"x"}

@@ -107,7 +107,15 @@ def main():
         [
             ("delta-only interval takes the touched-keys fast path (semi joins)", r"LeftSemi", True),
             ("no cartesian in the winner diff", r"CartesianProduct", False),
-            ("winner agg is hash-based", r"HashAggregate", True),
+            # the winner agg maxes a (seq, cseq) STRUCT — struct ordering has
+            # no mutable agg buffer, so Spark picks SortAggregate over the
+            # NARROW key columns; what matters at scale is the map-side
+            # partial combine before the exchange (hot keys pre-reduced) —
+            # round 3's "HashAggregate" match was the touched-keys distinct,
+            # now a collected local relation (no cached-block leak)
+            ("winner agg does map-side partial combine", r"partial_max\(struct\(lsn", True),
+            ("touched-keys probe is a collected local relation", r"LocalTableScan", True),
+            ("no persisted touched-keys block left behind", r"InMemoryTableScan", False),
         ],
     )
 

@@ -34,7 +34,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
@@ -87,23 +86,34 @@ class LakeChangeStreamReader(DataSourceStreamReader):
         return {"version": _current_version(self.table_path)}
 
     def partitions(self, start: dict, end: dict):
+        # per-commit change attribution shared with LakeTable.changes():
+        # explicit manifest added_at (filename fallback for legacy round-3
+        # manifests), v2 snapshots via inline file-list diff vs parent —
+        # so a v2→v3 upgrade's carry-over manifest is NEVER re-emitted as
+        # that commit's changes (ADVICE r3 #1)
+        from .lake import added_delta_entries
+
+        def read_manifest(name: str) -> list[dict]:
+            with open(os.path.join(self.table_path, _MANIFEST_DIR, name)) as f:
+                return json.load(f)["entries"]
+
         out: list[DeltaFilePartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             snap = _read_snapshot(self.table_path, v)
-            if snap.get("summary", {}).get("operation") == "compact":
-                continue  # state rewrite, not a change
-            for m in snap.get("manifests", []):
-                mm = re.match(r"m-v(\d+)-", m["path"])
-                if not mm or int(mm.group(1)) != v:
-                    continue  # carried over from an earlier commit
-                with open(os.path.join(self.table_path, _MANIFEST_DIR, m["path"])) as f:
-                    for e in json.load(f)["entries"]:
-                        if e.get("delta"):
-                            out.append(
-                                DeltaFilePartition(
-                                    os.path.join(self.table_path, _DATA_DIR, e["path"]), v
-                                )
-                            )
+            parent = None
+            if "files" in snap and snap.get("parent") is not None:
+                parent = _read_snapshot(self.table_path, snap["parent"])
+            added = added_delta_entries(snap, read_manifest=read_manifest, parent_snap=parent)
+            if added is None:
+                raise RuntimeError(
+                    f"commit v{v} of {self.table_path} is not a MOR delta append "
+                    "(COW merge?) — its change rows cannot be streamed; the "
+                    "ztdf_lake source requires a merge_mode='mor' table"
+                )
+            for e in added:
+                out.append(
+                    DeltaFilePartition(os.path.join(self.table_path, _DATA_DIR, e["path"]), v)
+                )
         return out
 
     def read(self, partition: DeltaFilePartition):
@@ -301,10 +311,19 @@ class ZtdfLakeDataSource(DataSource):
         # from the checkpoint location — same checkpoint restart → same
         # fence (replays no-op); new checkpoint → new fence (epoch 0 is
         # real data, not a replay); concurrent queries → distinct fences.
-        ckpt = self.options.get("checkpointlocation")
-        default_app = (
-            "ztdf_lake_sink-" + hashlib.sha1(ckpt.encode()).hexdigest()[:12]
-            if ckpt
-            else "ztdf_lake_sink"
-        )
-        return LakeStreamWriter(path, schema, self.options.get("appid", default_app))
+        app_id = self.options.get("appid")
+        if not app_id:
+            ckpt = self.options.get("checkpointlocation")
+            if not ckpt:
+                # a silent shared-constant fallback would let two queries
+                # (e.g. relying on the spark.sql.streaming.checkpointLocation
+                # conf default) share ONE epoch fence and drop each other's
+                # batches as replays (ADVICE r3 #2) — refuse instead
+                raise ValueError(
+                    "ztdf_lake sink needs .option('checkpointLocation', ...) or an "
+                    "explicit .option('appId', ...) to derive its exactly-once "
+                    "fence key (a conf-level default checkpoint dir is not "
+                    "visible to the data source)"
+                )
+            app_id = "ztdf_lake_sink-" + hashlib.sha1(ckpt.encode()).hexdigest()[:12]
+        return LakeStreamWriter(path, schema, app_id)
