@@ -205,39 +205,40 @@ def q_cdc_el_properties(spark, sf_dir):
     )
 
 
-def q_cdc_changes_feed(spark, sf_dir):
-    """Incremental change feed — the CDC *output* side (`LakeTable.changes`,
-    the Iceberg changelog-scan / Delta CDF analog). Replays the binlog into
-    a MOR lake as two snapshot commits (events split by lsn % 3), then
-    emits the NET row-level changes between the snapshots. The DuckDB
-    oracle diffs the two latest-wins states at the same split — so this
-    entry pins winner reconstruction, tombstone handling, and net-change
-    classification end-to-end through the real table format."""
+def _scratch_root(sf_dir: str, tag: str) -> str:
+    """Per-(sf, tag, pid) scratch dir, rebuilt per call: stable within one
+    process (mkdtemp would leak one lake per invocation across
+    bench/correctness runs) but private per process — two concurrent
+    harness runs on the same sf must not rmtree each other's live lake
+    mid-query (ADVICE r3 #5). Dead processes' leftovers are swept."""
+    import glob
     import hashlib
     import shutil
     import tempfile
 
-    from pyspark.sql import types as T
-
-    from ztdf_spark.lake import LakeTable
-
-    b = _binlog(spark, sf_dir)
-    # per-(sf, pid) scratch location, rebuilt per call: stable within one
-    # process (mkdtemp would leak one lake per invocation across
-    # bench/correctness runs) but private per process — two concurrent
-    # harness runs on the same sf must not rmtree each other's live lake
-    # mid-query (ADVICE r3 #5)
-    import glob
-
     base = os.path.join(
-        tempfile.gettempdir(), f"ztdf-chfeed-{hashlib.sha1(sf_dir.encode()).hexdigest()[:10]}"
+        tempfile.gettempdir(), f"ztdf-{tag}-{hashlib.sha1(sf_dir.encode()).hexdigest()[:10]}"
     )
-    for stale in glob.glob(base + "-*"):  # dead processes' leftovers
+    for stale in glob.glob(base + "-*"):
         pid = stale.rsplit("-", 1)[-1]
         if pid != str(os.getpid()) and not os.path.exists(f"/proc/{pid}"):
             shutil.rmtree(stale, ignore_errors=True)
     root = f"{base}-{os.getpid()}"
     shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+def _mor_lake_from_binlog(spark, sf_dir: str, tag: str):
+    """Derived-binlog MOR lake shared by the table-format flagship queries
+    (change feed / compacted state / stream replication): the full binlog
+    replayed as TWO snapshot commits split by lsn % 3. Returns
+    (table, v_after_batch0, v_after_batch1)."""
+    from pyspark.sql import types as T
+
+    from ztdf_spark.lake import LakeTable
+
+    b = _binlog(spark, sf_dir)
+    root = _scratch_root(sf_dir, tag)
     schema = T.StructType(
         [
             T.StructField("doc_id", T.StringType()),
@@ -255,9 +256,85 @@ def q_cdc_changes_feed(spark, sf_dir):
     v1 = t.current_version()
     t.merge(b.filter(F.col("lsn") % 3 == 0).select(*cols), batch_id=1)
     v2 = t.current_version()
+    return t, v1, v2
+
+
+def q_cdc_changes_feed(spark, sf_dir):
+    """Incremental change feed — the CDC *output* side (`LakeTable.changes`,
+    the Iceberg changelog-scan / Delta CDF analog). Replays the binlog into
+    a MOR lake as two snapshot commits (events split by lsn % 3), then
+    emits the NET row-level changes between the snapshots. The DuckDB
+    oracle diffs the two latest-wins states at the same split — so this
+    entry pins winner reconstruction, tombstone handling, and net-change
+    classification end-to-end through the real table format."""
+    t, v1, v2 = _mor_lake_from_binlog(spark, sf_dir, "chfeed")
     return t.changes(v1, v2).select(
         "doc_id", "lsn", "n_tok", "source", F.col("_change_type").alias("change_type")
     )
+
+
+def q_cdc_compacted_state(spark, sf_dir):
+    """Table maintenance under the driver's hash signal (VERDICT r3
+    next-round #3): the same derived-binlog MOR lake, then the FULL
+    maintenance cycle — compact() folds the delta files into clustered
+    base files, vacuum(0) collects the unreferenced rewrite inputs,
+    expire_snapshots trims history to the compacted snapshot — and the
+    final latest-wins state is returned THROUGH the maintained table. A
+    compaction bug that drops tombstones, loses rows, or resurrects stale
+    updates breaks the hash against the plain latest-wins oracle CTE."""
+    t, _v1, _v2 = _mor_lake_from_binlog(spark, sf_dir, "compact")
+    r = t.compact()
+    assert not r.get("noop")
+    t.expire_snapshots(keep_last=1)
+    t.vacuum(orphan_grace_s=0.0)
+    assert len(t.snapshot()["manifests"]) == 1  # folded to one manifest
+    return t.read().select("doc_id", "lsn", "n_tok", "source")
+
+
+def q_cdc_stream_replicate(spark, sf_dir):
+    """CDC replication end-to-end through the Structured Streaming surface
+    (VERDICT r3 next-round #5): source lake A's delta commits stream out
+    the ztdf_lake SOURCE (Python Data Source API, snapshot-version
+    offsets), map _change_type back to ops, and land in lake B through the
+    ztdf_lake SINK (epoch-fenced exactly-once staged commits) under an
+    availableNow trigger. Returns B's latest-wins state — the oracle is
+    the plain latest-wins CTE, so a lost partition, re-emitted commit, or
+    fence misfire breaks the hash."""
+    from pyspark.sql import types as T
+
+    from ztdf_spark.lake import LakeTable
+    from ztdf_spark.source import ZtdfLakeDataSource
+
+    spark.dataSource.register(ZtdfLakeDataSource)
+    a, _v1, _v2 = _mor_lake_from_binlog(spark, sf_dir, "repl-src")
+    root_b = _scratch_root(sf_dir, "repl-dst")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("n_tok", T.LongType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    b = LakeTable.create(
+        spark, os.path.join(root_b, "t"),
+        schema, key_col="doc_id", seq_col="lsn", merge_mode="mor",
+    )
+    feed = spark.readStream.format("ztdf_lake").option("path", a.path).load()
+    out = feed.selectExpr(
+        "CASE WHEN _change_type = 'delete' THEN 'D' ELSE 'U' END AS op",
+        "doc_id", "lsn", "n_tok", "source",
+    )
+    q = (
+        out.writeStream.format("ztdf_lake")
+        .option("path", b.path)
+        .option("checkpointLocation", os.path.join(root_b, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    q.stop()
+    return b.read().select("doc_id", "lsn", "n_tok", "source")
 
 
 def q_cdc_lineage_batches(spark, sf_dir):
@@ -671,6 +748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_attr_explode": q_cdc_attr_explode,
         "cdc_el_properties": q_cdc_el_properties,
         "cdc_changes_feed": q_cdc_changes_feed,
+        "cdc_compacted_state": q_cdc_compacted_state,
+        "cdc_stream_replicate": q_cdc_stream_replicate,
         "cdc_lineage_batches": q_cdc_lineage_batches,
         "cdc_hot_keys": q_cdc_hot_keys,
         "cdc_encrypt_roundtrip": q_cdc_encrypt_roundtrip,
@@ -794,6 +873,26 @@ def oracle_sql() -> dict[str, str]:
           FROM j)
         SELECT doc_id, lsn, n_tok, source, change_type
         FROM typed WHERE change_type IS NOT NULL
+        """,
+        # maintenance cycle (compact + vacuum + expire) and streaming
+        # source→sink replication must both land on EXACTLY the plain
+        # latest-wins state — the same CTE the direct-dedup entry uses, but
+        # the Spark side traverses the real table format end-to-end
+        "cdc_compacted_state": _BINLOG_CTE
+        + """
+        , last AS (
+          SELECT doc_id, lsn, n_tok, source, op,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+          FROM binlog)
+        SELECT doc_id, lsn, n_tok, source FROM last WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_stream_replicate": _BINLOG_CTE
+        + """
+        , last AS (
+          SELECT doc_id, lsn, n_tok, source, op,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+          FROM binlog)
+        SELECT doc_id, lsn, n_tok, source FROM last WHERE rn = 1 AND op <> 'D'
         """,
         "cdc_lineage_batches": _BINLOG_CTE
         + """

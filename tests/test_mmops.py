@@ -108,3 +108,68 @@ def test_sample_frames_only_video(spark):
     video_ids = {r["media_id"] for r in media.filter("media_type='video'").collect()}
     assert set(frames["media_id"]) == video_ids
     assert (frames.groupby("media_id")["frame_idx"].min() == 0).all()
+
+
+def test_y4m_decode_known_planes():
+    """Builder and decoder are separate code paths: hand-built C444 and
+    C420 streams must round-trip the exact planes and header fields."""
+    y0 = np.full((4, 6), 10, dtype=np.uint8)
+    y1 = np.full((4, 6), 200, dtype=np.uint8)
+    u = np.full((4, 6), 50, dtype=np.uint8)
+    v = np.full((4, 6), 90, dtype=np.uint8)
+    blob = mmops.make_y4m([(y0, u, v), (y1, u, v)], fps_num=4, colorspace="C444")
+    frames, fps, w, h = mmops._y4m_frames(blob)
+    assert (w, h, fps, len(frames)) == (6, 4, 4.0, 2)
+    assert np.array_equal(frames[0][0], y0) and np.array_equal(frames[1][0], y1)
+    assert np.array_equal(frames[0][1], u) and np.array_equal(frames[1][2], v)
+    # C420: half-size chroma planes
+    uq = np.full((2, 3), 7, dtype=np.uint8)
+    blob420 = mmops.make_y4m([(y0, uq, uq)], fps_num=25, colorspace="C420jpeg")
+    frames420, fps420, w420, h420 = mmops._y4m_frames(blob420)
+    assert (w420, h420, fps420) == (6, 4, 25.0)
+    assert frames420[0][1].shape == (2, 3)
+    # features: geometry + luma stats from the real planes
+    f = mmops.decode_media(blob, "video")
+    assert f[0] == 6.0 and f[1] == 4.0 and f[2] == 2.0 and f[3] == 4.0
+    assert abs(f[4] - 105.0) < 1e-3  # mean luma of 10 and 200
+    assert f[8] == 10.0 and f[9] == 200.0  # first/last frame luma
+    assert abs(f[10] - 190.0) < 1e-3  # inter-frame motion
+    assert f[15] == 3.0
+
+
+def test_y4m_frame_sampling_stride_and_content(spark):
+    """sample_frames on a real Y4M stream: the stride follows the frame
+    rate (one sampled frame per every_ms) and the hash fingerprints the
+    sampled frame's OWN plane bytes — distinct frames, distinct hashes."""
+    import hashlib
+
+    rng = np.random.default_rng(7)
+    frames = [
+        (
+            rng.integers(0, 256, size=(4, 4), dtype=np.uint8),
+            rng.integers(0, 256, size=(2, 2), dtype=np.uint8),
+            rng.integers(0, 256, size=(2, 2), dtype=np.uint8),
+        )
+        for _ in range(6)
+    ]
+    blob = mmops.make_y4m(frames, fps_num=2, colorspace="C420jpeg")
+    media = spark.createDataFrame(
+        [(0, "video", bytearray(blob), (4, 4, 3000, "y4m"))], mmops.MEDIA_SCHEMA
+    )
+    out = mmops.sample_frames(media, every_ms=1000).toPandas().sort_values("frame_idx")
+    # 2 fps, 1000 ms → every 2nd frame: indices 0, 2, 4
+    assert list(out["frame_idx"]) == [0, 2, 4]
+    expect = [
+        hashlib.blake2b(
+            frames[i][0].tobytes() + frames[i][1].tobytes() + frames[i][2].tobytes(),
+            digest_size=8,
+        ).hexdigest()
+        for i in (0, 2, 4)
+    ]
+    assert list(out["frame_hash"]) == expect
+    # real decode path: no dependence on the duration metadata stand-in
+    media_wrong_meta = spark.createDataFrame(
+        [(0, "video", bytearray(blob), (4, 4, 999999, "y4m"))], mmops.MEDIA_SCHEMA
+    )
+    out2 = mmops.sample_frames(media_wrong_meta, every_ms=1000).toPandas()
+    assert list(out2.sort_values("frame_idx")["frame_hash"]) == expect

@@ -199,8 +199,44 @@ def _oracle_decode(payload: bytes, mtype: str):
                  std[0], std[1], std[2], float(f.min()), float(f.max()),
                  float(luma.mean()), gx, gy, 0.0, 0.0, fmt_tag]
         return np.asarray(feats, dtype=np.float32)
+    if b[:9] == b"YUV4MPEG2":
+        (w, h, fps), frames = _oracle_y4m(b)
+        ys = np.stack([f[0].astype(np.float64) for f in frames])
+        feats = [float(w), float(h), float(len(frames)), fps,
+                 float(ys.mean()), float(ys.std()),
+                 float(np.mean([f[1].astype(np.float64).mean() for f in frames])),
+                 float(np.mean([f[2].astype(np.float64).mean() for f in frames])),
+                 float(ys[0].mean()), float(ys[-1].mean()),
+                 float(np.mean(np.abs(np.diff(ys, axis=0)))) if len(frames) > 1 else 0.0,
+                 0.0, 0.0, 0.0, 0.0, 3.0]
+        return np.asarray(feats, dtype=np.float32)
     digest = hashlib.blake2b(b, digest_size=64, key=mtype.encode()[:16]).digest()
     return (np.frombuffer(digest, dtype=np.uint32).astype(np.float32) / np.float32(2**32))[:16]
+
+
+def _oracle_y4m(b: bytes):
+    """Independent YUV4MPEG2 parse (regex header + FRAME split — a
+    different strategy from mmops._y4m_frames' cursor walk)."""
+    import re
+
+    import numpy as np
+
+    header, _, rest = b.partition(b"\n")
+    w = int(re.search(rb" W(\d+)", header).group(1))
+    h = int(re.search(rb" H(\d+)", header).group(1))
+    fm = re.search(rb" F(\d+):(\d+)", header)
+    fps = int(fm.group(1)) / int(fm.group(2))
+    cm = re.search(rb" (C\w+)", header)
+    cs = cm.group(1).decode() if cm else "C420jpeg"
+    cw, ch = (w, h) if cs.startswith("C444") else (w // 2, h // 2)
+    frames = []
+    for chunk in rest.split(b"FRAME")[1:]:
+        body = chunk[chunk.index(b"\n") + 1 :]
+        y = np.frombuffer(body, np.uint8, count=w * h).reshape(h, w)
+        u = np.frombuffer(body, np.uint8, count=cw * ch, offset=w * h).reshape(ch, cw)
+        v = np.frombuffer(body, np.uint8, count=cw * ch, offset=w * h + cw * ch).reshape(ch, cw)
+        frames.append((y, u, v))
+    return (w, h, fps), frames
 
 
 def _mm_rows(n=30, seed=42):
@@ -232,9 +268,20 @@ def _pandas_mm_frames(sf_dir, n=30, seed=42, every_ms=1000):
     for mid, mtype, payload, meta in _mm_rows(n, seed):
         if mtype != "video":
             continue
+        b = bytes(payload)
+        if b[:9] == b"YUV4MPEG2":  # real decode: hash the sampled planes
+            (_w, _h, fps), frames = _oracle_y4m(b)
+            step = max(1, round(fps * every_ms / 1000.0))
+            for fi in range(0, len(frames), step):
+                y, u, v = frames[fi]
+                hh = hashlib.blake2b(
+                    y.tobytes() + u.tobytes() + v.tobytes(), digest_size=8
+                ).hexdigest()
+                recs.append((mid, fi, hh))
+            continue
         dur = int(meta[2] or 0)
         for fi in range(max(1, dur // every_ms)):
-            h = hashlib.blake2b(bytes(payload) + fi.to_bytes(4, "little"), digest_size=8).hexdigest()
+            h = hashlib.blake2b(b + fi.to_bytes(4, "little"), digest_size=8).hexdigest()
             recs.append((mid, fi, h))
     return pd.DataFrame(recs, columns=["media_id", "frame_idx", "frame_hash"])
 

@@ -1,14 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-Decode status (round 3): REAL pure-Python decoders for one container per
-modality — WAV/PCM-16 audio (stdlib ``wave``), PPM (P6) and BMP (24-bit
-uncompressed) images — no external media libraries needed. Formats this
-container cannot decode (compressed codecs: jpeg/h264/opus...) still fall
-back to the disclosed deterministic fake (content-hash-derived vector)
-when ``deterministic_fake=True``, else ``NotImplementedError``; a real
-codec library (PIL/ffmpeg/torchaudio) drops in behind the same
-``decode_media`` signature.
+Decode status (round 4): REAL pure-Python decoders for at least one
+container per modality — WAV/PCM-16 audio (stdlib ``wave``), PPM (P6) and
+BMP (24-bit uncompressed) images, Y4M (YUV4MPEG2, C444 + C420*) video —
+no external media libraries needed. Formats this container cannot decode
+(compressed codecs: jpeg/h264/opus...) still fall back to the disclosed
+deterministic fake (content-hash-derived vector) when
+``deterministic_fake=True``, else ``NotImplementedError``; a real codec
+library (PIL/ffmpeg/torchaudio) drops in behind the same ``decode_media``
+signature.
 
 Scale notes: media blobs dominate row size → ``spark.sql.files.
 maxPartitionBytes`` and Arrow ``maxRecordsPerBatch`` must be tuned so one
@@ -66,6 +67,27 @@ def make_ppm(pixels: np.ndarray, maxval: int = 255) -> bytes:
     return f"P6\n{w} {h}\n{maxval}\n".encode() + np.asarray(pixels, dtype=np.uint8).tobytes()
 
 
+def make_y4m(
+    frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+    fps_num: int,
+    fps_den: int = 1,
+    colorspace: str = "C444",
+) -> bytes:
+    """YUV4MPEG2 container: ASCII stream header + ``FRAME``-delimited raw
+    YUV planes — the uncompressed video format parseable without ffmpeg
+    (the video analog of the PPM/BMP fixtures). ``frames``: (y, u, v) u8
+    planes; C444 = full-size chroma, C420* = half-size chroma."""
+    y0 = frames[0][0]
+    h, w = y0.shape
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps_num}:{fps_den} Ip A1:1 {colorspace}\n".encode()]
+    for y, u, v in frames:
+        out.append(b"FRAME\n")
+        out.append(np.asarray(y, dtype=np.uint8).tobytes())
+        out.append(np.asarray(u, dtype=np.uint8).tobytes())
+        out.append(np.asarray(v, dtype=np.uint8).tobytes())
+    return b"".join(out)
+
+
 def make_bmp(pixels: np.ndarray) -> bytes:
     """Uncompressed 24-bit bottom-up BMP. pixels: (h, w, 3) u8 in RGB order."""
     h, w, _ = pixels.shape
@@ -91,6 +113,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "ppm"
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:9] == b"YUV4MPEG2":
+        return "y4m"
     return None
 
 
@@ -187,6 +211,70 @@ def _bmp_pixels(payload: bytes) -> np.ndarray:
     return px[::-1] if bottom_up else px
 
 
+def _y4m_frames(payload: bytes) -> tuple[list[tuple[np.ndarray, np.ndarray, np.ndarray]], float, int, int]:
+    """Parse YUV4MPEG2 → ([(y, u, v) u8 planes per frame], fps, w, h).
+    Supports C444 (full chroma) and the C420* family (half-size chroma);
+    interlacing/aspect params are tolerated and ignored."""
+    nl = payload.index(b"\n")
+    w = h = None
+    fps = 25.0
+    cs = "C420jpeg"  # the Y4M default when no C param is present
+    for tok in payload[9:nl].split():
+        t = tok.decode()
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("F"):
+            num, den = t[1:].split(":")
+            fps = int(num) / int(den)
+        elif t.startswith("C"):
+            cs = t
+    if w is None or h is None:
+        raise ValueError("y4m header missing W/H")
+    if cs.startswith("C444"):
+        cw, ch = w, h
+    elif cs.startswith("C420"):
+        cw, ch = w // 2, h // 2
+    else:
+        raise ValueError(f"unsupported y4m colorspace {cs}")
+    ysz, csz = w * h, cw * ch
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("y4m frame marker missing")
+        pos = payload.index(b"\n", pos) + 1  # frame params tolerated
+        if pos + ysz + 2 * csz > len(payload):
+            raise ValueError("truncated y4m frame")
+        y = np.frombuffer(payload, np.uint8, count=ysz, offset=pos).reshape(h, w)
+        u = np.frombuffer(payload, np.uint8, count=csz, offset=pos + ysz).reshape(ch, cw)
+        v = np.frombuffer(payload, np.uint8, count=csz, offset=pos + ysz + csz).reshape(ch, cw)
+        frames.append((y, u, v))
+        pos += ysz + 2 * csz
+    if not frames:
+        raise ValueError("y4m stream holds no frames")
+    return frames, fps, w, h
+
+
+def _y4m_features(payload: bytes) -> np.ndarray:
+    """Video feature vector from the real decoded planes: geometry, frame
+    rate, luma/chroma statistics, first/last-frame luma, inter-frame luma
+    motion. fmt_tag 3.0."""
+    frames, fps, w, h = _y4m_frames(payload)
+    ys = np.stack([f[0].astype(np.float64) for f in frames])
+    feats = [
+        float(w), float(h), float(len(frames)), fps,
+        float(ys.mean()), float(ys.std()),
+        float(np.mean([f[1].astype(np.float64).mean() for f in frames])),
+        float(np.mean([f[2].astype(np.float64).mean() for f in frames])),
+        float(ys[0].mean()), float(ys[-1].mean()),
+        float(np.mean(np.abs(np.diff(ys, axis=0)))) if len(frames) > 1 else 0.0,
+        0.0, 0.0, 0.0, 0.0, 3.0,
+    ]
+    return np.asarray(feats, dtype=np.float32)
+
+
 def decode_media(payload: bytes, media_type: str, *, deterministic_fake: bool = False) -> np.ndarray:
     """Decode a media blob into a FEAT_DIM-dim float32 feature vector.
 
@@ -203,6 +291,8 @@ def decode_media(payload: bytes, media_type: str, *, deterministic_fake: bool = 
             return _rgb_features(_ppm_pixels(bytes(payload)), fmt_tag=1.0)
         if fmt == "bmp":
             return _rgb_features(_bmp_pixels(bytes(payload)), fmt_tag=2.0)
+        if fmt == "y4m":
+            return _y4m_features(bytes(payload))
     except ValueError:
         pass  # sniffed but malformed/unsupported variant → fall through
     if not deterministic_fake:
@@ -281,9 +371,14 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
 
 def sample_frames(media: DataFrame, every_ms: int = 1000, *, deterministic_fake: bool = True) -> DataFrame:
     """Frame sampling for video rows: one output row per sampled frame.
-    Compressed video (h264...) cannot be decoded without ffmpeg — the frame
-    content hash is the disclosed positional stand-in; the fan-out shape
-    (row explosion driven by duration metadata) is the real contract."""
+
+    Y4M (YUV4MPEG2) rows are REALLY decoded — the sampling stride comes
+    from the stream's own frame rate (one frame per ``every_ms``, never
+    below 1) and ``frame_hash`` fingerprints the sampled frame's actual
+    YUV plane bytes, so a plane-parse or stride bug changes the output.
+    Compressed video (h264...) cannot be decoded without ffmpeg — those
+    rows keep the disclosed positional stand-in (fan-out driven by
+    duration metadata) when ``deterministic_fake=True``, else raise."""
 
     def _frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -293,14 +388,28 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, *, deterministic_fake:
             ):
                 if mtype != "video" or meta is None:
                     continue
+                b = bytes(payload)
+                if sniff_format(b) == "y4m":
+                    frames, fps, _w, _h = _y4m_frames(b)
+                    step = max(1, round(fps * every_ms / 1000.0))
+                    for fi in range(0, len(frames), step):
+                        y, u, v = frames[fi]
+                        ids.append(mid)
+                        idxs.append(fi)
+                        hashes.append(
+                            hashlib.blake2b(
+                                y.tobytes() + u.tobytes() + v.tobytes(), digest_size=8
+                            ).hexdigest()
+                        )
+                    continue
                 if not deterministic_fake:
-                    raise NotImplementedError("video frame decode requires ffmpeg")
+                    raise NotImplementedError("compressed video frame decode requires ffmpeg")
                 dur = int(meta["duration_ms"] or 0)
                 for fi in range(max(1, dur // every_ms)):
                     ids.append(mid)
                     idxs.append(fi)
                     hashes.append(
-                        hashlib.blake2b(bytes(payload) + fi.to_bytes(4, "little"), digest_size=8).hexdigest()
+                        hashlib.blake2b(b + fi.to_bytes(4, "little"), digest_size=8).hexdigest()
                     )
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_hash": hashes})
 
@@ -333,6 +442,24 @@ def synthetic_media_rows(n: int = 20, seed: int = 42) -> list:
             samples = rng.integers(-32768, 32768, size=nsamp * nch, dtype=np.int16)
             payload = make_wav(samples, sr, nch)
             meta = (0, 0, int(nsamp * 1000 / sr), "pcm_s16le")
+        elif (i // 3) % 2 == 0:
+            # REAL video: uncompressed Y4M, alternating full and subsampled
+            # chroma; duration derives from the stream's own frame count/rate
+            w, h = int(rng.integers(2, 9)) * 2, int(rng.integers(2, 9)) * 2
+            fps = int(rng.integers(2, 7))
+            n_frames = int(rng.integers(2, 9))
+            cs = "C444" if (i // 6) % 2 == 0 else "C420jpeg"
+            cw, ch = (w, h) if cs == "C444" else (w // 2, h // 2)
+            frames = [
+                (
+                    rng.integers(0, 256, size=(h, w), dtype=np.uint8),
+                    rng.integers(0, 256, size=(ch, cw), dtype=np.uint8),
+                    rng.integers(0, 256, size=(ch, cw), dtype=np.uint8),
+                )
+                for _ in range(n_frames)
+            ]
+            payload = make_y4m(frames, fps, colorspace=cs)
+            meta = (w, h, int(n_frames * 1000 / fps), "y4m")
         else:
             payload = rng.integers(0, 256, size=int(rng.integers(64, 256)), dtype=np.uint8).tobytes()
             meta = (int(rng.integers(16, 512)), int(rng.integers(16, 512)),
