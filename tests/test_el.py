@@ -303,3 +303,41 @@ def test_delimited_index_url_base64_date(rows, spark):
         compile_template("${d:toDate('yyyy-MM-dd'):format('yyyy/MM/dd')}").alias("v")
     ).collect()[0][0]
     assert got == "2024/03/05"
+
+
+def test_any_attribute_all_attributes(rows):
+    """Multi-attribute matchers: the chain runs per named attribute and
+    folds OR (any) / AND (all) — NiFi EL guide semantics over explicit
+    names, compiled to one boolean Catalyst tree."""
+    # name contains 'a' (case-sensitive) OR source contains 'a'; null
+    # attributes follow SQL three-valued logic (null OR true = true)
+    got = _eval(rows, "${anyAttribute('name', 'source'):contains('a')}")
+    assert got == [True, True, False, True]
+    got_all = _eval(rows, "${allAttributes('name', 'source'):contains('a')}")
+    # b2: 'signup' has no 'a'; c3: both miss; d4: null AND true = null
+    assert got_all == [True, False, False, None]
+    # chains longer than one call apply fully per attribute
+    got_len = _eval(rows, "${anyAttribute('name', 'kas_url'):length():gt(10)}")
+    # b2: false OR null(kas) = null; d4: null(name) OR false = null
+    assert got_len == [True, None, False, None]
+    # notNull folds with AND
+    got_nn = _eval(rows, "${allAttributes('name', 'kas_url'):notNull()}")
+    assert got_nn == [True, False, True, False]
+    # mixed into text: boolean renders as string like any EL part
+    got_mix = _eval(rows, "v=${anyAttribute('name','source'):isEmpty()}")
+    assert got_mix == ["v=false", "v=false", "v=true", "v=true"]
+
+
+def test_multi_attribute_syntax_errors(spark):
+    import pytest
+
+    from ztdf_spark.el import ELSyntaxError
+
+    with pytest.raises(ELSyntaxError):
+        compile_template("${anyAttribute('a')}")  # no chain
+    with pytest.raises(ELSyntaxError):
+        compile_template("${anyAttribute():notNull()}")  # no names
+    with pytest.raises(ELSyntaxError):
+        compile_template("${anyAttribute(5):notNull()}")  # non-string name
+    with pytest.raises(ELSyntaxError):
+        compile_template("${anyMatchingAttribute('a.*'):notNull()}")  # regex form stays out

@@ -21,6 +21,10 @@ Supported subset (semantics follow the public NiFi EL guide):
 - subjectless ``${literal('x')}``.
 - chained calls ``${attr:trim():toUpper()}`` with string/number/boolean
   literals or embedded ``${...}`` expressions as arguments.
+- multi-attribute matchers over EXPLICIT names:
+  ``${anyAttribute('a','b'):contains('x')}`` /
+  ``${allAttributes('a','b'):notNull()}`` — the chain evaluates per
+  attribute and folds with OR / AND (one Catalyst boolean tree).
 
 String: trim, toUpper, toLower, substring, substringBefore,
 substringAfter, replace, replaceAll, replaceNull, replaceEmpty, append,
@@ -35,7 +39,9 @@ epoch millis), format (epoch millis → string).
 
 Deliberately unsupported (nondeterministic or engine-foreign — raise
 ``ELSyntaxError`` rather than silently misbehave): uuid, now, hostname,
-nextInt, anyAttribute/allAttributes multi-matchers, state access.
+nextInt, regex-driven ``anyMatchingAttribute``/``allMatchingAttributes``
+(the batch schema, not a runtime attribute map, defines the columns —
+name them explicitly), state access.
 """
 
 from __future__ import annotations
@@ -86,6 +92,12 @@ class _Call:
 @dataclass
 class _Concat:
     parts: list  # _Lit(str) | expression nodes
+
+
+@dataclass
+class _Multi:
+    kind: str  # "any" | "all"
+    names: list[str]  # explicit attribute (column) names
 
 
 # ------------------------------------------------------------------ parser
@@ -159,13 +171,24 @@ def _parse_expr(cur: _Cursor):
         word = m.group(0)
         cur.i = m.end()
         cur.skip_ws()
-        if cur.peek() == "(":  # subjectless function: only literal() is deterministic
-            if word != "literal":
+        if cur.peek() == "(":  # subjectless function
+            if word in ("anyAttribute", "allAttributes"):
+                args = _parse_args(cur)
+                if not args or not all(
+                    isinstance(x, _Lit) and isinstance(x.value, str) for x in args
+                ):
+                    raise ELSyntaxError(
+                        f"{word}() takes one or more quoted attribute names"
+                    )
+                node = _Multi("any" if word == "anyAttribute" else "all",
+                              [x.value for x in args])
+            elif word == "literal":
+                args = _parse_args(cur)
+                if len(args) != 1 or not isinstance(args[0], _Lit):
+                    raise ELSyntaxError("literal() takes exactly one literal argument")
+                node = args[0]
+            else:
                 raise ELSyntaxError(f"unsupported subjectless function {word!r}")
-            args = _parse_args(cur)
-            if len(args) != 1 or not isinstance(args[0], _Lit):
-                raise ELSyntaxError("literal() takes exactly one literal argument")
-            node = args[0]
         else:
             node = _Attr(word)
     while True:
@@ -263,7 +286,38 @@ def _err_arity(f: str):
     raise ELSyntaxError(f"{f}() requires an argument")
 
 
+def _multi_root(node):
+    while isinstance(node, _Call):
+        node = node.subject
+    return node if isinstance(node, _Multi) else None
+
+
+def _substitute(node, attr: _Attr):
+    """Rebuild a call chain with the _Multi root replaced by one attribute."""
+    if isinstance(node, _Multi):
+        return attr
+    if isinstance(node, _Call):
+        return _Call(_substitute(node.subject, attr), node.func, node.args)
+    return node
+
+
 def _compile(node) -> Column:
+    # anyAttribute/allAttributes: the whole function chain evaluates once
+    # per named attribute (column), then the per-attribute booleans fold
+    # with OR (any) / AND (all) — the NiFi multi-matcher semantics, still
+    # one Catalyst expression tree with zero Python in the data plane
+    root = _multi_root(node) if isinstance(node, _Call) else None
+    if isinstance(node, _Multi):
+        raise ELSyntaxError(
+            f"{'anyAttribute' if node.kind == 'any' else 'allAttributes'}() "
+            "needs a boolean function chain (e.g. :contains(...))"
+        )
+    if root is not None:
+        cols = [_compile(_substitute(node, _Attr(nm))) for nm in root.names]
+        out = cols[0]
+        for c in cols[1:]:
+            out = (out | c) if root.kind == "any" else (out & c)
+        return out
     if isinstance(node, _Lit):
         return F.lit(node.value)
     if isinstance(node, _Attr):

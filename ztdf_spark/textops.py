@@ -108,8 +108,14 @@ def jaccard_pairs(
     the explode onto one core (at 100 TB the scan is already wide and this
     branch never fires).
     """
+    # spread decision from scan metadata, not .rdd (constructing the RDD
+    # plan per call is driver overhead and bypasses Catalyst): a scan of
+    # fewer input files than cores would serialize the explode; at 100 TB
+    # the scan is already wide and this never fires. Non-file sources
+    # (inputFiles() == []) are left to their natural parallelism.
     p = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < p:
+    n_files = len(docs.inputFiles())
+    if 0 < n_files < p:
         docs = docs.repartition(2 * p)
     sh = shingles(docs, k)
     per_doc = docs.select(
