@@ -337,6 +337,18 @@ def q_cdc_stream_replicate(spark, sf_dir):
     return b.read().select("doc_id", "lsn", "n_tok", "source")
 
 
+def q_cdc_point_lookup(spark, sf_dir):
+    """read_keys() point/multi-key lookup under the driver hash (was only
+    property-tested): metadata-pruned winner reconstruction at O(matched
+    files) for a deterministic key set — every 7th doc id plus misses.
+    Oracle = latest-wins CTE restricted to the same keys; a pruning bug
+    that drops a file (losing a key's newest row) resurrects a stale
+    winner and breaks the hash."""
+    t, _v1, _v2 = _mor_lake_from_binlog(spark, sf_dir, "ptlkup")
+    keys = [f"doc-{i:08d}" for i in range(0, 700, 7)]  # hits and misses
+    return t.read_keys(keys).select("doc_id", "lsn", "n_tok", "source")
+
+
 def q_cdc_lineage_batches(spark, sf_dir):
     b = _binlog(spark, sf_dir)
     return (
@@ -750,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changes_feed": q_cdc_changes_feed,
         "cdc_compacted_state": q_cdc_compacted_state,
         "cdc_stream_replicate": q_cdc_stream_replicate,
+        "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_lineage_batches": q_cdc_lineage_batches,
         "cdc_hot_keys": q_cdc_hot_keys,
         "cdc_encrypt_roundtrip": q_cdc_encrypt_roundtrip,
@@ -893,6 +906,17 @@ def oracle_sql() -> dict[str, str]:
                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
           FROM binlog)
         SELECT doc_id, lsn, n_tok, source FROM last WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_point_lookup": _BINLOG_CTE
+        + """
+        , last AS (
+          SELECT doc_id, lsn, n_tok, source, op,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+          FROM binlog)
+        SELECT doc_id, lsn, n_tok, source FROM last
+        WHERE rn = 1 AND op <> 'D'
+          AND doc_id IN (SELECT 'doc-' || lpad(CAST(i AS VARCHAR), 8, '0')
+                         FROM generate_series(0, 693, 7) AS t(i))
         """,
         "cdc_lineage_batches": _BINLOG_CTE
         + """
