@@ -119,6 +119,31 @@ def main():
         ],
     )
 
+    # compacted table: read() must take the no-dedup fast path — base files
+    # are one-row-per-key, so NO winner aggregation or join belongs in the
+    # plan (the whole point of folding deltas down)
+    cst = em.q_cdc_compacted_state(spark, sf)
+    dump(
+        "cdc_compacted_state",
+        cst,
+        [
+            ("compacted read is a plain scan (no winner agg)", r"Aggregate", False),
+            ("no join in the compacted read", r"Join", False),
+        ],
+    )
+
+    # point lookup: winner reconstruction only over metadata-matched files,
+    # keys probed via a broadcast semi-join
+    plk = em.q_cdc_point_lookup(spark, sf)
+    dump(
+        "cdc_point_lookup",
+        plk,
+        [
+            ("requested keys probe as broadcast semi-join", r"BroadcastHashJoin LeftSemi", True),
+            ("no cartesian", r"CartesianProduct", False),
+        ],
+    )
+
     q1 = em.q_tpch_q1_quantized(spark, sf)
     dump(
         "tpch_q1",
