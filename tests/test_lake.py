@@ -858,3 +858,33 @@ def test_property_read_keys_equals_filtered_read(spark, tmp_path):
         assert got == want, f"{probes}: {got} != {want}"
 
     run()
+
+
+def test_changes_legacy_manifests_without_added_at(spark, tmp_path):
+    """Tables written by the round-3 code have manifests WITHOUT added_at:
+    attribution falls back to filename inference and the incremental fast
+    path still works (carry-over manifests keep their original names)."""
+    import json
+
+    t = _mk_mor(spark, tmp_path, "legacy")
+    b0 = [("I", "a", 1, [1], 1, "web"), ("I", "b", 2, [2], 1, "web")]
+    t.merge(_changes(spark, b0), batch_id=0)
+    v1 = t.current_version()
+    b1 = [("U", "a", 5, [5], 1, "web")]
+    t.merge(_changes(spark, b1), batch_id=1)
+    # strip added_at from every snapshot's manifest list (legacy format)
+    for v in range(t.current_version() + 1):
+        p = os.path.join(t._snap_dir, f"v{v:010d}.json")
+        with open(p) as f:
+            snap = json.load(f)
+        for m in snap.get("manifests", []):
+            m.pop("added_at", None)
+        with open(p, "w") as f:
+            json.dump(snap, f)
+    t2 = LakeTable.load(spark, t.path)
+    expect = _py_changes(b0, b0 + b1)
+    df = t2.changes(v1, t2.current_version())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan  # filename fallback still yields the fast path
+    got = {r["doc_id"]: (r["_change_type"], r["lsn"]) for r in df.collect()}
+    assert got == expect
