@@ -1260,17 +1260,26 @@ class LakeTable:
         deleted file (ADVICE r3 #3; the same age guard as Iceberg's
         remove_orphan_files, whose default is days)."""
         cutoff = time.time() - orphan_grace_s
+
+        def _expired(p: str) -> bool:
+            # racing writer may move/remove the file between listdir and
+            # stat — treat a vanished file as not ours to collect
+            try:
+                return os.path.getmtime(p) <= cutoff
+            except FileNotFoundError:
+                return False
+
         referenced_manifests, referenced_data = self._referenced()
         removed = []
         for name in os.listdir(self._data_dir):
             p = os.path.join(self._data_dir, name)
-            if name.endswith(".parquet") and name not in referenced_data and os.path.getmtime(p) <= cutoff:
+            if name.endswith(".parquet") and name not in referenced_data and _expired(p):
                 os.unlink(p)
                 removed.append(name)
         if os.path.isdir(self._manifest_dir):
             for name in os.listdir(self._manifest_dir):
                 p = os.path.join(self._manifest_dir, name)
-                if name.endswith(".json") and name not in referenced_manifests and os.path.getmtime(p) <= cutoff:
+                if name.endswith(".json") and name not in referenced_manifests and _expired(p):
                     os.unlink(p)
                     self._manifest_cache.pop(name, None)
                     removed.append(name)
@@ -1282,7 +1291,7 @@ class LakeTable:
             for root, _dirs, names in os.walk(staging, topdown=False):
                 for n in names:
                     p = os.path.join(root, n)
-                    if os.path.getmtime(p) <= cutoff:
+                    if _expired(p):
                         os.unlink(p)
                         removed.append(os.path.join(os.path.relpath(root, self.path), n))
                 if root != staging and not os.listdir(root):
