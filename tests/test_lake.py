@@ -888,3 +888,55 @@ def test_changes_legacy_manifests_without_added_at(spark, tmp_path):
     assert "LeftSemi" in plan  # filename fallback still yields the fast path
     got = {r["doc_id"]: (r["_change_type"], r["lsn"]) for r in df.collect()}
     assert got == expect
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_type_widening_schema_evolution(spark, tmp_path, mode):
+    """int→long / float→double widening is pure metadata: a later batch
+    with the wider type widens the TABLE schema; old narrow files read
+    through it without rewrite, and values beyond the narrow range land
+    correctly."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("score", T.FloatType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / f"widen-{mode}"), schema=schema,
+        target_file_rows=200, merge_mode=mode,
+    )
+    t.merge(
+        spark.createDataFrame(
+            [("I", "a", 1, 5, 1.5), ("I", "b", 2, 7, 2.5)],
+            "op string, doc_id string, lsn long, n_tok int, score float",
+        ),
+        batch_id=0,
+    )
+    big = 3_000_000_000  # > int32 range
+    t.merge(
+        spark.createDataFrame(
+            [("U", "a", 10, big, 0.125), ("I", "c", 11, 42, 0.25)],
+            "op string, doc_id string, lsn long, n_tok long, score double",
+        ),
+        batch_id=1,
+    )
+    got_schema = {f.name: f.dataType.typeName() for f in t.schema().fields}
+    assert got_schema["n_tok"] == "long" and got_schema["score"] == "double"
+    got = {r["doc_id"]: (r["n_tok"], r["score"]) for r in t.read().collect()}
+    assert got == {"a": (big, 0.125), "b": (7, 2.5), "c": (42, 0.25)}
+    # a NARROW batch after widening still merges (new int32 files read
+    # through the wide schema)
+    t.merge(
+        spark.createDataFrame(
+            [("U", "b", 20, 9, 3.5)],
+            "op string, doc_id string, lsn long, n_tok int, score float",
+        ),
+        batch_id=2,
+    )
+    got2 = {r["doc_id"]: r["n_tok"] for r in t.read().collect()}
+    assert got2 == {"a": big, "b": 9, "c": 42}
+    # time travel reads the pre-widening snapshot through ITS OWN schema
+    assert {f.name: f.dataType.typeName() for f in t.schema(1)}["n_tok"] == "integer"

@@ -273,3 +273,33 @@ def test_stream_sink_requires_fence_key(spark, tmp_path):
     finally:
         spark.conf.unset("spark.sql.streaming.checkpointLocation")
     assert {r["doc_id"] for r in b.read().collect()} == {"x"}
+
+
+def test_stream_source_reads_through_widened_schema(spark, tmp_path):
+    """Type widening (int→long) between commits: the stream's schema is
+    the CURRENT table schema; pre-widening delta files cast up at read."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "widesrc"),
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.StringType()),
+                T.StructField("lsn", T.LongType()),
+                T.StructField("n_tok", T.IntegerType()),
+            ]
+        ),
+        target_file_rows=200, merge_mode="mor",
+    )
+    t.merge(
+        spark.createDataFrame([("I", "a", 1, 5)], "op string, doc_id string, lsn long, n_tok int"),
+        batch_id=0,
+    )
+    big = 3_000_000_000
+    t.merge(
+        spark.createDataFrame(
+            [("I", "b", 2, big)], "op string, doc_id string, lsn long, n_tok long"
+        ),
+        batch_id=1,
+    )
+    rows = _drain(spark, t.path, str(tmp_path / "ckw"), "feedw", start_version=0)
+    got = {r["doc_id"]: r["n_tok"] for r in rows}
+    assert got == {"a": 5, "b": big}

@@ -622,20 +622,50 @@ class LakeTable:
 
     # ----------------------------------------------------------------- merge
 
+    # safe read-time widenings: Spark 4's parquet reader upcasts the
+    # narrow physical type through the wide read schema (verified int32→
+    # bigint and float→double), so widening is PURE metadata — no file
+    # rewrite, old files stay readable (the Iceberg type-promotion set)
+    _WIDEN = {
+        ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+        ("short", "integer"), ("short", "long"),
+        ("integer", "long"),
+        ("float", "double"),
+    }
+
     def _evolve_schema(self, snap: dict, batch_schema: T.StructType) -> T.StructType:
-        """Additive evolution: batch columns absent from the table schema are
-        appended as nullable fields (north rule: 'handles additive schema
-        evolution (new attribute/assertion columns)')."""
+        """Schema evolution at the metadata layer (north rule: 'handles
+        additive schema evolution (new attribute/assertion columns)'):
+
+        - ADDITIVE: batch columns absent from the table schema are appended
+          as nullable fields; old files read them as null.
+        - WIDENING: a batch column whose type is a safe numeric promotion
+          of the table's (int→long, float→double, ...) widens the TABLE
+          type; old narrow files read through the widened schema without
+          rewrite. A batch NARROWER than the table needs no action — its
+          new files also read through the wider schema.
+
+        Anything else (incompatible type change, drop, rename) is not
+        evolution and surfaces as a read/merge analysis error."""
         table = T.StructType.fromJson(snap["schema"])
+        batch_types = {f.name: f.dataType for f in batch_schema.fields}
+        fields = []
+        for f in table.fields:
+            bt = batch_types.get(f.name)
+            if (
+                bt is not None
+                and (f.dataType.typeName(), bt.typeName()) in self._WIDEN
+            ):
+                fields.append(T.StructField(f.name, bt, True))
+            else:
+                fields.append(f)
         have = {f.name for f in table.fields}
-        added = [
+        fields += [
             T.StructField(f.name, f.dataType, True)
             for f in batch_schema.fields
             if f.name not in have and f.name not in ("op", _TOMBSTONE)
         ]
-        if not added:
-            return table
-        return T.StructType(list(table.fields) + added)
+        return T.StructType(fields)
 
     def _matched_files(self, snap: dict, batch_keys: DataFrame, key_col: str) -> list[dict]:
         """Prune: keep only data files whose [min,max] key range contains at
