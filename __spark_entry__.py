@@ -337,6 +337,44 @@ def q_cdc_stream_replicate(spark, sf_dir):
     return b.read().select("doc_id", "lsn", "n_tok", "source")
 
 
+def q_cdc_schema_evolution(spark, sf_dir):
+    """Additive schema evolution under the driver hash: the second commit
+    carries a NEW column (region) the table never declared; the table
+    schema evolves, old rows read the column as null, and latest-wins
+    resolves across the schema boundary. The oracle derives region only
+    for winners whose event came from the second batch (lsn % 3 == 0) —
+    a backfill bug (non-null old rows) or an evolution bug (dropped
+    column) breaks the hash."""
+    from pyspark.sql import types as T
+
+    from ztdf_spark.lake import LakeTable
+
+    b = _binlog(spark, sf_dir)
+    root = _scratch_root(sf_dir, "schevo")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("n_tok", T.LongType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, os.path.join(root, "t"),
+        schema, key_col="doc_id", seq_col="lsn", merge_mode="mor",
+    )
+    t.merge(
+        b.filter(F.col("lsn") % 3 != 0).select("op", "doc_id", "lsn", "n_tok", "source"),
+        batch_id=0,
+    )
+    evolved = b.filter(F.col("lsn") % 3 == 0).select(
+        "op", "doc_id", "lsn", "n_tok", "source",
+        F.concat(F.col("source"), F.lit("-r")).alias("region"),
+    )
+    t.merge(evolved, batch_id=1)
+    return t.read().select("doc_id", "lsn", "n_tok", "source", "region")
+
+
 def q_cdc_point_lookup(spark, sf_dir):
     """read_keys() point/multi-key lookup under the driver hash (was only
     property-tested): metadata-pruned winner reconstruction at O(matched
@@ -763,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_compacted_state": q_cdc_compacted_state,
         "cdc_stream_replicate": q_cdc_stream_replicate,
         "cdc_point_lookup": q_cdc_point_lookup,
+        "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_lineage_batches": q_cdc_lineage_batches,
         "cdc_hot_keys": q_cdc_hot_keys,
         "cdc_encrypt_roundtrip": q_cdc_encrypt_roundtrip,
@@ -906,6 +945,15 @@ def oracle_sql() -> dict[str, str]:
                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
           FROM binlog)
         SELECT doc_id, lsn, n_tok, source FROM last WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_schema_evolution": _BINLOG_CTE
+        + """
+        , last AS (
+          SELECT doc_id, lsn, n_tok, source, op,
+                 CASE WHEN lsn % 3 = 0 THEN source || '-r' END AS region,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+          FROM binlog)
+        SELECT doc_id, lsn, n_tok, source, region FROM last WHERE rn = 1 AND op <> 'D'
         """,
         "cdc_point_lookup": _BINLOG_CTE
         + """
