@@ -940,3 +940,82 @@ def test_type_widening_schema_evolution(spark, tmp_path, mode):
     assert got2 == {"a": big, "b": 9, "c": 42}
     # time travel reads the pre-widening snapshot through ITS OWN schema
     assert {f.name: f.dataType.typeName() for f in t.schema(1)}["n_tok"] == "integer"
+
+
+def test_property_schema_evolution_matches_oracle(spark, tmp_path):
+    """Property: random batch sequences where each batch independently may
+    (a) carry an extra column and (b) widen n_tok to long — the final
+    read() equals the brute-force latest-wins oracle over the union
+    schema, in BOTH merge modes, with nulls exactly where the winning
+    batch lacked the column."""
+    from hypothesis import given, settings, strategies as st
+
+    keys = ["a", "b", "c", "d"]
+    batch = st.tuples(
+        st.lists(
+            st.tuples(st.sampled_from(["I", "U", "D"]), st.sampled_from(keys)),
+            min_size=1, max_size=5,
+        ),
+        st.booleans(),  # carries the extra 'region' column
+        st.booleans(),  # widens n_tok to long (values beyond int32)
+    )
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(batch, min_size=2, max_size=4))
+    def run(batches):
+        counter[0] += 1
+        events = []  # (op, key, lsn, n_tok, region_or_absent)
+        lsn = 0
+        built = []
+        for ops_, extra, wide in batches:
+            rows = []
+            for op, k in ops_:
+                lsn += 1
+                n = (3_000_000_000 + lsn) if wide else lsn
+                if op == "D":
+                    row = (op, k, lsn, None) + ((None,) if extra else ())
+                    events.append((op, k, lsn, None, None if extra else "__absent__"))
+                else:
+                    reg = f"r{lsn}" if extra else "__absent__"
+                    row = (op, k, lsn, n) + ((reg,) if extra else ())
+                    events.append((op, k, lsn, n, reg))
+                rows.append(row)
+            ddl = "op string, doc_id string, lsn long, n_tok " + ("long" if wide else "int")
+            if extra:
+                ddl += ", region string"
+            built.append((rows, ddl))
+        # brute-force oracle over the union schema
+        expect = {}
+        for op, k, ls, n, reg in events:
+            cur = expect.get(k)
+            if cur is None or ls > cur[0]:
+                expect[k] = (ls, op, n, None if reg == "__absent__" else reg)
+        expect = {
+            k: (ls, n, reg) for k, (ls, op, n, reg) in expect.items() if op != "D"
+        }
+        any_wide = any(w for _o, _e, w in batches)
+        for mode in ("mor", "cow"):
+            t = LakeTable.create(
+                spark, str(tmp_path / f"evoprop{counter[0]}-{mode}"),
+                schema=T.StructType(
+                    [
+                        T.StructField("doc_id", T.StringType()),
+                        T.StructField("lsn", T.LongType()),
+                        T.StructField("n_tok", T.IntegerType()),
+                    ]
+                ),
+                target_file_rows=200, merge_mode=mode,
+            )
+            for bid, (rows, ddl) in enumerate(built):
+                t.merge(spark.createDataFrame(rows, ddl), batch_id=bid)
+            fields = {f.name: f.dataType.typeName() for f in t.schema().fields}
+            assert fields["n_tok"] == ("long" if any_wide else "integer")
+            cols = ["doc_id", "lsn", "n_tok"] + (["region"] if "region" in fields else [])
+            got = {
+                r["doc_id"]: (r["lsn"], r["n_tok"], r["region"] if "region" in fields else None)
+                for r in t.read().select(*cols).collect()
+            }
+            assert got == expect, f"{mode}: {got} vs {expect}"
+
+    run()
