@@ -173,3 +173,18 @@ def test_y4m_frame_sampling_stride_and_content(spark):
     )
     out2 = mmops.sample_frames(media_wrong_meta, every_ms=1000).toPandas()
     assert list(out2.sort_values("frame_idx")["frame_hash"]) == expect
+
+
+def test_y4m_truncated_falls_back_not_crashes(spark):
+    """A sniffed-but-truncated Y4M row must take the positional fallback
+    (duration-driven fan-out), never fail the job — the same per-record
+    tolerance contract as decode_media."""
+    good = mmops.make_y4m(
+        [(np.zeros((4, 4), np.uint8),) * 3], fps_num=2, colorspace="C444"
+    )
+    bad = good[: len(good) - 10]  # truncate mid-frame
+    media = spark.createDataFrame(
+        [(0, "video", bytearray(bad), (4, 4, 2000, "y4m"))], mmops.MEDIA_SCHEMA
+    )
+    out = mmops.sample_frames(media, every_ms=1000).toPandas()
+    assert list(out["frame_idx"]) == [0, 1]  # duration-driven stand-in

@@ -390,18 +390,23 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, *, deterministic_fake:
                     continue
                 b = bytes(payload)
                 if sniff_format(b) == "y4m":
-                    frames, fps, _w, _h = _y4m_frames(b)
-                    step = max(1, round(fps * every_ms / 1000.0))
-                    for fi in range(0, len(frames), step):
-                        y, u, v = frames[fi]
-                        ids.append(mid)
-                        idxs.append(fi)
-                        hashes.append(
-                            hashlib.blake2b(
-                                y.tobytes() + u.tobytes() + v.tobytes(), digest_size=8
-                            ).hexdigest()
-                        )
-                    continue
+                    try:
+                        frames, fps, _w, _h = _y4m_frames(b)
+                    except ValueError:
+                        frames = None  # truncated/malformed: per-row fallback,
+                        # never a job failure (same contract as decode_media)
+                    if frames is not None:
+                        step = max(1, round(fps * every_ms / 1000.0))
+                        for fi in range(0, len(frames), step):
+                            y, u, v = frames[fi]
+                            ids.append(mid)
+                            idxs.append(fi)
+                            hashes.append(
+                                hashlib.blake2b(
+                                    y.tobytes() + u.tobytes() + v.tobytes(), digest_size=8
+                                ).hexdigest()
+                            )
+                        continue
                 if not deterministic_fake:
                     raise NotImplementedError("compressed video frame decode requires ffmpeg")
                 dur = int(meta["duration_ms"] or 0)
