@@ -224,10 +224,35 @@ def test_property_el_matches_reference_interpreter(spark):
                     return args[1]  # SQL CASE: null condition -> otherwise
                 return args[0] if sub else args[1]
             raise AssertionError(fn)
+        if kind == "mcall":
+            # multi-matcher: apply the chain per attribute, fold with SQL
+            # three-valued OR/AND — independent of el.py's substitution
+            _k, mkind, names, chain = node
+            vals = []
+            for nm in names:
+                sub = ("attr", nm)
+                for fn, args in chain:
+                    sub = ("call", sub, fn, args)
+                vals.append(ev(sub, row))
+            acc = vals[0]
+            for v in vals[1:]:
+                if mkind == "any":
+                    acc = True if (acc is True or v is True) else (None if (acc is None or v is None) else False)
+                else:
+                    acc = False if (acc is False or v is False) else (None if (acc is None or v is None) else True)
+            return acc
         raise AssertionError(kind)
 
     def render(node):
         kind = node[0]
+        if kind == "mcall":
+            _k, mkind, names, chain = node
+            head = ("anyAttribute" if mkind == "any" else "allAttributes")
+            head += "(" + ", ".join(f"'{n}'" for n in names) + ")"
+            for fn, args in chain:
+                rendered = ", ".join(render(a) for a in args)
+                head += f":{fn}({rendered})"
+            return head
         if kind == "attr":
             return node[1]
         if kind == "lit":
@@ -260,7 +285,21 @@ def test_property_el_matches_reference_interpreter(spark):
             ),
         )
 
+    bool_chain = st.sampled_from([
+        [("isEmpty", [])],
+        [("trim", []), ("isEmpty", [])],
+        [("equals", [("lit", "beta")])],
+        [("toUpper", []), ("equals", [("lit", "ALPHA")])],
+        [("length", []), ("equals", [("lit", 5)])],
+    ])
+    multi = st.tuples(
+        st.sampled_from(["any", "all"]),
+        st.sampled_from([["s", "t"], ["t", "s"], ["s"], ["s", "t", "s"]]),
+        bool_chain,
+    ).map(lambda t: ("mcall", t[0], t[1], t[2]))
+
     top = st.one_of(
+        multi,
         str_expr(3),
         st.tuples(str_expr(2), str_lit).map(lambda t: ("call", t[0], "equals", [t[1]])),
         st.tuples(num_attr, st.sampled_from([("lit", 1), ("lit", 40)])).map(
