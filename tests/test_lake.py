@@ -890,6 +890,141 @@ def test_changes_legacy_manifests_without_added_at(spark, tmp_path):
     assert got == expect
 
 
+def test_changes_big_keyset_materializes_to_staging(spark, tmp_path, monkeypatch):
+    """Beyond the collect cap, changes() writes the distinct touched keys
+    ONCE to a scratch parquet under _staging and every consumer rescans
+    that file — no persisted blocks left behind, no per-consumer re-run
+    of the distinct over the interval delta files (ADVICE r4 #5)."""
+    import glob
+
+    import ztdf_spark.ops as ops
+
+    monkeypatch.setattr(ops, "broadcast_key_limit", lambda s: 5)
+    t = _mk_mor(spark, tmp_path, "bigkeys")
+    b0 = [("I", f"doc-{i:03d}", i + 1, [i], 1, "web") for i in range(40)]
+    t.merge(_changes(spark, b0), batch_id=0)
+    v1 = t.current_version()
+    b1 = [("U", f"doc-{i:03d}", 100 + i, [i, i], 2, "web") for i in range(20)]
+    t.merge(_changes(spark, b1), batch_id=1)
+    df = t.changes(v1, t.current_version())
+    got = {r["doc_id"]: (r["_change_type"], r["lsn"]) for r in df.collect()}
+    assert got == _py_changes(b0, b0 + b1)
+    assert glob.glob(os.path.join(t.path, "_staging", "changes-keys-*")), (
+        "big-path key set was not materialized to _staging"
+    )
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0, (
+        "changes() leaked a persisted block"
+    )
+
+
+def test_mor_read_is_delta_pruned_after_compaction(spark, tmp_path, monkeypatch):
+    """A mostly-compacted MOR read confines the winner aggregate to
+    delta ∪ range-matched base files (VERDICT r4 next-round #1): the
+    untouched base rows flow through a broadcast ANTI-join with no
+    aggregate, and the result matches both the full reconstruction and
+    the latest-wins oracle."""
+    t = _mk_mor(spark, tmp_path, "pruned")
+    b0 = [("I", f"doc-{i:04d}", i + 1, [i], 1, "web") for i in range(300)]
+    t.merge(_changes(spark, b0), batch_id=0)
+    t.compact()
+    # small delta touching 3 keys (one an update, one a delete, one new)
+    b1 = [
+        ("U", "doc-0007", 1000, [7, 7], 2, "web"),
+        ("D", "doc-0100", 1001, [0], 1, "web"),
+        ("I", "doc-9999", 1002, [9], 1, "web"),
+    ]
+    t.merge(_changes(spark, b1), batch_id=1)
+
+    seen = {}
+    orig = LakeTable._winners_df
+
+    def spy(self, snap, files=None):
+        seen["files"] = files
+        return orig(self, snap, files)
+
+    monkeypatch.setattr(LakeTable, "_winners_df", spy)
+    df = t.read()
+    n_total = len(t._files(t.snapshot()))
+    assert seen["files"] is not None, "pruned path not taken"
+    assert len(seen["files"]) < n_total, (
+        f"winner aggregate saw {len(seen['files'])}/{n_total} files"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    got = {r["doc_id"]: r["lsn"] for r in df.collect()}
+    expect = {
+        k: lsn for k, (op, lsn) in _py_state(b0 + b1).items() if op != "D"
+    }
+    assert got == expect
+    # and equals the unpruned reconstruction
+    monkeypatch.undo()
+    full = t._winners_df(t.snapshot()).filter(~F.coalesce(F.col("_tombstone"), F.lit(False)))
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, full.select(*df.columns).collect())
+    )
+
+
+def test_v2_upgrade_commit_history_not_reemitted(spark, tmp_path):
+    """A round-3-era v2→v3 upgrade commit: parent snapshot is v2-format
+    (inline ``files``), the upgrade commit's CARRY-OVER manifest is named
+    with the NEW commit version, and nothing carries ``added_at``.
+    Filename inference must REFUSE attribution there (parent is v2 → no
+    manifest list to cross-check), so ``changes()`` degrades to the full
+    winner diff instead of re-emitting the whole pre-upgrade history as
+    that commit's changes, and the streaming source refuses rather than
+    streams wrong rows (ADVICE r4 #1)."""
+    import json
+
+    from ztdf_spark.lake import added_delta_entries
+
+    t = _mk_mor(spark, tmp_path, "upg")
+    b0 = [("I", "a", 1, [1], 1, "web"), ("I", "b", 2, [2], 1, "web"),
+          ("I", "c", 3, [3], 1, "web")]
+    t.merge(_changes(spark, b0), batch_id=0)
+    b1 = [("U", "a", 5, [5], 1, "web")]
+    t.merge(_changes(spark, b1), batch_id=1)
+    v_pre = t.current_version()
+    # downgrade every snapshot to v2-format: inline file list, no manifests
+    for v in range(v_pre + 1):
+        p = os.path.join(t._snap_dir, f"v{v:010d}.json")
+        with open(p) as f:
+            snap = json.load(f)
+        snap["files"] = t._files(snap)
+        snap.pop("manifests", None)
+        snap["format_version"] = 2
+        with open(p, "w") as f:
+            json.dump(snap, f)
+    # the next merge IS the v2→v3 upgrade commit (carry-over manifest is
+    # named with the new version); then strip added_at to simulate the
+    # round-3-era writer having performed that upgrade
+    t2 = LakeTable.load(spark, t.path)
+    b2 = [("U", "b", 9, [9], 1, "web"), ("D", "c", 10, [10], 1, "web")]
+    t2.merge(_changes(spark, b2), batch_id=2)
+    v_up = t2.current_version()
+    p = os.path.join(t2._snap_dir, f"v{v_up:010d}.json")
+    with open(p) as f:
+        snap_up = json.load(f)
+    for m in snap_up["manifests"]:
+        m.pop("added_at", None)
+    with open(p, "w") as f:
+        json.dump(snap_up, f)
+    t3 = LakeTable.load(spark, t.path)
+    # attribution must refuse (None), not claim the carried-over history
+    added = added_delta_entries(
+        snap_up,
+        read_manifest=t3._read_manifest,
+        get_parent=lambda: t3.snapshot(snap_up["parent"]),
+    )
+    assert added is None
+    # changes() over the upgrade interval: full-diff fallback, CORRECT net
+    # changes — exactly b2's effect, never the b0/b1 history
+    got = {
+        r["doc_id"]: (r["_change_type"], r["lsn"])
+        for r in t3.changes(v_pre, v_up).collect()
+    }
+    assert got == _py_changes(b0 + b1, b0 + b1 + b2)
+
+
 @pytest.mark.parametrize("mode", ["mor", "cow"])
 def test_type_widening_schema_evolution(spark, tmp_path, mode):
     """int→long / float→double widening is pure metadata: a later batch

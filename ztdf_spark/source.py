@@ -100,10 +100,16 @@ class LakeChangeStreamReader(DataSourceStreamReader):
         out: list[DeltaFilePartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             snap = _read_snapshot(self.table_path, v)
-            parent = None
-            if "files" in snap and snap.get("parent") is not None:
-                parent = _read_snapshot(self.table_path, snap["parent"])
-            added = added_delta_entries(snap, read_manifest=read_manifest, parent_snap=parent)
+
+            def get_parent(snap=snap):
+                if snap.get("parent") is None:
+                    return None
+                try:
+                    return _read_snapshot(self.table_path, snap["parent"])
+                except RuntimeError:
+                    return None
+
+            added = added_delta_entries(snap, read_manifest=read_manifest, get_parent=get_parent)
             if added is None:
                 raise RuntimeError(
                     f"commit v{v} of {self.table_path} is not a MOR delta append "
