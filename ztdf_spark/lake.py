@@ -194,7 +194,18 @@ def added_delta_entries(snap: dict, *, read_manifest, get_parent=None):
     if summary.get("operation") in ("create", "compact"):
         return []
     if summary.get("operation") == "merge" and summary.get("mode") != "mor":
-        return None
+        # COW merge: attributable ONLY when the commit recorded a change
+        # manifest (table property change_feed=True, the Delta-CDF /
+        # Iceberg-changelog analog) — the batch's surviving winners written
+        # as side files at merge time, because the rewritten data files
+        # fold old and new rows together and cannot be diffed by file set.
+        cms = snap.get("change_manifests")
+        if cms is None:  # feed was off for this commit → unattributable
+            return None
+        out: list[dict] = []
+        for m in cms:
+            out.extend(read_manifest(m["path"]))
+        return out if all(e.get("delta") for e in out) else None
     v = snap["version"]
     parent_cache: list = []
 
@@ -255,7 +266,15 @@ class LakeTable:
         seq_col: str = "lsn",
         target_file_rows: int = 500_000,
         merge_mode: str = "cow",
+        change_feed: bool = False,
     ) -> "LakeTable":
+        """``change_feed=True`` (COW tables; the Delta ``enableChangeDataFeed``
+        / Iceberg changelog analog) makes every COW merge additionally write
+        its surviving batch winners as side CHANGE files + a change manifest
+        — an O(batch) extra write that lets ``changes()`` keep its pruned
+        fast path and the ``ztdf_lake`` streaming source emit per-commit
+        rows on COW tables. MOR tables get the feed for free (their delta
+        files ARE the change log), so the flag is a no-op there."""
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be cow|mor, got {merge_mode}")
         t = cls(spark, path)
@@ -273,6 +292,7 @@ class LakeTable:
             "seq_col": seq_col,
             "target_file_rows": target_file_rows,
             "merge_mode": merge_mode,
+            "change_feed": bool(change_feed) and merge_mode == "cow",
             "manifests": [],
             "last_batch": {},
             "summary": {"operation": "create"},
@@ -929,6 +949,7 @@ class LakeTable:
         batch_id: int | None,
         app_id: str,
         summary: dict,
+        change_manifests: list[dict] | None = None,
     ) -> dict:
         new_version = snap["version"] + 1
         last_batch = dict(snap["last_batch"])
@@ -943,11 +964,18 @@ class LakeTable:
             "seq_col": snap["seq_col"],
             "target_file_rows": snap.get("target_file_rows", 500_000),
             "merge_mode": snap.get("merge_mode", "cow"),
+            "change_feed": snap.get("change_feed", False),
             "manifests": manifests,
             "last_batch": last_batch,
             "summary": {"batch_id": batch_id, "app_id": app_id, **summary},
             "timestamp_ms": int(time.time() * 1000),
         }
+        if change_manifests is not None:
+            # this COMMIT's change attribution only — never carried forward;
+            # readers find it on the snapshot that produced the change.
+            # Present-but-empty is meaningful: feed was ON and the commit
+            # changed nothing (all batch rows shadowed by newer state)
+            new_snap["change_manifests"] = change_manifests
         self._commit(new_snap)
         return {"version": new_version, "noop": False, **new_snap["summary"]}
 
@@ -1171,12 +1199,26 @@ class LakeTable:
                     (bw[key_col] == F.col("_ek")) & (F.col("_eseq") > bw[seq_col]),
                     "left_anti",
                 )
-                merged_src = preserved.unionByName(
-                    batch_final.withColumn(_TOMBSTONE, F.col("op") == "D").drop("op")
-                )
             else:
-                merged_src = bw.withColumn(_TOMBSTONE, F.col("op") == "D").drop("op")
-            result = merged_src.select(*data_cols, _TOMBSTONE).persist()
+                preserved = None
+                batch_final = bw
+            # the batch rows that actually BECOME new table state (post-
+            # images incl. delete tombstones) — both the merge input below
+            # and, when change_feed is on, this commit's recorded changes
+            batch_out = (
+                batch_final.withColumn(_TOMBSTONE, F.col("op") == "D")
+                .drop("op")
+                .select(*data_cols, _TOMBSTONE)
+            )
+            write_cf = bool(snap.get("change_feed"))
+            if write_cf:
+                batch_out = batch_out.persist()
+            merged_src = (
+                preserved.select(*data_cols, _TOMBSTONE).unionByName(batch_out)
+                if preserved is not None
+                else batch_out
+            )
+            result = merged_src.persist()
 
             new_version = snap["version"] + 1
             # size files from manifest stats (no extra count action): upper
@@ -1184,6 +1226,24 @@ class LakeTable:
             est_rows = sum(f["rows"] for f in matched) + n_batch
             new_entries = self._write_files(result, new_version, key_col, target_rows, est_rows)
             result.unpersist()
+            change_manifests: list[dict] | None = None
+            n_change_files = 0
+            if write_cf:
+                change_manifests = []
+                # O(batch) side write of the surviving winners: the CDC
+                # change capture a COW rewrite can't recover from its data
+                # files (they fold old and new rows). Unclustered append —
+                # change consumers scan per commit, not per key range.
+                change_entries = self._write_files(
+                    batch_out, new_version, key_col, target_rows, n_batch,
+                    cluster=False, delta=True,
+                )
+                batch_out.unpersist()
+                n_change_files = len(change_entries)
+                if change_entries:
+                    change_manifests = [
+                        self._write_manifest(change_entries, new_version, added_at=new_version)
+                    ]
             manifests = self._carryover_manifests(snap, matched_names)
             if new_entries:
                 manifests = manifests + [
@@ -1195,6 +1255,7 @@ class LakeTable:
                 manifests,
                 batch_id=batch_id,
                 app_id=app_id,
+                change_manifests=change_manifests,
                 summary={
                     "operation": "merge",
                     "mode": "cow",
@@ -1203,6 +1264,7 @@ class LakeTable:
                     "n_upserts": n_batch - n_del,
                     "files_rewritten": len(matched),
                     "files_added": len(new_entries),
+                    **({"change_files": n_change_files} if write_cf else {}),
                     "total_rows": sum(m["rows"] for m in manifests),
                     **(extra_summary or {}),
                 },
@@ -1336,9 +1398,10 @@ class LakeTable:
         """(manifest names, data file names) one snapshot references."""
         if "files" in snap:  # v2
             return set(), {e["path"] for e in snap["files"]}
-        manifests = {m["path"] for m in snap["manifests"]}
+        all_manifests = list(snap["manifests"]) + list(snap.get("change_manifests", []))
+        manifests = {m["path"] for m in all_manifests}
         data = set()
-        for m in snap["manifests"]:
+        for m in all_manifests:
             data |= {e["path"] for e in self._read_manifest(m["path"])}
         return manifests, data
 
