@@ -228,35 +228,54 @@ def _scratch_root(sf_dir: str, tag: str) -> str:
     return root
 
 
-def _mor_lake_from_binlog(spark, sf_dir: str, tag: str):
+_SHARED_LAKES: dict = {}
+
+
+def _mor_lake_from_binlog(spark, sf_dir: str, tag: str, mutable: bool = False):
     """Derived-binlog MOR lake shared by the table-format flagship queries
-    (change feed / compacted state / stream replication): the full binlog
-    replayed as TWO snapshot commits split by lsn % 3. Returns
-    (table, v_after_batch0, v_after_batch1)."""
+    (change feed / compacted state / point lookup / stream replication):
+    the full binlog replayed as TWO snapshot commits split by lsn % 3.
+    Returns (table, v_after_batch0, v_after_batch1).
+
+    Built ONCE per (sf, process) and memoized (VERDICT r4 next-round #4:
+    each query rebuilding it meant per-query bench times measured fixture
+    setup, not the operator). Read-only callers share the fixture;
+    ``mutable=True`` (maintenance queries that compact/expire/vacuum)
+    get a cheap file-copy under their own tag instead of a rebuild."""
     from pyspark.sql import types as T
 
     from ztdf_spark.lake import LakeTable
 
-    b = _binlog(spark, sf_dir)
-    root = _scratch_root(sf_dir, tag)
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.StringType()),
-            T.StructField("lsn", T.LongType()),
-            T.StructField("n_tok", T.LongType()),
-            T.StructField("source", T.StringType()),
-        ]
-    )
-    t = LakeTable.create(
-        spark, os.path.join(root, "t"),
-        schema, key_col="doc_id", seq_col="lsn", merge_mode="mor",
-    )
-    cols = ["op", "doc_id", "lsn", "n_tok", "source"]
-    t.merge(b.filter(F.col("lsn") % 3 != 0).select(*cols), batch_id=0)
-    v1 = t.current_version()
-    t.merge(b.filter(F.col("lsn") % 3 == 0).select(*cols), batch_id=1)
-    v2 = t.current_version()
-    return t, v1, v2
+    got = _SHARED_LAKES.get(sf_dir)
+    if got is None:
+        b = _binlog(spark, sf_dir)
+        root = _scratch_root(sf_dir, "fixture")
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.StringType()),
+                T.StructField("lsn", T.LongType()),
+                T.StructField("n_tok", T.LongType()),
+                T.StructField("source", T.StringType()),
+            ]
+        )
+        t = LakeTable.create(
+            spark, os.path.join(root, "t"),
+            schema, key_col="doc_id", seq_col="lsn", merge_mode="mor",
+        )
+        cols = ["op", "doc_id", "lsn", "n_tok", "source"]
+        t.merge(b.filter(F.col("lsn") % 3 != 0).select(*cols), batch_id=0)
+        v1 = t.current_version()
+        t.merge(b.filter(F.col("lsn") % 3 == 0).select(*cols), batch_id=1)
+        got = (t.path, v1, t.current_version())
+        _SHARED_LAKES[sf_dir] = got
+    path, v1, v2 = got
+    if not mutable:
+        return LakeTable.load(spark, path), v1, v2
+    import shutil
+
+    dst = os.path.join(_scratch_root(sf_dir, tag), "t")
+    shutil.copytree(path, dst)
+    return LakeTable.load(spark, dst), v1, v2
 
 
 def q_cdc_changes_feed(spark, sf_dir):
@@ -273,6 +292,47 @@ def q_cdc_changes_feed(spark, sf_dir):
     )
 
 
+def q_cdc_cow_changes_feed(spark, sf_dir):
+    """The SAME net change feed as cdc_changes_feed, but through a
+    copy-on-write table created with change_feed=True (round-5: COW merge
+    commits record their surviving batch winners as change manifests, the
+    Delta-CDF analog) — net changes are merge-mode-invariant, so the
+    identical diff CTE pins that the recorded change files + the pruned
+    semi-join path reproduce them on COW. A change-capture bug (stale
+    shadowed row recorded, winner missed) breaks the hash."""
+    from pyspark.sql import types as T
+
+    from ztdf_spark.lake import LakeTable
+
+    got = _SHARED_LAKES.get((sf_dir, "cowcf"))
+    if got is None:
+        b = _binlog(spark, sf_dir)
+        root = _scratch_root(sf_dir, "cowcf")
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.StringType()),
+                T.StructField("lsn", T.LongType()),
+                T.StructField("n_tok", T.LongType()),
+                T.StructField("source", T.StringType()),
+            ]
+        )
+        t = LakeTable.create(
+            spark, os.path.join(root, "t"), schema,
+            key_col="doc_id", seq_col="lsn", merge_mode="cow", change_feed=True,
+        )
+        cols = ["op", "doc_id", "lsn", "n_tok", "source"]
+        t.merge(b.filter(F.col("lsn") % 3 != 0).select(*cols), batch_id=0)
+        v1 = t.current_version()
+        t.merge(b.filter(F.col("lsn") % 3 == 0).select(*cols), batch_id=1)
+        got = (t.path, v1, t.current_version())
+        _SHARED_LAKES[(sf_dir, "cowcf")] = got
+    path, v1, v2 = got
+    t = LakeTable.load(spark, path)
+    return t.changes(v1, v2).select(
+        "doc_id", "lsn", "n_tok", "source", F.col("_change_type").alias("change_type")
+    )
+
+
 def q_cdc_compacted_state(spark, sf_dir):
     """Table maintenance under the driver's hash signal (VERDICT r3
     next-round #3): the same derived-binlog MOR lake, then the FULL
@@ -282,7 +342,7 @@ def q_cdc_compacted_state(spark, sf_dir):
     final latest-wins state is returned THROUGH the maintained table. A
     compaction bug that drops tombstones, loses rows, or resurrects stale
     updates breaks the hash against the plain latest-wins oracle CTE."""
-    t, _v1, _v2 = _mor_lake_from_binlog(spark, sf_dir, "compact")
+    t, _v1, _v2 = _mor_lake_from_binlog(spark, sf_dir, "compact", mutable=True)
     r = t.compact()
     assert not r.get("noop")
     t.expire_snapshots(keep_last=1)
@@ -798,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_attr_explode": q_cdc_attr_explode,
         "cdc_el_properties": q_cdc_el_properties,
         "cdc_changes_feed": q_cdc_changes_feed,
+        "cdc_cow_changes_feed": q_cdc_cow_changes_feed,
         "cdc_compacted_state": q_cdc_compacted_state,
         "cdc_stream_replicate": q_cdc_stream_replicate,
         "cdc_point_lookup": q_cdc_point_lookup,
@@ -845,7 +906,7 @@ def oracle_sql() -> dict[str, str]:
     stop_fr = "['le','la','de','et','que']"
     stop_de = "['der','die','und','das','ist']"
     q_stop = "['the','a','of','and','to','in','is']"
-    return {
+    d = {
         "cdc_latest_wins": _BINLOG_CTE
         + """
         , last AS (
@@ -1260,3 +1321,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE list_sum(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2])) >= 10000
         """,
     }
+    # net changes are merge-mode-invariant: the COW change-feed entry pins
+    # the SAME diff against the change-manifest machinery
+    d["cdc_cow_changes_feed"] = d["cdc_changes_feed"]
+    return d

@@ -97,6 +97,21 @@ def run_replay(spark, binlog_dir: str, workdir: str) -> dict:
     }
 
 
+def canary_time(spark) -> float:
+    """Constant JVM-side workload (~32-task range scan + checksum agg, no
+    Python workers, no I/O) timed before each query: on a VM with sporadic
+    3-6× wall stalls (BASELINE.md disclosure), a drifted canary marks the
+    *machine* as slow during that query's window, separating VM noise from
+    code regressions (VERDICT r4 next-round #3)."""
+    from pyspark.sql import functions as F
+
+    t0 = time.monotonic()
+    spark.range(0, 20_000_000, 1, 32).agg(
+        F.bit_xor(F.xxhash64("id")).alias("c")
+    ).collect()
+    return round(time.monotonic() - t0, 3)
+
+
 def time_query(spark, fn, sf_dir: str, n_runs: int = 2) -> list[float]:
     """Wall time per run, forcing FULL evaluation of every row and column
     JVM-side via a count + order-insensitive row-hash checksum aggregate —
@@ -146,26 +161,43 @@ def main():
 
         queries = {}
         query_runs = {}
+        canary_runs = {}
+        stalled = []
         if os.environ.get("ZTDF_BENCH_SKIP_QUERIES") != "1":
             import gc
 
             import __spark_entry__ as entrymod
 
+            canary_time(spark)  # discarded warm-up: the first measured
+            # canary must not carry JVM/codegen warm-up as a fake stall
             for name, fn in entrymod.queries().items():
                 # steady-state timing, same rationale as the replay's
                 # median-steady-batch: first execution pays codegen/JIT and
                 # this VM's sporadic multi-second stalls (observed 6x
                 # outliers); min-of-2 is the sustained per-query cost, and
-                # BOTH runs are disclosed (query_runs) so a correlated
+                # ALL runs are disclosed (query_runs) so a correlated
                 # stall late in the sweep is visible instead of silently
-                # inflating one query's number
+                # inflating one query's number. A constant canary runs
+                # before each query; queries whose runs diverge >3x get an
+                # automatic third run, and a query is flagged "stalled"
+                # when even its best run coincided with a >2x canary drift.
                 try:
+                    canary_runs[name] = canary_time(spark)
                     runs = time_query(spark, fn, sf_dir)
+                    if min(runs) > 0.3 and max(runs) / min(runs) > 3.0:
+                        runs += time_query(spark, fn, sf_dir, n_runs=1)
                     query_runs[name] = runs
                     queries[name] = min(runs)
                 except Exception as e:
                     queries[name] = f"error: {e}"
                 gc.collect()  # drop per-query python refs between queries
+            if canary_runs:
+                import statistics
+
+                med = statistics.median(canary_runs.values())
+                stalled = sorted(
+                    n for n, c in canary_runs.items() if med > 0 and c > 2.0 * med
+                )
         queries["cdc_replay"] = replay["wall_s"]
 
         out = {
@@ -175,10 +207,16 @@ def main():
             "queries": queries,
             "query_runs": query_runs,
             "query_timing": (
-                "min of 2 runs, both disclosed in query_runs; timing action = "
-                "count + xxhash64 row-checksum aggregate (full evaluation "
-                "JVM-side, no driver collect; see bench.py:time_query)"
+                "min of 2 runs (auto third run when the two diverge >3x), all "
+                "disclosed in query_runs; timing action = count + xxhash64 "
+                "row-checksum aggregate (full evaluation JVM-side, no driver "
+                "collect; see bench.py:time_query). canary_runs = constant "
+                "JVM workload timed before each query; 'stalled' lists "
+                "queries whose canary drifted >2x over the sweep median "
+                "(VM-slow window, not operator cost)"
             ),
+            "canary_runs": canary_runs,
+            "stalled": stalled,
             "sf": sf,
             "replay": replay,
             "cores": cores,

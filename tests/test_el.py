@@ -378,5 +378,52 @@ def test_multi_attribute_syntax_errors(spark):
         compile_template("${anyAttribute():notNull()}")  # no names
     with pytest.raises(ELSyntaxError):
         compile_template("${anyAttribute(5):notNull()}")  # non-string name
-    with pytest.raises(ELSyntaxError):
-        compile_template("${anyMatchingAttribute('a.*'):notNull()}")  # regex form stays out
+    with pytest.raises(ELSyntaxError, match="batch schema"):
+        # regex form needs the schema: compile without columns= is an error
+        compile_template("${anyMatchingAttribute('a.*'):notNull()}")
+    with pytest.raises(ELSyntaxError, match="bad regex"):
+        compile_template("${anyMatchingAttribute('a[('):notNull()}")
+    # a non-boolean final link is rejected at COMPILE time, not as an
+    # opaque Catalyst analysis error at use time (OR over strings)
+    with pytest.raises(ELSyntaxError, match="boolean"):
+        compile_template("${anyAttribute('a','b'):toUpper()}")
+    with pytest.raises(ELSyntaxError, match="boolean"):
+        compile_template("${allAttributes('a','b'):trim():length()}")
+
+
+def test_matching_attribute_regex_expansion(rows):
+    """anyMatchingAttribute/allMatchingAttributes: the name regex expands
+    against the static batch schema at compile time — same folded boolean
+    tree as the explicit-name matchers."""
+    cols = rows.columns  # id, name, source, n_tok, kas_url
+
+    def ev(template):
+        return [
+            r[0]
+            for r in rows.select(
+                compile_template(template, columns=cols).alias("v"), "id"
+            ).orderBy("id").collect()
+        ]
+
+    # regex {name, source} ≡ explicit anyAttribute('name','source')
+    got = ev("${anyMatchingAttribute('name|source'):contains('a')}")
+    assert got == [True, True, False, True]
+    got_all = ev("${allMatchingAttributes('name|source'):contains('a')}")
+    assert got_all == [True, False, False, None]
+    # fullmatch semantics: 'sour' must NOT match the 'source' column
+    assert ev("${anyMatchingAttribute('sour'):notNull()}") == [False] * 4
+    # vacuous folds: any() of nothing = false, all() of nothing = true
+    assert ev("${anyMatchingAttribute('zzz.*'):notNull()}") == [False] * 4
+    assert ev("${allMatchingAttributes('zzz.*'):notNull()}") == [True] * 4
+    # boolean-chain rule applies to the regex form too
+    with pytest.raises(ELSyntaxError, match="boolean"):
+        compile_template("${anyMatchingAttribute('name'):toUpper()}", columns=cols)
+
+
+def test_template_needs_schema_gate():
+    from ztdf_spark.el import template_needs_schema
+
+    assert template_needs_schema("${anyMatchingAttribute('a.*'):notNull()}")
+    assert template_needs_schema("x${allMatchingAttributes('k_.'):isEmpty()}y")
+    assert not template_needs_schema("${anyAttribute('a','b'):notNull()}")
+    assert not template_needs_schema("${a:trim()}")

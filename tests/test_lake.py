@@ -971,11 +971,11 @@ def test_changes_big_keyset_materializes_to_staging(spark, tmp_path, monkeypatch
 
 
 def test_mor_read_is_delta_pruned_after_compaction(spark, tmp_path, monkeypatch):
-    """A mostly-compacted MOR read confines the winner aggregate to
-    delta ∪ range-matched base files (VERDICT r4 next-round #1): the
-    untouched base rows flow through a broadcast ANTI-join with no
-    aggregate, and the result matches both the full reconstruction and
-    the latest-wins oracle."""
+    """A mostly-compacted MOR read confines the winner aggregate to the
+    DELTA files only (VERDICT r4 next-round #1): base rows take one wide
+    pass with a broadcast resolve-join against the delta winners — no
+    shuffle, no O(table) aggregate — and the result matches both the full
+    reconstruction and the latest-wins oracle."""
     t = _mk_mor(spark, tmp_path, "pruned")
     b0 = [("I", f"doc-{i:04d}", i + 1, [i], 1, "web") for i in range(300)]
     t.merge(_changes(spark, b0), batch_id=0)
@@ -1003,7 +1003,7 @@ def test_mor_read_is_delta_pruned_after_compaction(spark, tmp_path, monkeypatch)
         f"winner aggregate saw {len(seen['files'])}/{n_total} files"
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
     got = {r["doc_id"]: r["lsn"] for r in df.collect()}
     expect = {
         k: lsn for k, (op, lsn) in _py_state(b0 + b1).items() if op != "D"

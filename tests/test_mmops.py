@@ -175,6 +175,24 @@ def test_y4m_frame_sampling_stride_and_content(spark):
     assert list(out2.sort_values("frame_idx")["frame_hash"]) == expect
 
 
+def test_y4m_null_meta_still_decodes(spark):
+    """A decodable Y4M row with NULL metadata is still sampled: the real
+    decode derives geometry/fps from the payload alone and never reads
+    meta (ADVICE r4 #4) — only the duration-based fake path (compressed
+    codecs) skips meta-less rows."""
+    y = np.full((4, 4), 42, dtype=np.uint8)
+    blob = mmops.make_y4m([(y, y, y)], fps_num=1, colorspace="C444")
+    media = spark.createDataFrame(
+        [
+            (0, "video", bytearray(blob), None),  # y4m, null meta → decoded
+            (1, "video", bytearray(b"\x00\x00\x00\x01h264ish"), None),  # fake path, null meta → skipped
+        ],
+        mmops.MEDIA_SCHEMA,
+    )
+    out = mmops.sample_frames(media, every_ms=1000).toPandas()
+    assert sorted(out["media_id"]) == [0]
+
+
 def test_y4m_truncated_falls_back_not_crashes(spark):
     """A sniffed-but-truncated Y4M row must take the positional fallback
     (duration-driven fan-out), never fail the job — the same per-record

@@ -239,6 +239,34 @@ def main():
         ],
     )
 
+    # delta-pruned MOR read (VERDICT r4 next-round #1): a mostly-compacted
+    # table with one small delta commit must NOT winner-aggregate the
+    # whole table — untouched base rows flow scan → broadcast anti-join
+    mnt, _v1, _v2 = em._mor_lake_from_binlog(spark, sf, "planmnt", mutable=True)
+    mnt.compact()
+    mnt.merge(
+        em._binlog(spark, sf)
+        .filter(F.col("lsn") % 997 == 0)
+        .select("op", "doc_id", "lsn", "n_tok", "source"),
+        batch_id=99,
+    )
+    prd = mnt.read()
+    p_prd = plan_of(prd)
+    with open(os.path.join(OUT, "mor_read_delta_pruned.txt"), "w") as f:
+        f.write(p_prd)
+    n_base = len([x for x in mnt._files(mnt.snapshot()) if not x.get("delta")])
+    # file counts per parquet scan: the anti-join branch reads ALL base
+    # files; the winner branch must read strictly fewer (delta + matched)
+    scan_counts = [
+        int(m) if m else 1
+        for m in re.findall(r"InMemoryFileIndex \[[^\]]*?(?:\.\.\. (\d+) entries)?\]", p_prd)
+    ]
+    checks.append(("mor_read_delta_pruned", "base rows resolved via one broadcast LEFT join (never shuffled)", "BroadcastHashJoin" in p_prd and "LeftOuter" in p_prd))
+    checks.append(("mor_read_delta_pruned", "no shuffle of base rows (<=2 exchanges, all from the delta winner agg)", p_prd.count("Exchange hashpartitioning") <= 2))
+    checks.append(("mor_read_delta_pruned", "delta winner agg keeps map-side partial combine", "partial_max(struct(lsn" in p_prd))
+    checks.append(("mor_read_delta_pruned", "winner aggregate scans only the delta files, not the base", bool(scan_counts) and min(scan_counts) < max(scan_counts) and max(scan_counts) >= n_base))
+    checks.append(("mor_read_delta_pruned", "no cartesian", "CartesianProduct" not in p_prd))
+
     width = max(len(f"{n}: {d}") for n, d, _ in checks)
     fails = 0
     for n, d, ok in checks:

@@ -24,7 +24,15 @@ Supported subset (semantics follow the public NiFi EL guide):
 - multi-attribute matchers over EXPLICIT names:
   ``${anyAttribute('a','b'):contains('x')}`` /
   ``${allAttributes('a','b'):notNull()}`` — the chain evaluates per
-  attribute and folds with OR / AND (one Catalyst boolean tree).
+  attribute and folds with OR / AND (one Catalyst boolean tree). The
+  chain must END in a boolean test (compile-time ``ELSyntaxError``
+  otherwise — OR/AND over strings is meaningless).
+- regex multi-matchers ``${anyMatchingAttribute('re'):...}`` /
+  ``${allMatchingAttributes('re'):...}``: the name regex expands against
+  the STATIC batch schema at compile time (pass
+  ``compile_template(t, columns=df.columns)``) — deterministic, same
+  folded boolean tree; a regex matching no columns folds vacuously
+  (any → false, all → true).
 
 String: trim, toUpper, toLower, substring, substringBefore,
 substringAfter, replace, replaceAll, replaceNull, replaceEmpty, append,
@@ -39,9 +47,7 @@ epoch millis), format (epoch millis → string).
 
 Deliberately unsupported (nondeterministic or engine-foreign — raise
 ``ELSyntaxError`` rather than silently misbehave): uuid, now, hostname,
-nextInt, regex-driven ``anyMatchingAttribute``/``allMatchingAttributes``
-(the batch schema, not a runtime attribute map, defines the columns —
-name them explicitly), state access.
+nextInt, state access.
 """
 
 from __future__ import annotations
@@ -97,7 +103,10 @@ class _Concat:
 @dataclass
 class _Multi:
     kind: str  # "any" | "all"
-    names: list[str]  # explicit attribute (column) names
+    names: list[str] | None  # explicit attribute (column) names, or None
+    # until a regex matcher is resolved against the batch schema
+    pattern: str | None = None  # anyMatchingAttribute/allMatchingAttributes
+    # name regex — expanded at compile time via compile_template(columns=)
 
 
 # ------------------------------------------------------------------ parser
@@ -182,6 +191,23 @@ def _parse_expr(cur: _Cursor):
                     )
                 node = _Multi("any" if word == "anyAttribute" else "all",
                               [x.value for x in args])
+            elif word in ("anyMatchingAttribute", "allMatchingAttributes"):
+                args = _parse_args(cur)
+                if (
+                    len(args) != 1
+                    or not isinstance(args[0], _Lit)
+                    or not isinstance(args[0].value, str)
+                ):
+                    raise ELSyntaxError(f"{word}() takes exactly one quoted regex")
+                try:
+                    re.compile(args[0].value)
+                except re.error as e:
+                    raise ELSyntaxError(f"{word}(): bad regex {args[0].value!r}: {e}")
+                node = _Multi(
+                    "any" if word == "anyMatchingAttribute" else "all",
+                    None,
+                    pattern=args[0].value,
+                )
             elif word == "literal":
                 args = _parse_args(cur)
                 if len(args) != 1 or not isinstance(args[0], _Lit):
@@ -301,6 +327,49 @@ def _substitute(node, attr: _Attr):
     return node
 
 
+# functions whose result is a boolean — the only legal FINAL link of a
+# multi-matcher chain (the per-attribute results fold with OR/AND, which
+# is meaningless for strings/numbers and would otherwise surface as an
+# opaque Catalyst analysis error at use time, ADVICE r4 #3)
+_BOOL_FUNCS = frozenset(
+    {
+        "in", "equals", "equalsIgnoreCase", "contains", "startsWith",
+        "endsWith", "matches", "find", "isEmpty", "isNull", "notNull",
+        "not", "and", "or", "gt", "ge", "lt", "le",
+    }
+)
+
+
+def _resolve_matching(node, columns: list[str]):
+    """Expand regex multi-matchers against the static batch schema:
+    ``anyMatchingAttribute('re')`` becomes an explicit-name _Multi over
+    the columns whose name fullmatches the regex — deterministic at
+    compile time, still one Catalyst tree (NiFi resolves the same regex
+    against the flowfile's attribute map per record)."""
+    if isinstance(node, _Multi) and node.pattern is not None:
+        rx = re.compile(node.pattern)
+        return _Multi(node.kind, [c for c in columns if rx.fullmatch(c)])
+    if isinstance(node, _Call):
+        return _Call(
+            _resolve_matching(node.subject, columns),
+            node.func,
+            [_resolve_matching(a, columns) for a in node.args],
+        )
+    if isinstance(node, _Concat):
+        return _Concat([_resolve_matching(p, columns) for p in node.parts])
+    return node
+
+
+def _needs_schema(node) -> bool:
+    if isinstance(node, _Multi):
+        return node.pattern is not None
+    if isinstance(node, _Call):
+        return _needs_schema(node.subject) or any(_needs_schema(a) for a in node.args)
+    if isinstance(node, _Concat):
+        return any(_needs_schema(p) for p in node.parts)
+    return False
+
+
 def _compile(node) -> Column:
     # anyAttribute/allAttributes: the whole function chain evaluates once
     # per named attribute (column), then the per-attribute booleans fold
@@ -313,6 +382,22 @@ def _compile(node) -> Column:
             "needs a boolean function chain (e.g. :contains(...))"
         )
     if root is not None:
+        if node.func not in _BOOL_FUNCS:
+            raise ELSyntaxError(
+                f"a multi-attribute matcher chain must END in a boolean test "
+                f"(one of {sorted(_BOOL_FUNCS)}), got :{node.func}() — the "
+                "per-attribute results fold with OR/AND"
+            )
+        if root.names is None:
+            raise ELSyntaxError(
+                "anyMatchingAttribute()/allMatchingAttributes() need the "
+                "batch schema to resolve the name regex: compile with "
+                "compile_template(template, columns=df.columns)"
+            )
+        if not root.names:
+            # regex matched no columns: vacuous fold — any() of nothing is
+            # false, all() of nothing is true
+            return F.lit(root.kind == "all")
         cols = [_compile(_substitute(node, _Attr(nm))) for nm in root.names]
         out = cols[0]
         for c in cols[1:]:
@@ -496,14 +581,29 @@ def _compile_call(node: _Call) -> Column:
     raise ELSyntaxError(f"unsupported EL function {f!r}")
 
 
-def compile_template(template: str) -> Column:
+def compile_template(template: str, columns: list[str] | None = None) -> Column:
     """Compile an EL template into ONE Catalyst Column (driver-side, once).
 
     A template that is exactly one ``${...}`` keeps its native type
     (boolean route predicates, numeric thresholds); mixed text renders to
     string via concat — matching how NiFi coerces evaluated properties.
+
+    ``columns``: the batch's column names, needed only to resolve
+    ``anyMatchingAttribute``/``allMatchingAttributes`` regexes (compile
+    fails with ``ELSyntaxError`` if such a matcher appears and no columns
+    are given). Templates without regex matchers ignore it.
     """
-    return _compile(_parse_template(template))
+    node = _parse_template(template)
+    if columns is not None:
+        node = _resolve_matching(node, list(columns))
+    return _compile(node)
+
+
+def template_needs_schema(template: str) -> bool:
+    """True iff the template uses a regex multi-matcher and so must be
+    compiled with ``columns=`` (lets callers defer compilation until a
+    batch schema is known, keeping compile-once for everything else)."""
+    return _needs_schema(_parse_template(template))
 
 
 def validate_template(template: str) -> None:
@@ -513,7 +613,7 @@ def validate_template(template: str) -> None:
     _parse_template(template)
 
 
-def el_columns(properties: dict[str, str]) -> dict[str, Column]:
+def el_columns(properties: dict[str, str], columns: list[str] | None = None) -> dict[str, Column]:
     """The UpdateAttribute-with-EL analog: each property whose value
     contains EL compiles per-row; plain values become constants
     (AbstractTDFProcessor.java:113-115's isExpressionLanguagePresent gate).
@@ -522,6 +622,6 @@ def el_columns(properties: dict[str, str]) -> dict[str, Column]:
     stays inside whole-stage codegen.
     """
     return {
-        name: compile_template(v) if is_el(v) else F.lit(v)
+        name: compile_template(v, columns) if is_el(v) else F.lit(v)
         for name, v in properties.items()
     }

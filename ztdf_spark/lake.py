@@ -433,30 +433,44 @@ class LakeTable:
         return live.select(*[f.name for f in schema.fields])
 
     def _read_delta_pruned(self, snap: dict, schema: T.StructType, base: list[dict], delta: list[dict]) -> DataFrame | None:
-        """Full-table read with the winner aggregate confined to
-        DELTA-TOUCHED keys (VERDICT r4 next-round #1).
+        """Full-table read whose cost scales with delta size at fixed
+        table size (VERDICT r4 next-round #1).
 
         The plain MOR read reconstructs winners over the WHOLE table
-        whenever ≥1 delta file exists — an O(table) narrow-key aggregate
-        between compactions even when the deltas touch 0.1% of keys. Here
-        the steady-state shape is restored: the distinct delta keys are
-        collected once (bounded by delta rows ≤ the broadcast cap), base
-        files are range-matched against them DRIVER-side (sorted-key
-        bisect over footer stats — no Spark job), and only
-        delta ∪ matched-base files feed the winner aggregate + semi-join;
-        every other base row flows scan → broadcast ANTI-join → output,
-        no shuffle, whole-stage codegen end to end. Read cost scales with
-        delta size at fixed table size, not with table size.
+        whenever >=1 delta file exists -- an O(table) narrow-key aggregate
+        between compactions even when the deltas touch 0.1% of keys.
+        Steady-state shape here, with base rows never shuffled or
+        aggregated and the base scanned once wide:
 
-        Correct because base files are one-row-per-key (compaction/COW
-        output) and a file holding any row of key k covers k in its
-        [min,max] range — so matched-base ∪ delta holds ALL rows of every
-        touched key, and the anti-join side holds only untouched keys.
+        1. delta winners ``dw`` -- latest-wins over the DELTA FILES ONLY
+           (``_winners_df`` on the delta subset; bounded by delta rows <=
+           the broadcast cap), broadcast everywhere below;
+        2. range-matched base files (driver-side bisect over footer
+           stats -- no job) take ONE wide pass with a broadcast LEFT join
+           against ``dw``: per row, the delta winner replaces the base row
+           iff ``d_seq >= base_seq`` -- correct because in a MOR table
+           every live delta file POSTDATES every live base file
+           (``compact()`` rewrites ALL base files at its commit version;
+           the snapshot's delta files were committed after), so a seq tie
+           resolves toward the delta exactly like the (seq, commit-seq)
+           read-time order;
+        3. unmatched base files pass through with no join at all;
+        4. NEW keys (in delta, absent from base) are found with one
+           NARROW key-only probe of the matched base files against the
+           broadcast delta keys (collected, <= cap) -- driver set-diff,
+           no shuffle -- and their ``dw`` rows are unioned in.
+
+        An earlier shape (anti-join + winner agg over delta+matched base)
+        scanned the matched base files TWICE; with uniformly-spread delta
+        keys every base range matches, making the read ~2x a plain scan
+        (measured in tools/bench_read_pruned.py). This one-pass resolve
+        join is scan-bound regardless of key spread.
+
         Returns ``None`` (caller falls back to the full reconstruction)
-        when the delta rows exceed the collectable-key cap."""
+        when delta rows exceed the collectable cap."""
         from .ops import broadcast_key_limit
 
-        key_col = snap["key_col"]
+        key_col, seq_col = snap["key_col"], snap["seq_col"]
         cap = min(200_000, broadcast_key_limit(self.spark))
         if sum(f["rows"] for f in delta) > cap:
             return None
@@ -481,30 +495,82 @@ class LakeTable:
 
         def file_touched(e: dict) -> bool:
             if e["min_key"] is None:
-                return True  # unbounded stats → never prunable
+                return True  # unbounded stats -> never prunable
             i = bisect.bisect_left(keys_sorted, e["min_key"])
             return i < len(keys_sorted) and keys_sorted[i] <= e["max_key"]
 
         matched_base = [f for f in base if file_touched(f)]
+        matched_names = {f["path"] for f in matched_base}
+        unmatched_base = [f for f in base if f["path"] not in matched_names]
+        key_type = schema[key_col].dataType
         touched = self.spark.createDataFrame(
-            pa.table({key_col: pa.array(keys, type=to_arrow_type(schema[key_col].dataType))})
+            pa.table({key_col: pa.array(keys, type=to_arrow_type(key_type))})
         )
         data_cols = [f.name for f in schema.fields]
+        all_cols = data_cols + [_TOMBSTONE]
         not_dead = ~F.coalesce(F.col(_TOMBSTONE), F.lit(False))
-        untouched = (
-            self.spark.read.schema(read_schema)
-            .parquet(*[os.path.join(self._data_dir, f["path"]) for f in base])
-            .join(F.broadcast(touched), key_col, "left_anti")
-            .filter(not_dead)
-            .select(*data_cols)
+
+        # delta-only winners, renamed _d_* for the resolve join
+        dw = self._winners_df(snap, delta).select(
+            [F.col(c).alias(f"_d_{c}") for c in all_cols]
         )
-        winners = (
-            self._winners_df(snap, delta + matched_base)
-            .join(F.broadcast(touched), key_col, "left_semi")
-            .filter(not_dead)
-            .select(*data_cols)
-        )
-        return untouched.unionByName(winners)
+
+        parts: list[DataFrame] = []
+        found: set = set()
+        if matched_base:
+            matched_paths = [os.path.join(self._data_dir, f["path"]) for f in matched_base]
+            # narrow single-column probe: which delta keys already exist in
+            # base? (new keys = delta keys - found, resolved driver-side)
+            probe_schema = T.StructType([T.StructField(key_col, key_type)])
+            found = {
+                r[0]
+                for r in self.spark.read.schema(probe_schema)
+                .parquet(*matched_paths)
+                .join(F.broadcast(touched), key_col, "left_semi")
+                .collect()
+            }
+            take_delta = F.col(f"_d_{key_col}").isNotNull() & (
+                F.col(f"_d_{seq_col}") >= F.col(seq_col)
+            )
+            resolved = (
+                self.spark.read.schema(read_schema)
+                .parquet(*matched_paths)
+                .join(
+                    F.broadcast(dw),
+                    F.col(key_col) == F.col(f"_d_{key_col}"),
+                    "left",
+                )
+                .select(
+                    *[
+                        F.when(take_delta, F.col(f"_d_{c}")).otherwise(F.col(c)).alias(c)
+                        for c in all_cols
+                    ]
+                )
+                .filter(not_dead)
+                .select(*data_cols)
+            )
+            parts.append(resolved)
+        if unmatched_base:
+            parts.append(
+                self.spark.read.schema(read_schema)
+                .parquet(*[os.path.join(self._data_dir, f["path"]) for f in unmatched_base])
+                .filter(not_dead)
+                .select(*data_cols)
+            )
+        new_keys = [k for k in keys if k not in found]
+        if new_keys:
+            nk = self.spark.createDataFrame(
+                pa.table({f"_d_{key_col}": pa.array(new_keys, type=to_arrow_type(key_type))})
+            )
+            parts.append(
+                dw.join(F.broadcast(nk), f"_d_{key_col}", "left_semi")
+                .filter(~F.coalesce(F.col(f"_d_{_TOMBSTONE}"), F.lit(False)))
+                .select(*[F.col(f"_d_{c}").alias(c) for c in data_cols])
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _winners_df(self, snap: dict, files: list[dict] | None = None) -> DataFrame:
         """Latest-wins rows per key INCLUDING delete-tombstone winners

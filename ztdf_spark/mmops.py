@@ -386,9 +386,13 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, *, deterministic_fake:
             for mid, mtype, payload, meta in zip(
                 pdf["media_id"], pdf["media_type"], pdf["payload"], pdf["meta"]
             ):
-                if mtype != "video" or meta is None:
+                if mtype != "video":
                     continue
                 b = bytes(payload)
+                # NOTE: null meta is checked only on the duration-based fake
+                # path below — the real Y4M decode derives geometry/fps from
+                # the payload alone and must not drop decodable rows whose
+                # metadata is missing (ADVICE r4 #4)
                 if sniff_format(b) == "y4m":
                     try:
                         frames, fps, _w, _h = _y4m_frames(b)
@@ -409,6 +413,8 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, *, deterministic_fake:
                         continue
                 if not deterministic_fake:
                     raise NotImplementedError("compressed video frame decode requires ffmpeg")
+                if meta is None:
+                    continue  # fake fan-out needs duration metadata
                 dur = int(meta["duration_ms"] or 0)
                 for fi in range(max(1, dur // every_ms)):
                     ids.append(mid)
