@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-Decode status (round 4): REAL pure-Python decoders for at least one
-container per modality — WAV/PCM-16 audio (stdlib ``wave``), PPM (P6) and
-BMP (24-bit uncompressed) images, Y4M (YUV4MPEG2, C444 + C420*) video —
+Decode status (round 5): REAL pure-Python decoders for at least one
+container per modality — WAV/PCM-16 audio (stdlib ``wave``), PPM (P6),
+BMP (24-bit uncompressed) AND baseline JPEG (SOF0 huffman+DCT,
+``ztdf_spark/jpeg.py``) images, Y4M (YUV4MPEG2, C444 + C420*) video —
 no external media libraries needed. Formats this container cannot decode
-(compressed codecs: jpeg/h264/opus...) still fall back to the disclosed
+(progressive jpeg, h264, opus...) still fall back to the disclosed
 deterministic fake (content-hash-derived vector) when
 ``deterministic_fake=True``, else ``NotImplementedError``; a real codec
 library (PIL/ffmpeg/torchaudio) drops in behind the same ``decode_media``
@@ -115,6 +116,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "bmp"
     if payload[:9] == b"YUV4MPEG2":
         return "y4m"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -147,6 +150,14 @@ def _wav_features(payload: bytes) -> np.ndarray:
         *seg_rms,
     ]
     return np.asarray(feats, dtype=np.float32)
+
+
+def _jpeg_rgb(payload: bytes) -> np.ndarray:
+    """Baseline-JPEG decode to HxWx3 (grayscale sources replicated)."""
+    from .jpeg import decode_jpeg
+
+    px = decode_jpeg(payload)
+    return np.stack([px] * 3, axis=-1) if px.ndim == 2 else px
 
 
 def _rgb_features(px: np.ndarray, fmt_tag: float) -> np.ndarray:
@@ -293,6 +304,10 @@ def decode_media(payload: bytes, media_type: str, *, deterministic_fake: bool = 
             return _rgb_features(_bmp_pixels(bytes(payload)), fmt_tag=2.0)
         if fmt == "y4m":
             return _y4m_features(bytes(payload))
+        if fmt == "jpeg":
+            # REAL baseline-JPEG decode (ztdf_spark/jpeg.py, round 5);
+            # progressive/arithmetic variants raise ValueError → fall through
+            return _rgb_features(_jpeg_rgb(bytes(payload)), fmt_tag=4.0)
     except ValueError:
         pass  # sniffed but malformed/unsupported variant → fall through
     if not deterministic_fake:
@@ -333,10 +348,11 @@ def extract_features(media: DataFrame, *, deterministic_fake: bool = True) -> Da
 
 
 def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
-    """Nearest-neighbor resize of REAL decodable images (ppm/bmp rows) to
-    (out_w, out_h); emits an md5 of the resized RGB bytes — a deterministic,
-    engine-independent fingerprint of the resample. Non-image / undecodable
-    rows are skipped (map-only; at scale this is the thumbnail stage)."""
+    """Nearest-neighbor resize of REAL decodable images (ppm/bmp/jpeg
+    rows) to (out_w, out_h); emits an md5 of the resized RGB bytes — a
+    deterministic, engine-independent fingerprint of the resample.
+    Non-image / undecodable rows are skipped (map-only; at scale this is
+    the thumbnail stage)."""
 
     def _resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -349,6 +365,8 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
                         px = _ppm_pixels(b)
                     elif fmt == "bmp":
                         px = _bmp_pixels(b)
+                    elif fmt == "jpeg":
+                        px = _jpeg_rgb(b)
                     else:
                         continue
                 except ValueError:
