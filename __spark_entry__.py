@@ -292,6 +292,30 @@ def q_cdc_changes_feed(spark, sf_dir):
     )
 
 
+def q_cdc_incremental_read(spark, sf_dir):
+    """The round-5 delta-pruned read under the driver hash: compact the
+    shared MOR lake, merge a SMALL delta batch (every 11th lsn re-applied
+    with lsn+1e9 and n_tok+7), then read the FULL table. The read takes
+    the pruned path (delta-only winner aggregate + broadcast resolve join
+    over the base scan — plan-guarded in tools/explain_plans.py); the
+    oracle is plain latest-wins over binlog ∪ transformed-delta, so a
+    resolve-join bug (wrong tie direction, dropped new key, stale base
+    row surviving) breaks the hash."""
+    t, _v1, _v2 = _mor_lake_from_binlog(spark, sf_dir, "increread", mutable=True)
+    r = t.compact()
+    assert not r.get("noop")
+    b = _binlog(spark, sf_dir)
+    delta = b.filter(F.col("lsn") % 11 == 0).select(
+        "op",
+        "doc_id",
+        (F.col("lsn") + F.lit(1_000_000_000)).alias("lsn"),
+        (F.col("n_tok") + F.lit(7)).alias("n_tok"),
+        "source",
+    )
+    t.merge(delta, batch_id=2)
+    return t.read().select("doc_id", "lsn", "n_tok", "source")
+
+
 def q_cdc_cow_changes_feed(spark, sf_dir):
     """The SAME net change feed as cdc_changes_feed, but through a
     copy-on-write table created with change_feed=True (round-5: COW merge
@@ -859,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_el_properties": q_cdc_el_properties,
         "cdc_changes_feed": q_cdc_changes_feed,
         "cdc_cow_changes_feed": q_cdc_cow_changes_feed,
+        "cdc_incremental_read": q_cdc_incremental_read,
         "cdc_compacted_state": q_cdc_compacted_state,
         "cdc_stream_replicate": q_cdc_stream_replicate,
         "cdc_point_lookup": q_cdc_point_lookup,
@@ -1324,4 +1349,18 @@ def oracle_sql() -> dict[str, str]:
     # net changes are merge-mode-invariant: the COW change-feed entry pins
     # the SAME diff against the change-manifest machinery
     d["cdc_cow_changes_feed"] = d["cdc_changes_feed"]
+    # delta-pruned read: latest-wins over binlog ∪ the transformed delta
+    # batch (every 11th lsn re-applied newer with n_tok+7)
+    d["cdc_incremental_read"] = _BINLOG_CTE + """
+        , all_events AS (
+          SELECT op, doc_id, lsn, n_tok, source FROM binlog
+          UNION ALL
+          SELECT op, doc_id, lsn + 1000000000 AS lsn, n_tok + 7 AS n_tok, source
+          FROM binlog WHERE lsn % 11 = 0),
+        last AS (
+          SELECT doc_id, lsn, n_tok, source, op,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+          FROM all_events)
+        SELECT doc_id, lsn, n_tok, source FROM last WHERE rn = 1 AND op <> 'D'
+        """
     return d
