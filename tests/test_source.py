@@ -162,6 +162,53 @@ def test_stream_source_backpressure_bounded_batches(spark, tmp_path, opt, val, s
         assert max(vs) - min(vs) + 1 <= span, f"batch spans {vs}"
 
 
+def test_stream_source_backpressure_survives_restart(spark, tmp_path):
+    """The clamp's restart anchor (measured Spark 4.1 call order: a
+    restarted query re-plans its last logged batch via partitions()
+    before asking for a new latestOffset): drain 6 commits with a
+    checkpoint, add a 12-commit backlog, restart with
+    maxVersionsPerTrigger=4 — the backlog drains in bounded batches,
+    nothing is re-emitted, nothing skipped."""
+    import time
+
+    t = _mk(spark, tmp_path, "bprestart")
+    for i in range(6):
+        _merge(t, [("I", f"d{i}", i + 1, 1, "web")], i)
+    ckpt = str(tmp_path / "ck-bprestart")
+
+    def run(expected_total, batches):
+        q = (
+            spark.readStream.format("ztdf_lake")
+            .option("path", t.path)
+            .option("maxVersionsPerTrigger", 4)
+            .load()
+            .writeStream.foreachBatch(lambda df, bid: batches.append(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline and sum(len(rs) for rs in batches) < expected_total:
+            time.sleep(0.5)
+        q.stop()
+
+    first: list = []
+    run(6, first)
+    assert sum(len(rs) for rs in first) == 6
+    for i in range(6, 18):
+        _merge(t, [("I", f"d{i}", i + 1, 1, "web")], i)
+    second: list = []
+    run(12, second)
+    rows = [r for rs in second for r in rs]
+    # exactly the new 12 commits, once each, in bounded batches
+    assert sorted(r["doc_id"] for r in rows) == sorted(f"d{i}" for i in range(6, 18))
+    nonempty = [rs for rs in second if rs]
+    assert len(nonempty) >= 3  # 12 commits / 4 per trigger
+    for rs in nonempty:
+        vs = {r["_commit_version"] for r in rs}
+        assert max(vs) - min(vs) + 1 <= 4, f"batch spans {vs}"
+
+
 def test_stream_source_cow_change_feed(spark, tmp_path):
     """A COW table created with change_feed=True streams its per-commit
     recorded changes (surviving batch winners) through the ztdf_lake
