@@ -834,6 +834,30 @@ def q_cdc_encrypt_roundtrip(spark, sf_dir):
     )
 
 
+def q_cdc_ztdf_container(spark, sf_dir):
+    """Spec-shaped ZIP container round trip (ztdf_spark/container.py +
+    tdf.py container="zip"): encrypt with the public OpenTDF on-disk layout
+    (ZIP of 0.payload + 0.manifest.json, GMAC segment integrity, HS256
+    policy binding — the byte shape the reference's SDK emits,
+    ConvertToZTDF.java:218/:228), decrypt with full integrity verification,
+    and emit SQL-typed invariants: route/mime constants, the PK zip magic,
+    and token-array equality. Any container or integrity regression breaks
+    the DuckDB value hash."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    b = _with_tokens(docs).withColumn("lsn", F.col("doc_id_num")).withColumn("op", F.lit("I"))
+    b = b.withColumn("tdf_attribute", F.lit(CANON_ATTR)).withColumn("doc_id", F.col("doc_id_str"))
+    s = Settings(container_format="zip")
+    enc = ops.encrypt_batch(b, s, fmt="ztdf")
+    dec = ops.decrypt_batch(enc, s, fmt="ztdf")
+    return dec.select(
+        "doc_id",
+        "route",
+        "mime_type",
+        (F.substring(F.col("ciphertext"), 1, 4) == F.lit(b"PK\x03\x04")).alias("is_spec_zip"),
+        (F.col("tokens_out") == F.col("tokens")).alias("tokens_match"),
+    )
+
+
 def _with_tokens(docs: DataFrame) -> DataFrame:
     """Deterministic token arrays keyed on doc_id (blake2b-seeded)."""
     from pyspark.sql import types as T
@@ -891,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lineage_batches": q_cdc_lineage_batches,
         "cdc_hot_keys": q_cdc_hot_keys,
         "cdc_encrypt_roundtrip": q_cdc_encrypt_roundtrip,
+        "cdc_ztdf_container": q_cdc_ztdf_container,
         "cdc_rewrap_rotation": q_cdc_rewrap_rotation,
         # relational coverage
         "events_sessionize": q_events_sessionize,
@@ -1175,6 +1200,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
                'success' AS route,
                'application/ztdf+zip' AS mime_type,
+               TRUE AS tokens_match
+        FROM documents WHERE doc_id < 200
+        """,
+        "cdc_ztdf_container": """
+        SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+               'success' AS route,
+               'application/ztdf+zip' AS mime_type,
+               TRUE AS is_spec_zip,
                TRUE AS tokens_match
         FROM documents WHERE doc_id < 200
         """,

@@ -6,7 +6,10 @@ SimpleOpenTDFControllerService), re-expressed Spark-first:
 - ``settings``   — engine configuration (analog of the NiFi controller
                    service, reference ``SimpleOpenTDFControllerService.java``)
 - ``tdf``        — pure-Python TDF-style envelope crypto core (ZTDF + Nano),
-                   deterministic nonces, local KAS emulation via AES-KEK wrap
+                   deterministic nonces, local KAS emulation via AES-KEK wrap;
+                   frame (compact, default) and spec-shaped ZIP containers
+- ``container``  — deterministic stored-only ZIP writer/reader for the
+                   public OpenTDF on-disk layout (0.payload + 0.manifest.json)
 - ``ops``        — vectorized Arrow/pandas-UDF operator layer + Catalyst-side
                    routing (success / failure / exceeds_size_limit)
 - ``el``         — NiFi expression-language analog: property templates

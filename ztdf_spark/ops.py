@@ -160,6 +160,7 @@ def _encrypt_pandas(
     master = settings.master_secret
     signing_pem = settings.signing_key_pem if settings.sign_assertions else None
     default_kas = settings.default_kas_url
+    container = settings.container_format
 
     @F.pandas_udf(_ENCRYPT_RESULT)
     def encrypt_udf(
@@ -167,7 +168,7 @@ def _encrypt_pandas(
     ) -> Iterator[pd.DataFrame]:
         # per-worker init (lazy SDK-singleton analog, AbstractTDFProcessor.java:139-161)
         if fmt == "ztdf":
-            encrypt = tdf.ZtdfEncryptor(master, signing_pem).encrypt
+            encrypt = tdf.ZtdfEncryptor(master, signing_pem, container=container).encrypt
         else:
             encrypt = tdf.encrypt_nano
         resolve_cache: dict[tuple, tuple] = {}

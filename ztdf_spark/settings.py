@@ -67,6 +67,13 @@ class Settings:
     # ``signing_key_pem``.
     verify_assertions: bool = False
     verification_key_pem: bytes | None = field(default=None, repr=False)
+    # ZTDF on-disk container: "frame" = the engine's compact framing
+    # (ZTDF1 | len | manifest | ciphertext — fastest, default);
+    # "zip" = the public OpenTDF spec's layout (ZIP of 0.payload +
+    # 0.manifest.json with GMAC segment integrity — what the reference's
+    # SDK emits, ConvertToZTDF.java:218/:228). Decrypt auto-sniffs, so
+    # mixed-container tables read fine.
+    container_format: str = "frame"
     # TLS trust material for non-plaintext platform connections — the
     # analog of the reference's SSL Context Service truststore threading
     # (AbstractTDFProcessor.java:58-63,148-153; ConvertFromZTDFTest.java:58-85).
@@ -112,6 +119,10 @@ class Settings:
             )
         if self.truststore_pem is not None and b"-----BEGIN" not in self.truststore_pem:
             raise ConfigurationError("truststore_pem is not PEM data")
+        if self.container_format not in ("frame", "zip"):
+            raise ConfigurationError(
+                f"container_format must be frame|zip, got {self.container_format!r}"
+            )
 
     @classmethod
     def from_env(cls, **overrides) -> "Settings":
@@ -135,5 +146,6 @@ class Settings:
         h.update(self.master_secret)
         h.update(str(self.default_kas_url).encode())
         h.update(b"verify" if self.verify_assertions else b"noverify")
+        h.update(self.container_format.encode())
         h.update(self.truststore_pem or b"")
         return h.hexdigest()[:16]

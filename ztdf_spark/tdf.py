@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import base64
 import hashlib
+import hmac as _hmac
 import json
 import struct
 from dataclasses import dataclass
@@ -44,10 +45,97 @@ from typing import Iterable, Sequence
 import numpy as np
 from cryptography.hazmat.primitives.ciphers.aead import AESGCM
 
+from . import container as _zipc
 from .settings import NANO_MAX_SIZE, ZTDF_MIME  # noqa: F401  (re-export)
 
 ZTDF_MAGIC = b"ZTDF1"
 NANO_MAGIC = b"NT01"
+
+# --- spec-shaped ZIP container (container="zip") ---------------------------
+# Field layout per the public OpenTDF spec (github.com/opentdf/spec):
+# a ZIP archive of 0.payload + 0.manifest.json; encryptionInformation.type
+# "split"; method AES-256-GCM streamable; integrityInformation with GMAC
+# segment hashes + an HS256 root signature; keyAccess policyBinding =
+# HS256 HMAC over the Base64 policy keyed with the DEK. The KAS wrap inside
+# wrappedKey stays this engine's AES-KEK emulation (iv || AES-GCM ciphertext,
+# AAD = policy JSON) — the disclosed stand-in for the SDK's RSA-OAEP wrap
+# (no SDK/network here; SURVEY.md §1.2).
+TDF_SPEC_VERSION = "4.3.0"
+SEGMENT_SIZE_DEFAULT = 2 * 1024 * 1024
+_SEG_OVERHEAD = 12 + 16  # per-segment iv + GCM tag
+
+
+def _policy_binding(dek: bytes, policy_b64: str) -> dict:
+    """keyAccess.policyBinding: Base64 of the hex HMAC-SHA256 digest of the
+    Base64-encoded policy, keyed with the DEK (opentdf/spec keyAccess
+    schema). Binds the policy to the key split: altering policy bytes
+    without the DEK breaks the binding."""
+    digest_hex = _hmac.new(dek, policy_b64.encode(), hashlib.sha256).hexdigest()
+    return {"alg": "HS256", "hash": base64.b64encode(digest_hex.encode()).decode()}
+
+
+def _encrypt_segments(
+    dek: bytes, payload: bytes, ctx: bytes, seg_size: int = SEGMENT_SIZE_DEFAULT
+) -> tuple[bytes, dict]:
+    """Encrypt ``payload`` as spec-shaped streamable segments.
+
+    Each encrypted segment is ``iv(12) || ciphertext || tag(16)``; its GMAC
+    segment hash is the GCM tag itself (the spec's segmentHashAlg "GMAC");
+    the root signature is HMAC-SHA256 over the concatenated segment-hash
+    bytes, keyed with the DEK. Segment IVs derive from the per-record ctx
+    (deterministic replay, never reused: distinct ctx → distinct DEK+IVs).
+    Returns (payload_bytes, integrityInformation dict).
+    """
+    aes = AESGCM(dek)
+    enc_parts: list[bytes] = []
+    segments: list[dict] = []
+    aggregate = bytearray()
+    n_seg = max(1, -(-len(payload) // seg_size))
+    for i in range(n_seg):
+        chunk = payload[i * seg_size : (i + 1) * seg_size]
+        iv = derive_iv(ctx, label=b"seg%d" % i)
+        enc = iv + aes.encrypt(iv, chunk, None)
+        tag = enc[-16:]
+        enc_parts.append(enc)
+        aggregate += tag
+        segments.append(
+            {
+                "hash": base64.b64encode(tag).decode(),
+                "segmentSize": len(chunk),
+                "encryptedSegmentSize": len(enc),
+            }
+        )
+    root_sig = _hmac.new(dek, bytes(aggregate), hashlib.sha256).digest()
+    integrity = {
+        "rootSignature": {"alg": "HS256", "sig": base64.b64encode(root_sig).decode()},
+        "segmentHashAlg": "GMAC",
+        "segmentSizeDefault": seg_size,
+        "encryptedSegmentSizeDefault": seg_size + _SEG_OVERHEAD,
+        "segments": segments,
+    }
+    return b"".join(enc_parts), integrity
+
+
+def _zip_payload_descriptor() -> dict:
+    return {
+        "type": "reference",
+        "url": _zipc.PAYLOAD_ENTRY,
+        "protocol": "zip",
+        "mimeType": "application/octet-stream",
+        "isEncrypted": True,
+    }
+
+
+def _open_zip_envelope(blob: bytes) -> tuple[dict, bytes]:
+    entries = _zipc.zip_entries(blob)
+    try:
+        manifest = json.loads(entries[_zipc.MANIFEST_ENTRY])
+        payload = entries[_zipc.PAYLOAD_ENTRY]
+    except KeyError as e:
+        raise TdfError(f"ZTDF zip container missing entry: {e}") from e
+    except json.JSONDecodeError as e:
+        raise TdfError(f"bad manifest JSON: {e}") from e
+    return manifest, payload
 
 # ---------------------------------------------------------------------------
 # Token-array payload serialization (the "content" bytes of a FlowFile)
@@ -267,15 +355,23 @@ def encrypt_ztdf(
     assertions: Sequence[Assertion] = (),
     master_secret: bytes,
     signing_key_pem: bytes | None = None,
+    container: str = "frame",
 ) -> bytes:
-    """Build a ZTDF envelope: ``ZTDF1 | u32 manifest_len | manifest JSON |
-    AES-256-GCM ciphertext``.
+    """Build a ZTDF envelope.
 
-    Semantics parity: per-record DEK wrapped for each of 1..n KAS endpoints
-    (KASInfo list, AbstractToProcessor.java:78-84; Config.withKasInformation,
-    ConvertToZTDF.java:204), policy of data-attribute FQNs
-    (Config.withDataAttributes, :205), 0..n assertions optionally RS256-signed
-    (:248-261).
+    ``container="frame"`` (default): the engine's compact framing
+    ``ZTDF1 | u32 manifest_len | manifest JSON | AES-256-GCM ciphertext``.
+    ``container="zip"``: the public spec's on-disk layout — a ZIP archive
+    of ``0.payload`` (GMAC-hashed streamable segments) + ``0.manifest.json``
+    (split-type encryptionInformation, HS256 policy bindings, HS256 root
+    signature) — the byte shape ``TDF.createTDF`` emits through the SDK
+    (ConvertToZTDF.java:218, mime ``application/ztdf+zip`` at :228).
+
+    Semantics parity in both containers: per-record DEK wrapped for each of
+    1..n KAS endpoints (KASInfo list, AbstractToProcessor.java:78-84;
+    Config.withKasInformation, ConvertToZTDF.java:204), policy of
+    data-attribute FQNs (Config.withDataAttributes, :205), 0..n assertions
+    optionally RS256-signed (:248-261).
     """
     kas_urls = list(kas_urls)
     attrs = list(data_attributes)
@@ -283,12 +379,56 @@ def encrypt_ztdf(
         raise TdfError("no KAS URL provided via attribute or property")
     if not attrs:
         raise TdfError("no data attribute(s) provided")
+    if container not in ("frame", "zip"):
+        raise TdfError(f"container must be frame|zip, got {container!r}")
 
     policy = {"uuid": _h(b"policy", doc_id.encode())[:8].hex(), "body": {"dataAttributes": attrs}}
     policy_bytes = json.dumps(policy, sort_keys=True, separators=(",", ":")).encode()
     ctx = derive_ctx(master_secret, doc_id, lsn, payload, policy_bytes)
     dek = derive_dek(ctx)
     iv = derive_iv(ctx)
+
+    adocs: list[dict] | None = None
+    if assertions:
+        adocs = []
+        for a in assertions:
+            d = a.to_manifest()
+            if signing_key_pem is not None:
+                d["binding"] = {"method": "jws", "signature": _sign_assertion_rs256(a, signing_key_pem)}
+            adocs.append(d)
+
+    if container == "zip":
+        policy_b64 = base64.b64encode(policy_bytes).decode()
+        key_access = []
+        for i, url in enumerate(kas_urls):
+            kek = kek_for_kas(master_secret, url)
+            wrap_iv = derive_iv(ctx, label=b"wrap%d" % i)
+            wrapped = wrap_iv + AESGCM(kek).encrypt(wrap_iv, dek, policy_bytes)
+            key_access.append(
+                {
+                    "type": "wrapped",
+                    "url": url,
+                    "protocol": "kas",
+                    "wrappedKey": base64.b64encode(wrapped).decode(),
+                    "policyBinding": _policy_binding(dek, policy_b64),
+                }
+            )
+        payload_bytes, integrity = _encrypt_segments(dek, payload, ctx)
+        manifest = {
+            "schemaVersion": TDF_SPEC_VERSION,
+            "payload": _zip_payload_descriptor(),
+            "encryptionInformation": {
+                "type": "split",
+                "keyAccess": key_access,
+                "method": {"algorithm": "AES-256-GCM", "isStreamable": True, "iv": ""},
+                "integrityInformation": integrity,
+                "policy": policy_b64,
+            },
+        }
+        if adocs:
+            manifest["assertions"] = adocs
+        mbytes = json.dumps(manifest, separators=(",", ":")).encode()
+        return _zipc.zip_pack([(_zipc.PAYLOAD_ENTRY, payload_bytes), (_zipc.MANIFEST_ENTRY, mbytes)])
 
     key_access = []
     for i, url in enumerate(kas_urls):
@@ -326,13 +466,7 @@ def encrypt_ztdf(
             "isEncrypted": True,
         },
     }
-    if assertions:
-        adocs = []
-        for a in assertions:
-            d = a.to_manifest()
-            if signing_key_pem is not None:
-                d["binding"] = {"method": "jws", "signature": _sign_assertion_rs256(a, signing_key_pem)}
-            adocs.append(d)
+    if adocs:
         manifest["assertions"] = adocs
 
     mbytes = json.dumps(manifest, separators=(",", ":")).encode()
@@ -358,13 +492,19 @@ class ZtdfEncryptor:
     # Python workers (cleared wholesale — contexts are cheap to rebuild)
     MAX_CACHE = 4096
 
-    def __init__(self, master_secret: bytes, signing_key_pem: bytes | None = None):
+    def __init__(
+        self, master_secret: bytes, signing_key_pem: bytes | None = None, container: str = "frame"
+    ):
         import uuid as _uuid
 
+        if container not in ("frame", "zip"):
+            raise TdfError(f"container must be frame|zip, got {container!r}")
         self.master = master_secret
         self.signing_pem = signing_key_pem
+        self.container = container
         self._keks: dict[str, AESGCM] = {}
         self._ctx: dict[tuple, tuple] = {}
+        self._zip_ctx_cache: dict[tuple, tuple] = {}
         # sentinel nonce: template placeholders embed a fresh 128-bit random
         # hex string, so NO user-controlled value (assertion statements,
         # attribute FQNs, KAS URLs baked into the template via json.dumps)
@@ -458,6 +598,8 @@ class ZtdfEncryptor:
         if not attrs:
             raise TdfError("no data attribute(s) provided")
         do_sign = (self.signing_pem is not None) if sign is None else bool(sign)
+        if self.container == "zip":
+            return self._encrypt_zip(payload, doc_id, lsn, kas_urls, attrs, tuple(assertions), do_sign)
         template_policy, template = self._context(kas_urls, attrs, tuple(assertions), do_sign)
 
         policy_bytes = template_policy.replace(
@@ -480,6 +622,79 @@ class ZtdfEncryptor:
         mbytes = m.encode()
         return b"".join([ZTDF_MAGIC, struct.pack("<I", len(mbytes)), mbytes, ciphertext])
 
+    def _zip_context(self, kas_urls: tuple, attrs: tuple, assertions: tuple, sign: bool):
+        """Per-(kas, attrs, assertions) cache for the zip container: the
+        policy JSON template (uuid sentinel) and pre-signed assertion docs
+        (the RS256 signature is the expensive per-context constant)."""
+        key = (kas_urls, attrs, assertions, sign)
+        ctx = self._zip_ctx_cache.get(key)
+        if ctx is None:
+            if len(self._zip_ctx_cache) >= self.MAX_CACHE:
+                self._zip_ctx_cache.clear()
+            policy = {
+                "uuid": f"@{self._sent}:UUID@",
+                "body": {"dataAttributes": list(attrs)},
+            }
+            template_policy = json.dumps(policy, sort_keys=True, separators=(",", ":"))
+            adocs: list[dict] | None = None
+            if assertions:
+                adocs = []
+                for a in assertions:
+                    d = a.to_manifest()
+                    if sign and self.signing_pem is not None:
+                        d["binding"] = {
+                            "method": "jws",
+                            "signature": _sign_assertion_rs256(a, self.signing_pem),
+                        }
+                    adocs.append(d)
+            ctx = (template_policy, adocs)
+            self._zip_ctx_cache[key] = ctx
+        return ctx
+
+    def _encrypt_zip(
+        self, payload: bytes, doc_id: str, lsn: int, kas_urls: tuple, attrs: tuple,
+        assertions: tuple, do_sign: bool,
+    ) -> bytes:
+        """Spec-shaped ZIP container build — byte-identical to
+        ``encrypt_ztdf(..., container="zip")`` (pinned by tests)."""
+        template_policy, adocs = self._zip_context(kas_urls, attrs, assertions, do_sign)
+        policy_bytes = template_policy.replace(
+            f"@{self._sent}:UUID@", _h(b"policy", doc_id.encode())[:8].hex()
+        ).encode()
+        ctx = derive_ctx(self.master, doc_id, lsn, payload, policy_bytes)
+        dek = derive_dek(ctx)
+        policy_b64 = base64.b64encode(policy_bytes).decode()
+        binding = _policy_binding(dek, policy_b64)
+        key_access = []
+        for i, url in enumerate(kas_urls):
+            wrap_iv = derive_iv(ctx, label=b"wrap%d" % i)
+            wrapped = wrap_iv + self._kek(url).encrypt(wrap_iv, dek, policy_bytes)
+            key_access.append(
+                {
+                    "type": "wrapped",
+                    "url": url,
+                    "protocol": "kas",
+                    "wrappedKey": base64.b64encode(wrapped).decode(),
+                    "policyBinding": binding,
+                }
+            )
+        payload_bytes, integrity = _encrypt_segments(dek, payload, ctx)
+        manifest = {
+            "schemaVersion": TDF_SPEC_VERSION,
+            "payload": _zip_payload_descriptor(),
+            "encryptionInformation": {
+                "type": "split",
+                "keyAccess": key_access,
+                "method": {"algorithm": "AES-256-GCM", "isStreamable": True, "iv": ""},
+                "integrityInformation": integrity,
+                "policy": policy_b64,
+            },
+        }
+        if adocs:
+            manifest["assertions"] = adocs
+        mbytes = json.dumps(manifest, separators=(",", ":")).encode()
+        return _zipc.zip_pack([(_zipc.PAYLOAD_ENTRY, payload_bytes), (_zipc.MANIFEST_ENTRY, mbytes)])
+
 
 def rewrap_ztdf(blob: bytes, *, master_secret: bytes, kas_urls: Iterable[str]) -> bytes:
     """KAS key rotation: re-wrap the record's DEK for a NEW set of KAS
@@ -490,8 +705,48 @@ def rewrap_ztdf(blob: bytes, *, master_secret: bytes, kas_urls: Iterable[str]) -
     each new KAS; policy and payload bytes are byte-identical before/after.
     Wrap IVs derive from (DEK digest, url, policy) so rewrap is
     deterministic/idempotent and never reuses a nonce under a given KEK
-    (distinct DEKs → distinct IVs).
+    (distinct DEKs → distinct IVs). Works on both containers (auto-sniffed);
+    in the zip container the payload entry is byte-identical before/after
+    and each new keyAccess gets a freshly-computed spec policyBinding.
     """
+    if _zipc.is_zip(blob):
+        manifest, payload_bytes = _open_zip_envelope(blob)
+        enc = manifest["encryptionInformation"]
+        policy_b64 = enc["policy"]
+        policy_bytes = base64.b64decode(policy_b64)
+        dek = None
+        last_err = None
+        for ka in enc["keyAccess"]:
+            wk = base64.b64decode(ka["wrappedKey"])
+            try:
+                dek = AESGCM(kek_for_kas(master_secret, ka["url"])).decrypt(
+                    wk[:12], wk[12:], policy_bytes
+                )
+                break
+            except Exception as e:
+                last_err = e
+        if dek is None:
+            raise TdfError(f"rewrap: unable to unwrap DEK with any current KAS: {last_err}")
+        urls = list(kas_urls)
+        if not urls:
+            raise TdfError("no KAS URL provided via attribute or property")
+        dek_digest = hashlib.sha256(dek).digest()
+        binding = _policy_binding(dek, policy_b64)
+        enc["keyAccess"] = [
+            {
+                "type": "wrapped",
+                "url": url,
+                "protocol": "kas",
+                "wrappedKey": base64.b64encode(
+                    wrap_iv + AESGCM(kek_for_kas(master_secret, url)).encrypt(wrap_iv, dek, policy_bytes)
+                ).decode(),
+                "policyBinding": binding,
+            }
+            for url in urls
+            for wrap_iv in (_h(b"ztdf-rewrap-iv", dek_digest, url.encode(), policy_bytes)[:12],)
+        ]
+        mbytes = json.dumps(manifest, separators=(",", ":")).encode()
+        return _zipc.zip_pack([(_zipc.PAYLOAD_ENTRY, payload_bytes), (_zipc.MANIFEST_ENTRY, mbytes)])
     if blob[:5] != ZTDF_MAGIC:
         raise TdfError("not a ZTDF envelope (bad magic)")
     (mlen,) = struct.unpack("<I", blob[5:9])
@@ -534,10 +789,69 @@ def rewrap_ztdf(blob: bytes, *, master_secret: bytes, kas_urls: Iterable[str]) -
 
 
 def read_manifest(blob: bytes) -> dict:
+    if _zipc.is_zip(blob):
+        return _open_zip_envelope(blob)[0]
     if blob[:5] != ZTDF_MAGIC:
         raise TdfError("not a ZTDF envelope (bad magic)")
     (mlen,) = struct.unpack("<I", blob[5:9])
     return json.loads(blob[9 : 9 + mlen])
+
+
+def _decrypt_ztdf_zip(
+    manifest: dict,
+    payload_bytes: bytes,
+    *,
+    master_secret: bytes,
+) -> bytes:
+    """Open a spec-shaped zip envelope: unwrap the DEK, verify the policy
+    binding, every segment GMAC, and the root signature, then decrypt and
+    reassemble the segments. Any mismatch is a TdfError → per-record
+    failure route, never a task kill."""
+    enc = manifest["encryptionInformation"]
+    policy_b64 = enc["policy"]
+    policy_bytes = base64.b64decode(policy_b64)
+    dek = None
+    used_ka = None
+    last_err: Exception | None = None
+    for ka in enc["keyAccess"]:
+        kek = kek_for_kas(master_secret, ka["url"])
+        wk = base64.b64decode(ka["wrappedKey"])
+        try:
+            dek = AESGCM(kek).decrypt(wk[:12], wk[12:], policy_bytes)
+            used_ka = ka
+            break
+        except Exception as e:
+            last_err = e
+    if dek is None:
+        raise TdfError(f"unable to unwrap DEK with any KAS: {last_err}")
+    binding = (used_ka.get("policyBinding") or {}).get("hash")
+    if binding != _policy_binding(dek, policy_b64)["hash"]:
+        raise TdfError("policy binding verification failed")
+    integ = enc["integrityInformation"]
+    aes = AESGCM(dek)
+    parts: list[bytes] = []
+    aggregate = bytearray()
+    off = 0
+    for seg in integ["segments"]:
+        esz = int(seg["encryptedSegmentSize"])
+        chunk = payload_bytes[off : off + esz]
+        off += esz
+        if len(chunk) != esz or esz < _SEG_OVERHEAD:
+            raise TdfError("truncated payload segment")
+        tag = chunk[-16:]
+        if base64.b64encode(tag).decode() != seg["hash"]:
+            raise TdfError("segment GMAC mismatch")
+        aggregate += tag
+        try:
+            parts.append(aes.decrypt(chunk[:12], chunk[12:], None))
+        except Exception as e:
+            raise TdfError(f"segment decrypt failed: {e}") from e
+    if off != len(payload_bytes):
+        raise TdfError("payload length does not match segment table")
+    root = base64.b64encode(_hmac.new(dek, bytes(aggregate), hashlib.sha256).digest()).decode()
+    if root != integ["rootSignature"]["sig"]:
+        raise TdfError("root signature mismatch")
+    return b"".join(parts)
 
 
 def decrypt_ztdf(
@@ -557,7 +871,18 @@ def decrypt_ztdf(
     a tampered or unsigned assertion fails the record. Requires the full
     envelope in memory, like the reference's seekable in-memory channel
     (ConvertFromZTDF.java:73).
+
+    Container is auto-sniffed: ``PK..`` → spec-shaped zip (segment GMACs,
+    root signature, and policy binding all verified), ``ZTDF1`` → frame.
     """
+    if _zipc.is_zip(blob):
+        manifest, payload_bytes = _open_zip_envelope(blob)
+        if verify_assertions:
+            if verification_key_pem is None:
+                raise TdfError("verify_assertions=True requires a verification key")
+            for adoc in manifest.get("assertions", []):
+                verify_assertion_rs256(adoc, verification_key_pem)
+        return _decrypt_ztdf_zip(manifest, payload_bytes, master_secret=master_secret)
     if blob[:5] != ZTDF_MAGIC:
         raise TdfError("not a ZTDF envelope (bad magic)")
     (mlen,) = struct.unpack("<I", blob[5:9])
