@@ -858,6 +858,32 @@ def q_cdc_ztdf_container(spark, sf_dir):
     )
 
 
+def q_cdc_nano_container(spark, sf_dir):
+    """Spec-shaped NanoTDF round trip (ztdf_spark/nano.py + tdf.py
+    container="zip" nano analog): encrypt with the public NanoTDF binary
+    layout (L1L magic, resource-locator KAS, embedded plaintext policy with
+    GMAC binding, compressed P-256 ephemeral key, ECDH+HKDF payload key —
+    the byte shape the reference's SDK emits, ConvertToNanoTDF.java:121),
+    decrypt via the per-record container sniff in ONE pass over a MIXED
+    table (half frame, half spec), and emit SQL-typed invariants. Any
+    layout, ECDH, binding, or sniffing regression breaks the DuckDB hash."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    b = _with_tokens(docs).withColumn("lsn", F.col("doc_id_num")).withColumn("op", F.lit("I"))
+    b = b.withColumn("tdf_attribute", F.lit(CANON_ATTR)).withColumn("doc_id", F.col("doc_id_str"))
+    frame = ops.encrypt_batch(b.filter(F.col("doc_id_num") < 100), Settings(), fmt="nano")
+    spec = ops.encrypt_batch(
+        b.filter(F.col("doc_id_num") >= 100), Settings(container_format="zip"), fmt="nano"
+    )
+    dec = ops.decrypt_batch(frame.unionByName(spec), Settings(), fmt="nano")
+    return dec.select(
+        "doc_id",
+        "route",
+        "mime_type",
+        (F.substring(F.col("ciphertext"), 1, 3) == F.lit(b"L1L")).alias("is_spec_nano"),
+        (F.col("tokens_out") == F.col("tokens")).alias("tokens_match"),
+    )
+
+
 def _with_tokens(docs: DataFrame) -> DataFrame:
     """Deterministic token arrays keyed on doc_id (blake2b-seeded)."""
     from pyspark.sql import types as T
@@ -916,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_hot_keys": q_cdc_hot_keys,
         "cdc_encrypt_roundtrip": q_cdc_encrypt_roundtrip,
         "cdc_ztdf_container": q_cdc_ztdf_container,
+        "cdc_nano_container": q_cdc_nano_container,
         "cdc_rewrap_rotation": q_cdc_rewrap_rotation,
         # relational coverage
         "events_sessionize": q_events_sessionize,
@@ -1208,6 +1235,17 @@ def oracle_sql() -> dict[str, str]:
                'success' AS route,
                'application/ztdf+zip' AS mime_type,
                TRUE AS is_spec_zip,
+               TRUE AS tokens_match
+        FROM documents WHERE doc_id < 200
+        """,
+        # cdc_nano_container: the 200-doc mixed table (frame for doc<100,
+        # spec L1L for 100≤doc<200) must decrypt to all-success constants in
+        # one sniffing pass; is_spec_nano is exactly the doc>=100 predicate.
+        "cdc_nano_container": """
+        SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+               'success' AS route,
+               'application/nanotdf' AS mime_type,
+               doc_id >= 100 AS is_spec_nano,
                TRUE AS tokens_match
         FROM documents WHERE doc_id < 200
         """,

@@ -24,6 +24,7 @@ Design (idiomatic Spark, not a port of NiFi's record-at-a-time loop):
 
 from __future__ import annotations
 
+import functools
 import json
 from typing import Iterator, Tuple
 
@@ -170,7 +171,7 @@ def _encrypt_pandas(
         if fmt == "ztdf":
             encrypt = tdf.ZtdfEncryptor(master, signing_pem, container=container).encrypt
         else:
-            encrypt = tdf.encrypt_nano
+            encrypt = functools.partial(tdf.encrypt_nano, container=container)
         resolve_cache: dict[tuple, tuple] = {}
         assertion_cache: dict[str, list] = {}
 

@@ -922,18 +922,39 @@ def encrypt_nano(
     kas_urls: Iterable[str],
     data_attributes: Iterable[str],
     master_secret: bytes,
+    container: str = "frame",
 ) -> bytes:
     """Compact binary envelope, single effective KAS (first URL), no
     assertions (NanoTDFConfig has KAS + attributes only,
     ConvertToNanoTDF.java:97-121).
 
-    Layout: ``NT01 | u16 kas_len | kas | u16 policy_len | policy(csv attrs)
-    | iv(12) | u16 wrapped_len | wrapped_dek | ciphertext``.
+    ``container="frame"`` (default): the engine's compact framing below.
+    ``container="zip"`` (the spec-container setting, shared with ZTDF):
+    the public NanoTDF spec's binary layout — L1L magic, resource-locator
+    KAS, embedded plaintext policy with GMAC binding, compressed P-256
+    ephemeral key, ECDH+HKDF payload key (see :mod:`ztdf_spark.nano`).
+
+    Frame layout: ``NT01 | u16 kas_len | kas | u16 policy_len |
+    policy(csv attrs) | iv(12) | u16 wrapped_len | wrapped_dek |
+    ciphertext``.
 
     The 16 MiB + 2 size gate is enforced Spark-side *before* this function
     (ConvertToNanoTDF.java:110-112 routes oversize to ``exceeds_size_limit``
     without touching content); it is also re-checked here defensively.
     """
+    if container == "zip":
+        from .nano import encrypt_nano_spec
+
+        return encrypt_nano_spec(
+            payload,
+            doc_id=doc_id,
+            lsn=lsn,
+            kas_urls=kas_urls,
+            data_attributes=data_attributes,
+            master_secret=master_secret,
+        )
+    if container != "frame":
+        raise TdfError(f"container must be frame|zip, got {container!r}")
     kas_urls = list(kas_urls)
     attrs = list(data_attributes)
     if not kas_urls:
@@ -969,7 +990,13 @@ def encrypt_nano(
 
 def decrypt_nano(blob: bytes, *, master_secret: bytes) -> bytes:
     """ConvertFromNanoTDF analog: whole-content read → plaintext
-    (ConvertFromNanoTDF.java:44-63)."""
+    (ConvertFromNanoTDF.java:44-63). Container auto-sniffed (``L1L`` spec
+    magic vs ``NT01`` frame magic) so mixed-container tables decrypt in
+    one pass, mirroring the ZTDF side."""
+    from .nano import decrypt_nano_spec, is_nano_spec
+
+    if is_nano_spec(blob):
+        return decrypt_nano_spec(blob, master_secret=master_secret)
     if blob[:4] != NANO_MAGIC:
         raise TdfError("not a NanoTDF envelope (bad magic)")
     off = 4
@@ -995,7 +1022,12 @@ def decrypt_nano(blob: bytes, *, master_secret: bytes) -> bytes:
 
 
 def nano_policy_attributes(blob: bytes) -> list[str]:
-    """Read back the policy attribute FQNs from a nano envelope (test hook)."""
+    """Read back the policy attribute FQNs from a nano envelope (test hook).
+    Container auto-sniffed like :func:`decrypt_nano`."""
+    from .nano import is_nano_spec, nano_spec_policy_attributes
+
+    if is_nano_spec(blob):
+        return nano_spec_policy_attributes(blob)
     if blob[:4] != NANO_MAGIC:
         raise TdfError("not a NanoTDF envelope (bad magic)")
     off = 4
