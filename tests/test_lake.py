@@ -1207,3 +1207,112 @@ def test_property_schema_evolution_matches_oracle(spark, tmp_path):
             assert got == expect, f"{mode}: {got} vs {expect}"
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# Per-delta-file key Bloom filters (create(bloom_delta_keys=True))
+# ---------------------------------------------------------------------------
+
+
+def _mk_bloom_mor(spark, tmp_path, name, bloom=True):
+    return LakeTable.create(
+        spark, str(tmp_path / name), schema=STATE_SCHEMA, target_file_rows=200,
+        merge_mode="mor", bloom_delta_keys=bloom,
+    )
+
+
+def _interleaved_batches(n_batches=3, n=60):
+    """Batch b holds keys ≡ b (mod n_batches): every delta file's [min,max]
+    range spans nearly the whole key space, so range pruning keeps ALL
+    files and only the bloom can skip — the worst case blooms exist for."""
+    return [
+        [("I", f"doc-{i:04d}", i + 1, [i], 1, "web") for i in range(b, n, n_batches)]
+        for b in range(n_batches)
+    ]
+
+
+def test_bloom_unit_no_false_negatives_and_low_fpr():
+    from ztdf_spark import bloom as B
+
+    keys = [f"doc-{i:05d}" for i in range(1000)]
+    bl = B.build_bloom(keys, len(keys))
+    assert all(B.might_contain(bl, B._key_hash_pair(k)) for k in keys)  # no FNs ever
+    absent = [f"miss-{i:05d}" for i in range(2000)]
+    fpr = sum(B.might_contain(bl, B._key_hash_pair(k)) for k in absent) / len(absent)
+    assert fpr < 0.05, fpr  # ~1% expected at 10 bits/key, k=7
+
+
+def test_bloom_skips_delta_files_ranges_cannot(spark, tmp_path):
+    """Interleaved batches → per-file ranges all overlap; the bloom table
+    must read strictly fewer files for a key than the no-bloom table, and
+    both must return identical rows."""
+    tb = _mk_bloom_mor(spark, tmp_path, "blm", bloom=True)
+    tn = _mk_bloom_mor(spark, tmp_path, "nob", bloom=False)
+    for i, batch in enumerate(_interleaved_batches()):
+        tb.merge(_changes(spark, batch), batch_id=i)
+        tn.merge(_changes(spark, batch), batch_id=i)
+    # delta entries carry blooms only on the opted-in table
+    eb = [e for e in tb._files(tb.snapshot()) if e.get("delta")]
+    en = [e for e in tn._files(tn.snapshot()) if e.get("delta")]
+    assert eb and all(
+        set(e["bloom"]) == {"m", "k", "bits"} and e["bloom"]["m"] >= 1024 for e in eb
+    )
+    assert all("bloom" not in e for e in en)
+    # doc-0004 lives only in batch 1 (4 % 3 == 1); ranges overlap everywhere
+    lookup = ["doc-0004"]
+    rows_b = tb.read_keys(lookup)
+    rows_n = tn.read_keys(lookup)
+    assert rows_b.collect() == rows_n.collect()
+    assert len(rows_b.inputFiles()) < len(rows_n.inputFiles()), (
+        rows_b.inputFiles(), rows_n.inputFiles(),
+    )
+    # an all-miss lookup reads NO files at all on the bloom table
+    assert tb.read_keys(["nope-1", "nope-2"]).inputFiles() == []
+    assert tb.read_keys(["nope-1", "nope-2"]).count() == 0
+
+
+def test_bloom_lookup_semantics_match_and_survive_load_compact(spark, tmp_path):
+    """Full read_keys semantics (hits, updates, deletes, misses, time
+    travel) are identical with blooms on; the property survives load();
+    compact() drops the blooms with the delta files and stays correct."""
+    t = _mk_bloom_mor(spark, tmp_path, "blsem")
+    t.merge(_changes(spark, [("I", f"doc-{i:04d}", i + 1, [i], 1, "web") for i in range(0, 90, 3)]
+                     + [("I", f"doc-{i:04d}", i + 1, [i], 1, "web") for i in range(1, 90, 3)]),
+            batch_id=0)
+    t.merge(_changes(spark, [("U", "doc-0003", 900, [900], 1, "web"),
+                             ("D", "doc-0006", 901, None, None, None)]), batch_id=1)
+    t2 = LakeTable.load(spark, t.path)  # snapshot round-trip keeps the property
+    assert t2.snapshot().get("bloom_delta_keys") is True
+    got = {r["doc_id"]: r["lsn"]
+           for r in t2.read_keys(["doc-0003", "doc-0006", "doc-0009", "nope"]).collect()}
+    assert got == {"doc-0003": 900, "doc-0009": 10}
+    t2.compact()
+    assert all("bloom" not in e for e in t2._files(t2.snapshot()))  # clustered base: no blooms
+    got2 = {r["doc_id"]: r["lsn"]
+            for r in t2.read_keys(["doc-0003", "doc-0006", "doc-0009", "nope"]).collect()}
+    assert got2 == got
+    # post-compact appends get blooms again
+    t2.merge(_changes(spark, [("U", "doc-0009", 950, [950], 1, "web")]), batch_id=2)
+    assert any(e.get("delta") and "bloom" in e for e in t2._files(t2.snapshot()))
+    assert {r["doc_id"]: r["lsn"] for r in t2.read_keys(["doc-0009"]).collect()} == {"doc-0009": 950}
+
+
+def test_bloom_on_commit_staged_path(spark, tmp_path):
+    """The fused-pipeline fast path (commit_staged) also attaches blooms
+    when the table opted in."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "blstg"), schema=STATE_SCHEMA, target_file_rows=200,
+        merge_mode="mor", bloom_delta_keys=True,
+    )
+    staged = str(tmp_path / "stg0")
+    spark.createDataFrame(
+        [(f"doc-{i:04d}", i + 1, [i], 1, "web", False) for i in range(40)],
+        "doc_id string, lsn long, tokens array<int>, n_tok int, source string, _tombstone boolean",
+    ).coalesce(2).write.parquet(staged)
+    r = t.commit_staged(staged, batch_id=0)
+    assert not r.get("noop")
+    entries = [e for e in t._files(t.snapshot()) if e.get("delta")]
+    assert entries and all("bloom" in e for e in entries)
+    assert {r["doc_id"] for r in t.read_keys(["doc-0001", "doc-0039", "no"]).collect()} == {
+        "doc-0001", "doc-0039",
+    }

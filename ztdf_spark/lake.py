@@ -267,6 +267,7 @@ class LakeTable:
         target_file_rows: int = 500_000,
         merge_mode: str = "cow",
         change_feed: bool = False,
+        bloom_delta_keys: bool = False,
     ) -> "LakeTable":
         """``change_feed=True`` (COW tables; the Delta ``enableChangeDataFeed``
         / Iceberg changelog analog) makes every COW merge additionally write
@@ -274,7 +275,15 @@ class LakeTable:
         — an O(batch) extra write that lets ``changes()`` keep its pruned
         fast path and the ``ztdf_lake`` streaming source emit per-commit
         rows on COW tables. MOR tables get the feed for free (their delta
-        files ARE the change log), so the flag is a no-op there."""
+        files ARE the change log), so the flag is a no-op there.
+
+        ``bloom_delta_keys=True`` (MOR tables; the Iceberg puffin / Parquet
+        bloom analog at the manifest layer) makes every delta append also
+        build a per-file key Bloom filter (one narrow extra Spark job over
+        the key column of the just-written files) that ``read_keys`` probes
+        to SKIP delta files none of the looked-up keys can be in — delta
+        files are unclustered, so min/max ranges rarely prune them. No-op
+        on COW tables (every file is range-clustered there)."""
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be cow|mor, got {merge_mode}")
         t = cls(spark, path)
@@ -293,6 +302,7 @@ class LakeTable:
             "target_file_rows": target_file_rows,
             "merge_mode": merge_mode,
             "change_feed": bool(change_feed) and merge_mode == "cow",
+            "bloom_delta_keys": bool(bloom_delta_keys) and merge_mode == "mor",
             "manifests": [],
             "last_batch": {},
             "summary": {"operation": "create"},
@@ -646,6 +656,14 @@ class LakeTable:
             [(k,) for k in keys], T.StructType([T.StructField(key_col, key_type)])
         )
         files = self._matched_files(snap, wanted, key_col)
+        if snap.get("bloom_delta_keys"):
+            # second pruning level for unclustered delta files: drop any
+            # file whose key bloom admits none of the wanted keys (no false
+            # negatives → the matched subset still holds ALL rows of every
+            # wanted key). Driver cost: one hash per key, one decode per file.
+            from . import bloom as _bloom
+
+            files = _bloom.probe_entries(files, keys)
         live = self._winners_df(snap, files).filter(
             ~F.coalesce(F.col(_TOMBSTONE), F.lit(False))
         )
@@ -1031,6 +1049,7 @@ class LakeTable:
             "target_file_rows": snap.get("target_file_rows", 500_000),
             "merge_mode": snap.get("merge_mode", "cow"),
             "change_feed": snap.get("change_feed", False),
+            "bloom_delta_keys": snap.get("bloom_delta_keys", False),
             "manifests": manifests,
             "last_batch": last_batch,
             "summary": {"batch_id": batch_id, "app_id": app_id, **summary},
@@ -1158,6 +1177,12 @@ class LakeTable:
                 to_write, snap["version"] + 1, key_col, target_rows, 0,
                 cluster=False, delta=True,
             )
+            if snap.get("bloom_delta_keys") and new_entries:
+                from . import bloom as _bloom
+
+                new_entries = _bloom.attach_blooms(
+                    self.spark, self._data_dir, new_entries, key_col
+                )
             counts = obs.get
             n_batch, n_del = int(counts["n"] or 0), int(counts["d"] or 0)
             if n_batch == 0:
@@ -1356,7 +1381,9 @@ class LakeTable:
         staging dir — one Spark job for encrypt + route fan-out + sink —
         and the commit is pure driver-side metadata: file moves + footer
         stats + ONE new manifest + atomic snapshot. O(files-added), never
-        O(files-total). No Spark job runs here at all.
+        O(files-total). No Spark job runs here at all — except when the
+        table opted into ``bloom_delta_keys``, which adds one narrow
+        key-column job over the files just adopted.
 
         Precondition (caller contract): (key, seq) unique within the batch
         — true for any WAL/binlog batch (LSNs are unique); at-least-once
@@ -1372,6 +1399,12 @@ class LakeTable:
         new_entries = self._adopt_staged(staged_dir, snap["version"] + 1, snap["key_col"], delta=True)
         if not new_entries:
             return {"version": snap["version"], "noop": True, "reason": "empty batch"}
+        if snap.get("bloom_delta_keys"):
+            from . import bloom as _bloom
+
+            new_entries = _bloom.attach_blooms(
+                self.spark, self._data_dir, new_entries, snap["key_col"]
+            )
         n_batch = sum(f["rows"] for f in new_entries)
         manifests = self._carryover_manifests(snap, set()) + [
             self._write_manifest(new_entries, snap["version"] + 1, added_at=snap["version"] + 1)
