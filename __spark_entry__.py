@@ -258,9 +258,12 @@ def _mor_lake_from_binlog(spark, sf_dir: str, tag: str, mutable: bool = False):
                 T.StructField("source", T.StringType()),
             ]
         )
+        # bloom_delta_keys exercises the point-lookup bloom skip path under
+        # every lake query's DuckDB hash (results must be bloom-invariant)
         t = LakeTable.create(
             spark, os.path.join(root, "t"),
             schema, key_col="doc_id", seq_col="lsn", merge_mode="mor",
+            bloom_delta_keys=True,
         )
         cols = ["op", "doc_id", "lsn", "n_tok", "source"]
         t.merge(b.filter(F.col("lsn") % 3 != 0).select(*cols), batch_id=0)

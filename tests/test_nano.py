@@ -218,9 +218,11 @@ def test_malformed_envelopes_raise_format_error():
     bad_curve = blob[:mode_off] + b"\x02" + blob[mode_off + 1 :]
     with pytest.raises(nano.NanoFormatError, match="curve"):
         nano.parse_nano_spec(bad_curve)
-    bad_binding = blob[:mode_off] + b"\x80" + blob[mode_off + 1 :]
-    with pytest.raises(nano.NanoFormatError, match="ECDSA"):
-        nano.parse_nano_spec(bad_binding)
+    # flipping a GMAC envelope's mode byte to ECDSA shifts every later
+    # offset (64-byte binding slice) → per-record failure, never silent
+    flipped = blob[:mode_off] + b"\x80" + blob[mode_off + 1 :]
+    with pytest.raises((nano.NanoFormatError, tdf.TdfError)):
+        nano.decrypt_nano_spec(flipped, master_secret=MASTER)
 
 
 def test_input_gates():
@@ -230,6 +232,76 @@ def test_input_gates():
         _enc(kas_urls=[])
     with pytest.raises(tdf.TdfError, match="attribute"):
         _enc(data_attributes=[])
+
+
+# ---------------------------------------------------------------------------
+# ECDSA policy binding (spec ecc-mode bit 7)
+# ---------------------------------------------------------------------------
+
+
+def test_ecdsa_binding_roundtrip_and_mode_byte():
+    blob = _enc(b"ecdsa payload", ecdsa_binding=True)
+    loc_len = blob[4]
+    assert blob[5 + loc_len] == 0x80  # bit7 set, curve secp256r1
+    f = nano.parse_nano_spec(blob)
+    assert f["ecdsa_binding"] is True and len(f["binding"]) == 64
+    assert nano.decrypt_nano_spec(blob, master_secret=MASTER) == b"ecdsa payload"
+    assert tdf.decrypt_nano(blob, master_secret=MASTER) == b"ecdsa payload"  # sniffed
+    # RFC 6979 deterministic nonce → replay is byte-identical
+    assert blob == _enc(b"ecdsa payload", ecdsa_binding=True)
+
+
+def test_ecdsa_binding_header_only_verification():
+    """The ECDSA binding verifies from header fields alone — no ECDH, no
+    master secret — via raw cryptography primitives (independent path)."""
+    blob = _enc(ecdsa_binding=True)
+    f = nano.parse_nano_spec(blob)
+    from cryptography.hazmat.primitives.asymmetric.utils import encode_dss_signature
+
+    eph_pub = ec.EllipticCurvePublicKey.from_encoded_point(
+        ec.SECP256R1(), f["ephemeral_point"]
+    )
+    der = encode_dss_signature(
+        int.from_bytes(f["binding"][:32], "big"), int.from_bytes(f["binding"][32:], "big")
+    )
+    eph_pub.verify(der, f["policy_body"], ec.ECDSA(hashes.SHA256()))  # raises on mismatch
+
+
+def test_ecdsa_binding_tamper_detection():
+    blob = _enc(ecdsa_binding=True)
+    policy_off = blob.index(b'{"body"')
+    with pytest.raises(tdf.TdfError, match="binding"):
+        nano.decrypt_nano_spec(_flip(blob, policy_off + 12), master_secret=MASTER)
+    f = nano.parse_nano_spec(blob)
+    binding_off = blob.index(f["binding"])
+    with pytest.raises(tdf.TdfError, match="binding"):
+        nano.decrypt_nano_spec(_flip(blob, binding_off + 5), master_secret=MASTER)
+
+
+def test_ecdsa_binding_settings_gate():
+    from ztdf_spark.settings import ConfigurationError
+
+    with pytest.raises(ConfigurationError, match="nano_ecdsa_binding"):
+        Settings(nano_ecdsa_binding=True)  # frame container has no binding
+    s = Settings(container_format="zip", nano_ecdsa_binding=True)
+    assert s.fingerprint() != Settings(container_format="zip").fingerprint()
+    with pytest.raises(tdf.TdfError, match="spec container"):
+        tdf.encrypt_nano(
+            b"x", doc_id="d", lsn=1, kas_urls=KAS, data_attributes=ATTRS,
+            master_secret=MASTER, container="frame", ecdsa_binding=True,
+        )
+
+
+def test_spark_ecdsa_binding_roundtrip(spark):
+    s = Settings(container_format="zip", nano_ecdsa_binding=True)
+    enc = ops.encrypt_batch(_mk_batch(spark, 8), s, fmt="nano")
+    dec = ops.decrypt_batch(enc, s, fmt="nano")
+    rows = dec.select("route", "ciphertext", "tokens", "tokens_out").collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r.route == "success" and r.tokens_out == r.tokens
+        blob = bytes(r.ciphertext)
+        assert blob[5 + blob[4]] == 0x80  # ECDSA mode on the wire
 
 
 # ---------------------------------------------------------------------------

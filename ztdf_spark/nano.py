@@ -10,7 +10,9 @@ implemented here, field for field:
       magic+version   3 bytes  0x4C 0x31 0x4C  ("L1L")
       kas locator     1 byte protocol enum (0x00 http / 0x01 https)
                       + 1 byte body length + body (URL without scheme)
-      ecc/binding     1 byte: bit7 USE_ECDSA_BINDING (0 → GMAC binding),
+      ecc/binding     1 byte: bit7 USE_ECDSA_BINDING (0 → 8-byte GMAC
+                      binding; 1 → 64-byte raw r||s ECDSA(SHA-256) by the
+                      ephemeral key, RFC 6979 deterministic nonce),
                       bits0-2 ephemeral curve enum (0x00 = secp256r1)
       symmetric cfg   1 byte: bit7 HAS_SIGNATURE (0), bits0-3 cipher enum
                       (0x05 = AES-256-GCM, 128-bit tag)
@@ -45,8 +47,13 @@ import json
 import struct
 from typing import Iterable
 
+from cryptography.exceptions import InvalidSignature
 from cryptography.hazmat.primitives import hashes, serialization
 from cryptography.hazmat.primitives.asymmetric import ec
+from cryptography.hazmat.primitives.asymmetric.utils import (
+    decode_dss_signature,
+    encode_dss_signature,
+)
 from cryptography.hazmat.primitives.ciphers.aead import AESGCM
 from cryptography.hazmat.primitives.kdf.hkdf import HKDF
 
@@ -63,7 +70,9 @@ _ECC_SECP256R1 = 0x00
 _CIPHER_AES256GCM_128 = 0x05
 _POLICY_EMBEDDED_PLAINTEXT = 0x01
 _TAG_LEN = 16
-_BINDING_LEN = 8
+_BINDING_LEN = 8  # GMAC binding: trailing 8 tag bytes
+_ECDSA_BINDING_LEN = 64  # ECDSA binding: raw r||s, 32+32 big-endian
+_USE_ECDSA_BINDING = 0x80  # ecc/binding mode byte, bit 7
 _IV_LEN = 3
 
 
@@ -131,6 +140,33 @@ def _compressed_point(pub: ec.EllipticCurvePublicKey) -> bytes:
     )
 
 
+def _policy_binding_ecdsa(eph_priv: ec.EllipticCurvePrivateKey, policy_body: bytes) -> bytes:
+    """ECDSA(SHA-256) over the policy body by the EPHEMERAL key (spec ECC
+    mode bit 7): RFC 6979 deterministic nonce so replayed batches stay
+    byte-identical; DER → raw r||s (32+32 big-endian) for the fixed-width
+    binding field."""
+    der = eph_priv.sign(
+        policy_body, ec.ECDSA(hashes.SHA256(), deterministic_signing=True)
+    )
+    r, s = decode_dss_signature(der)
+    return r.to_bytes(32, "big") + s.to_bytes(32, "big")
+
+
+def _verify_binding_ecdsa(
+    eph_pub: ec.EllipticCurvePublicKey, policy_body: bytes, binding: bytes
+) -> bool:
+    """Anyone holding only the HEADER can verify this binding (no key
+    agreement needed) — the property the spec's ECDSA mode buys over GMAC."""
+    try:
+        der = encode_dss_signature(
+            int.from_bytes(binding[:32], "big"), int.from_bytes(binding[32:], "big")
+        )
+        eph_pub.verify(der, policy_body, ec.ECDSA(hashes.SHA256()))
+        return True
+    except (InvalidSignature, ValueError):
+        return False
+
+
 def encrypt_nano_spec(
     payload: bytes,
     *,
@@ -139,11 +175,14 @@ def encrypt_nano_spec(
     kas_urls: Iterable[str],
     data_attributes: Iterable[str],
     master_secret: bytes,
+    ecdsa_binding: bool = False,
 ) -> bytes:
     """Build a spec-layout NanoTDF: single effective KAS (first URL),
-    embedded-plaintext policy of attribute FQNs, GMAC policy binding,
-    ECDH-derived payload key (ConvertToNanoTDF semantics: KAS + attributes
-    only, no assertions, ConvertToNanoTDF.java:97-121)."""
+    embedded-plaintext policy of attribute FQNs, GMAC policy binding
+    (or, with ``ecdsa_binding=True``, the spec's ECDSA mode — bit 7 of the
+    ecc/binding byte; header-only verifiable, 64-byte r||s), ECDH-derived
+    payload key (ConvertToNanoTDF semantics: KAS + attributes only, no
+    assertions, ConvertToNanoTDF.java:97-121)."""
     from .tdf import TdfError, derive_ctx  # local import to avoid a cycle
 
     kas_urls = list(kas_urls)
@@ -182,17 +221,23 @@ def encrypt_nano_spec(
     nonce = b"\x00" * 9 + iv3
     ct = AESGCM(key).encrypt(nonce, payload, None)
 
+    if ecdsa_binding:
+        ecc_mode = _USE_ECDSA_BINDING | _ECC_SECP256R1
+        binding = _policy_binding_ecdsa(eph_priv, policy_body)
+    else:
+        ecc_mode = _ECC_SECP256R1
+        binding = _policy_binding_gmac(key, policy_body)
     header = b"".join(
         [
             NANO_SPEC_MAGIC,
             bytes([proto, len(loc_body)]),
             loc_body,
-            bytes([_ECC_SECP256R1]),  # bit7=0: GMAC binding
+            bytes([ecc_mode]),
             bytes([_CIPHER_AES256GCM_128]),  # bit7=0: no payload signature
             bytes([_POLICY_EMBEDDED_PLAINTEXT]),
             struct.pack(">H", len(policy_body)),
             policy_body,
-            _policy_binding_gmac(key, policy_body),
+            binding,
             _compressed_point(eph_priv.public_key()),
         ]
     )
@@ -222,8 +267,7 @@ def parse_nano_spec(blob: bytes) -> dict:
         off += 2
         if ecc_mode & 0x07 != _ECC_SECP256R1:
             raise NanoFormatError(f"unsupported ephemeral curve {ecc_mode & 0x07}")
-        if ecc_mode & 0x80:
-            raise NanoFormatError("ECDSA policy binding not supported (GMAC only)")
+        ecdsa = bool(ecc_mode & _USE_ECDSA_BINDING)
         if sym_cfg & 0x0F != _CIPHER_AES256GCM_128:
             raise NanoFormatError(f"unsupported symmetric cipher {sym_cfg & 0x0F}")
         policy_type = blob[off]
@@ -234,8 +278,11 @@ def parse_nano_spec(blob: bytes) -> dict:
         off += 2
         policy_body = blob[off : off + plen]
         off += plen
-        binding = blob[off : off + _BINDING_LEN]
-        off += _BINDING_LEN
+        binding_len = _ECDSA_BINDING_LEN if ecdsa else _BINDING_LEN
+        binding = blob[off : off + binding_len]
+        off += binding_len
+        if len(binding) != binding_len:
+            raise NanoFormatError("truncated policy binding")
         eph_point = blob[off : off + 33]
         off += 33
         if len(eph_point) != 33:
@@ -249,6 +296,7 @@ def parse_nano_spec(blob: bytes) -> dict:
             "kas_url": kas_url,
             "policy_body": bytes(policy_body),
             "binding": bytes(binding),
+            "ecdsa_binding": ecdsa,
             "ephemeral_point": bytes(eph_point),
             "iv": bytes(body[:_IV_LEN]),
             "ciphertext": bytes(body[_IV_LEN:]),
@@ -265,9 +313,14 @@ def decrypt_nano_spec(blob: bytes, *, master_secret: bytes) -> bytes:
 
     f = parse_nano_spec(blob)
     eph_pub = ec.EllipticCurvePublicKey.from_encoded_point(_CURVE, f["ephemeral_point"])
+    if f["ecdsa_binding"]:
+        # header-only verification: no key agreement needed to reject a
+        # tampered policy
+        if not _verify_binding_ecdsa(eph_pub, f["policy_body"], f["binding"]):
+            raise TdfError("nano policy binding verification failed")
     kas_priv = kas_ec_private_key(master_secret, f["kas_url"])
     key = _hkdf_key(kas_priv.exchange(ec.ECDH(), eph_pub))
-    if _policy_binding_gmac(key, f["policy_body"]) != f["binding"]:
+    if not f["ecdsa_binding"] and _policy_binding_gmac(key, f["policy_body"]) != f["binding"]:
         raise TdfError("nano policy binding verification failed")
     nonce = b"\x00" * 9 + f["iv"]
     try:

@@ -162,6 +162,7 @@ def _encrypt_pandas(
     signing_pem = settings.signing_key_pem if settings.sign_assertions else None
     default_kas = settings.default_kas_url
     container = settings.container_format
+    nano_ecdsa = settings.nano_ecdsa_binding
 
     @F.pandas_udf(_ENCRYPT_RESULT)
     def encrypt_udf(
@@ -171,7 +172,9 @@ def _encrypt_pandas(
         if fmt == "ztdf":
             encrypt = tdf.ZtdfEncryptor(master, signing_pem, container=container).encrypt
         else:
-            encrypt = functools.partial(tdf.encrypt_nano, container=container)
+            encrypt = functools.partial(
+                tdf.encrypt_nano, container=container, ecdsa_binding=nano_ecdsa
+            )
         resolve_cache: dict[tuple, tuple] = {}
         assertion_cache: dict[str, list] = {}
 

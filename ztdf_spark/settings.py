@@ -74,6 +74,12 @@ class Settings:
     # SDK emits, ConvertToZTDF.java:218/:228). Decrypt auto-sniffs, so
     # mixed-container tables read fine.
     container_format: str = "frame"
+    # NanoTDF policy-binding mode for the spec container: False = GMAC
+    # (8-byte tag under the payload key, the spec default); True = ECDSA
+    # (64-byte r||s by the ephemeral key, spec ecc-mode bit 7 — verifiable
+    # from the header alone, RFC 6979 deterministic). Only meaningful with
+    # container_format="zip"; the frame container has no binding field.
+    nano_ecdsa_binding: bool = False
     # TLS trust material for non-plaintext platform connections — the
     # analog of the reference's SSL Context Service truststore threading
     # (AbstractTDFProcessor.java:58-63,148-153; ConvertFromZTDFTest.java:58-85).
@@ -123,6 +129,11 @@ class Settings:
             raise ConfigurationError(
                 f"container_format must be frame|zip, got {self.container_format!r}"
             )
+        if self.nano_ecdsa_binding and self.container_format != "zip":
+            raise ConfigurationError(
+                "nano_ecdsa_binding=True requires container_format='zip' "
+                "(the frame container has no policy-binding field)"
+            )
 
     @classmethod
     def from_env(cls, **overrides) -> "Settings":
@@ -147,5 +158,6 @@ class Settings:
         h.update(str(self.default_kas_url).encode())
         h.update(b"verify" if self.verify_assertions else b"noverify")
         h.update(self.container_format.encode())
+        h.update(b"ecdsa" if self.nano_ecdsa_binding else b"gmac")
         h.update(self.truststore_pem or b"")
         return h.hexdigest()[:16]

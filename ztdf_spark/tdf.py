@@ -923,6 +923,7 @@ def encrypt_nano(
     data_attributes: Iterable[str],
     master_secret: bytes,
     container: str = "frame",
+    ecdsa_binding: bool = False,
 ) -> bytes:
     """Compact binary envelope, single effective KAS (first URL), no
     assertions (NanoTDFConfig has KAS + attributes only,
@@ -952,9 +953,12 @@ def encrypt_nano(
             kas_urls=kas_urls,
             data_attributes=data_attributes,
             master_secret=master_secret,
+            ecdsa_binding=ecdsa_binding,
         )
     if container != "frame":
         raise TdfError(f"container must be frame|zip, got {container!r}")
+    if ecdsa_binding:
+        raise TdfError("ecdsa_binding requires the spec container (container='zip')")
     kas_urls = list(kas_urls)
     attrs = list(data_attributes)
     if not kas_urls:
