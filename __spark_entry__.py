@@ -887,6 +887,53 @@ def q_cdc_nano_container(spark, sf_dir):
     )
 
 
+def q_cdc_rsa_wrap(spark, sf_dir):
+    """Real RSA-OAEP wrappedKey (ztdf_spark/rsakas.py + tdf.py
+    wrap_mode="rsa-oaep"): the SDK's keyAccess wrap — RSA-OAEP(SHA-1)
+    under a per-KAS RSA-2048 key derived from (master_secret, kas_url),
+    deterministic-seed OAEP so replay is byte-identical. A MIXED table
+    (AES-KEK zip for doc<100, RSA-OAEP zip for doc≥100) decrypts in ONE
+    pass via per-entry wrap sniffing; is_rsa_wrap reads each manifest's
+    wrappedKey length, so a wrong-mode or non-256-byte wrap breaks the
+    DuckDB hash, as does any keygen/OAEP/binding regression."""
+    from pyspark.sql import types as T
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    b = _with_tokens(docs).withColumn("lsn", F.col("doc_id_num")).withColumn("op", F.lit("I"))
+    b = b.withColumn("tdf_attribute", F.lit(CANON_ATTR)).withColumn("doc_id", F.col("doc_id_str"))
+    kek = ops.encrypt_batch(
+        b.filter(F.col("doc_id_num") < 100), Settings(container_format="zip"), fmt="ztdf"
+    )
+    rsa = ops.encrypt_batch(
+        b.filter(F.col("doc_id_num") >= 100),
+        Settings(container_format="zip", wrap_mode="rsa-oaep"),
+        fmt="ztdf",
+    )
+    dec = ops.decrypt_batch(kek.unionByName(rsa), Settings(), fmt="ztdf")
+
+    @F.pandas_udf(T.BooleanType())
+    def is_rsa_wrap(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import base64 as _b64
+
+        from ztdf_spark import tdf as _tdf
+
+        for blobs in it:
+            yield blobs.map(
+                lambda blob: all(
+                    len(_b64.b64decode(e["wrappedKey"])) == 256
+                    for e in _tdf.read_manifest(bytes(blob))["encryptionInformation"]["keyAccess"]
+                )
+            )
+
+    return dec.select(
+        "doc_id",
+        "route",
+        "mime_type",
+        is_rsa_wrap(F.col("ciphertext")).alias("is_rsa_wrap"),
+        (F.col("tokens_out") == F.col("tokens")).alias("tokens_match"),
+    )
+
+
 def _with_tokens(docs: DataFrame) -> DataFrame:
     """Deterministic token arrays keyed on doc_id (blake2b-seeded)."""
     from pyspark.sql import types as T
@@ -946,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_encrypt_roundtrip": q_cdc_encrypt_roundtrip,
         "cdc_ztdf_container": q_cdc_ztdf_container,
         "cdc_nano_container": q_cdc_nano_container,
+        "cdc_rsa_wrap": q_cdc_rsa_wrap,
         "cdc_rewrap_rotation": q_cdc_rewrap_rotation,
         # relational coverage
         "events_sessionize": q_events_sessionize,
@@ -1249,6 +1297,17 @@ def oracle_sql() -> dict[str, str]:
                'success' AS route,
                'application/nanotdf' AS mime_type,
                doc_id >= 100 AS is_spec_nano,
+               TRUE AS tokens_match
+        FROM documents WHERE doc_id < 200
+        """,
+        # cdc_rsa_wrap: mixed wrap-mode table (AES-KEK zip for doc<100,
+        # RSA-OAEP zip for doc≥100) must decrypt to all-success constants in
+        # one sniffing pass; is_rsa_wrap is exactly the doc>=100 predicate.
+        "cdc_rsa_wrap": """
+        SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+               'success' AS route,
+               'application/ztdf+zip' AS mime_type,
+               doc_id >= 100 AS is_rsa_wrap,
                TRUE AS tokens_match
         FROM documents WHERE doc_id < 200
         """,

@@ -10,6 +10,9 @@ SimpleOpenTDFControllerService), re-expressed Spark-first:
                    frame (compact, default) and spec-shaped ZIP containers
 - ``container``  — deterministic stored-only ZIP writer/reader for the
                    public OpenTDF on-disk layout (0.payload + 0.manifest.json)
+- ``rsakas``     — deterministic per-KAS RSA-2048 keys + real RSA-OAEP(SHA-1)
+                   DEK wrap (the SDK's keyAccess wrappedKey shape,
+                   ``wrap_mode="rsa-oaep"``), PEM-exportable for a real KAS
 - ``ops``        — vectorized Arrow/pandas-UDF operator layer + Catalyst-side
                    routing (success / failure / exceeds_size_limit)
 - ``el``         — NiFi expression-language analog: property templates

@@ -162,6 +162,7 @@ def _encrypt_pandas(
     signing_pem = settings.signing_key_pem if settings.sign_assertions else None
     default_kas = settings.default_kas_url
     container = settings.container_format
+    wrap_mode = settings.wrap_mode
     nano_ecdsa = settings.nano_ecdsa_binding
 
     @F.pandas_udf(_ENCRYPT_RESULT)
@@ -170,7 +171,9 @@ def _encrypt_pandas(
     ) -> Iterator[pd.DataFrame]:
         # per-worker init (lazy SDK-singleton analog, AbstractTDFProcessor.java:139-161)
         if fmt == "ztdf":
-            encrypt = tdf.ZtdfEncryptor(master, signing_pem, container=container).encrypt
+            encrypt = tdf.ZtdfEncryptor(
+                master, signing_pem, container=container, wrap_mode=wrap_mode
+            ).encrypt
         else:
             encrypt = functools.partial(
                 tdf.encrypt_nano, container=container, ecdsa_binding=nano_ecdsa

@@ -74,6 +74,14 @@ class Settings:
     # SDK emits, ConvertToZTDF.java:218/:228). Decrypt auto-sniffs, so
     # mixed-container tables read fine.
     container_format: str = "frame"
+    # ZTDF DEK wrap inside keyAccess.wrappedKey (spec container only):
+    # "kek" = the engine's AES-KEK emulation (fastest, default); "rsa-oaep"
+    # = the SDK's real RSA-OAEP(SHA-1) wrap under a per-KAS RSA-2048 key
+    # derived from (master_secret, kas_url) — rsakas.py; a real KAS
+    # provisioned with kas_rsa_private_pem() unwraps these with a stock
+    # OAEP decrypt. Decrypt sniffs the mode per entry, so mixed tables
+    # read in one pass.
+    wrap_mode: str = "kek"
     # NanoTDF policy-binding mode for the spec container: False = GMAC
     # (8-byte tag under the payload key, the spec default); True = ECDSA
     # (64-byte r||s by the ephemeral key, spec ecc-mode bit 7 — verifiable
@@ -134,6 +142,15 @@ class Settings:
                 "nano_ecdsa_binding=True requires container_format='zip' "
                 "(the frame container has no policy-binding field)"
             )
+        if self.wrap_mode not in ("kek", "rsa-oaep"):
+            raise ConfigurationError(
+                f"wrap_mode must be kek|rsa-oaep, got {self.wrap_mode!r}"
+            )
+        if self.wrap_mode == "rsa-oaep" and self.container_format != "zip":
+            raise ConfigurationError(
+                "wrap_mode='rsa-oaep' requires container_format='zip' "
+                "(the RSA wrap is the spec container's keyAccess shape)"
+            )
 
     @classmethod
     def from_env(cls, **overrides) -> "Settings":
@@ -158,6 +175,7 @@ class Settings:
         h.update(str(self.default_kas_url).encode())
         h.update(b"verify" if self.verify_assertions else b"noverify")
         h.update(self.container_format.encode())
+        h.update(self.wrap_mode.encode())
         h.update(b"ecdsa" if self.nano_ecdsa_binding else b"gmac")
         h.update(self.truststore_pem or b"")
         return h.hexdigest()[:16]

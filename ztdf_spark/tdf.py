@@ -46,6 +46,7 @@ import numpy as np
 from cryptography.hazmat.primitives.ciphers.aead import AESGCM
 
 from . import container as _zipc
+from . import rsakas as _rsakas
 from .settings import NANO_MAX_SIZE, ZTDF_MIME  # noqa: F401  (re-export)
 
 ZTDF_MAGIC = b"ZTDF1"
@@ -57,9 +58,14 @@ NANO_MAGIC = b"NT01"
 # "split"; method AES-256-GCM streamable; integrityInformation with GMAC
 # segment hashes + an HS256 root signature; keyAccess policyBinding =
 # HS256 HMAC over the Base64 policy keyed with the DEK. The KAS wrap inside
-# wrappedKey stays this engine's AES-KEK emulation (iv || AES-GCM ciphertext,
-# AAD = policy JSON) — the disclosed stand-in for the SDK's RSA-OAEP wrap
-# (no SDK/network here; SURVEY.md §1.2).
+# wrappedKey is selectable: wrap_mode="kek" (default) keeps this engine's
+# AES-KEK emulation (iv || AES-GCM ciphertext, AAD = policy JSON);
+# wrap_mode="rsa-oaep" emits the SDK's real RSA-OAEP(SHA-1) wrap under a
+# per-KAS RSA-2048 key derived from (master_secret, kas_url) — see
+# rsakas.py; the derived-not-fetched key material is the remaining
+# emulation boundary (no SDK/network here; SURVEY.md §1.2). Decrypt sniffs
+# the wrap per keyAccess entry by length (256-byte RSA vs 60-byte KEK), so
+# mixed-mode tables read in one pass.
 TDF_SPEC_VERSION = "4.3.0"
 SEGMENT_SIZE_DEFAULT = 2 * 1024 * 1024
 _SEG_OVERHEAD = 12 + 16  # per-segment iv + GCM tag
@@ -278,6 +284,31 @@ def kek_for_kas(master_secret: bytes, kas_url: str) -> bytes:
     return _h(b"ztdf-kek", master_secret, kas_url.encode())
 
 
+def _rsa_wrap_dek(master_secret: bytes, url: str, dek: bytes, policy_bytes: bytes) -> bytes:
+    """256-byte RSA-OAEP(SHA-1) wrap of the DEK under the derived per-KAS
+    RSA-2048 public key (rsakas.py). The OAEP seed derives from secret
+    material (DEK ‖ url ‖ policy) — unpredictable to attackers, but pinned,
+    so replayed batches stay byte-identical (idempotent MERGE)."""
+    pub = _rsakas.kas_rsa_private_key(master_secret, url).public_key()
+    seed = _h(b"ztdf-oaep-seed", dek, url.encode(), policy_bytes)[:20]
+    return _rsakas.oaep_wrap(pub, dek, seed)
+
+
+def _unwrap_key_access(master_secret: bytes, ka: dict, policy_bytes: bytes) -> bytes:
+    """Unwrap one zip-container keyAccess entry, sniffing the wrap mode by
+    length: 256 bytes → RSA-OAEP under the derived KAS key; otherwise the
+    AES-KEK emulation (12-byte iv ‖ GCM ciphertext, AAD = policy JSON).
+    Raises on mismatch → caller treats it as a per-record/next-KAS failure."""
+    wk = base64.b64decode(ka["wrappedKey"])
+    if len(wk) == _rsakas.WRAPPED_LEN:
+        return _rsakas.oaep_unwrap(
+            _rsakas.kas_rsa_private_key(master_secret, ka["url"]), wk
+        )
+    return AESGCM(kek_for_kas(master_secret, ka["url"])).decrypt(
+        wk[:12], wk[12:], policy_bytes
+    )
+
+
 def derive_ctx(master_secret: bytes, doc_id: str, lsn: int, payload: bytes, policy: bytes) -> bytes:
     """Per-record derivation context. Binds the payload digest AND the policy
     bytes so that any change to content or policy under a reused (doc_id, lsn)
@@ -356,6 +387,7 @@ def encrypt_ztdf(
     master_secret: bytes,
     signing_key_pem: bytes | None = None,
     container: str = "frame",
+    wrap_mode: str = "kek",
 ) -> bytes:
     """Build a ZTDF envelope.
 
@@ -381,6 +413,10 @@ def encrypt_ztdf(
         raise TdfError("no data attribute(s) provided")
     if container not in ("frame", "zip"):
         raise TdfError(f"container must be frame|zip, got {container!r}")
+    if wrap_mode not in ("kek", "rsa-oaep"):
+        raise TdfError(f"wrap_mode must be kek|rsa-oaep, got {wrap_mode!r}")
+    if wrap_mode == "rsa-oaep" and container != "zip":
+        raise TdfError("wrap_mode='rsa-oaep' requires the spec container (container='zip')")
 
     policy = {"uuid": _h(b"policy", doc_id.encode())[:8].hex(), "body": {"dataAttributes": attrs}}
     policy_bytes = json.dumps(policy, sort_keys=True, separators=(",", ":")).encode()
@@ -401,9 +437,12 @@ def encrypt_ztdf(
         policy_b64 = base64.b64encode(policy_bytes).decode()
         key_access = []
         for i, url in enumerate(kas_urls):
-            kek = kek_for_kas(master_secret, url)
-            wrap_iv = derive_iv(ctx, label=b"wrap%d" % i)
-            wrapped = wrap_iv + AESGCM(kek).encrypt(wrap_iv, dek, policy_bytes)
+            if wrap_mode == "rsa-oaep":
+                wrapped = _rsa_wrap_dek(master_secret, url, dek, policy_bytes)
+            else:
+                kek = kek_for_kas(master_secret, url)
+                wrap_iv = derive_iv(ctx, label=b"wrap%d" % i)
+                wrapped = wrap_iv + AESGCM(kek).encrypt(wrap_iv, dek, policy_bytes)
             key_access.append(
                 {
                     "type": "wrapped",
@@ -493,15 +532,24 @@ class ZtdfEncryptor:
     MAX_CACHE = 4096
 
     def __init__(
-        self, master_secret: bytes, signing_key_pem: bytes | None = None, container: str = "frame"
+        self,
+        master_secret: bytes,
+        signing_key_pem: bytes | None = None,
+        container: str = "frame",
+        wrap_mode: str = "kek",
     ):
         import uuid as _uuid
 
         if container not in ("frame", "zip"):
             raise TdfError(f"container must be frame|zip, got {container!r}")
+        if wrap_mode not in ("kek", "rsa-oaep"):
+            raise TdfError(f"wrap_mode must be kek|rsa-oaep, got {wrap_mode!r}")
+        if wrap_mode == "rsa-oaep" and container != "zip":
+            raise TdfError("wrap_mode='rsa-oaep' requires the spec container (container='zip')")
         self.master = master_secret
         self.signing_pem = signing_key_pem
         self.container = container
+        self.wrap_mode = wrap_mode
         self._keks: dict[str, AESGCM] = {}
         self._ctx: dict[tuple, tuple] = {}
         self._zip_ctx_cache: dict[tuple, tuple] = {}
@@ -667,8 +715,11 @@ class ZtdfEncryptor:
         binding = _policy_binding(dek, policy_b64)
         key_access = []
         for i, url in enumerate(kas_urls):
-            wrap_iv = derive_iv(ctx, label=b"wrap%d" % i)
-            wrapped = wrap_iv + self._kek(url).encrypt(wrap_iv, dek, policy_bytes)
+            if self.wrap_mode == "rsa-oaep":
+                wrapped = _rsa_wrap_dek(self.master, url, dek, policy_bytes)
+            else:
+                wrap_iv = derive_iv(ctx, label=b"wrap%d" % i)
+                wrapped = wrap_iv + self._kek(url).encrypt(wrap_iv, dek, policy_bytes)
             key_access.append(
                 {
                     "type": "wrapped",
@@ -715,13 +766,14 @@ def rewrap_ztdf(blob: bytes, *, master_secret: bytes, kas_urls: Iterable[str]) -
         policy_b64 = enc["policy"]
         policy_bytes = base64.b64decode(policy_b64)
         dek = None
+        rsa_mode = False
         last_err = None
         for ka in enc["keyAccess"]:
-            wk = base64.b64decode(ka["wrappedKey"])
             try:
-                dek = AESGCM(kek_for_kas(master_secret, ka["url"])).decrypt(
-                    wk[:12], wk[12:], policy_bytes
-                )
+                dek = _unwrap_key_access(master_secret, ka, policy_bytes)
+                # mode-preserving rotation: re-wrap under the same wrap mode
+                # the envelope already carries
+                rsa_mode = len(base64.b64decode(ka["wrappedKey"])) == _rsakas.WRAPPED_LEN
                 break
             except Exception as e:
                 last_err = e
@@ -732,18 +784,24 @@ def rewrap_ztdf(blob: bytes, *, master_secret: bytes, kas_urls: Iterable[str]) -
             raise TdfError("no KAS URL provided via attribute or property")
         dek_digest = hashlib.sha256(dek).digest()
         binding = _policy_binding(dek, policy_b64)
+
+        def _rewrap_for(url: str) -> bytes:
+            if rsa_mode:
+                return _rsa_wrap_dek(master_secret, url, dek, policy_bytes)
+            wrap_iv = _h(b"ztdf-rewrap-iv", dek_digest, url.encode(), policy_bytes)[:12]
+            return wrap_iv + AESGCM(kek_for_kas(master_secret, url)).encrypt(
+                wrap_iv, dek, policy_bytes
+            )
+
         enc["keyAccess"] = [
             {
                 "type": "wrapped",
                 "url": url,
                 "protocol": "kas",
-                "wrappedKey": base64.b64encode(
-                    wrap_iv + AESGCM(kek_for_kas(master_secret, url)).encrypt(wrap_iv, dek, policy_bytes)
-                ).decode(),
+                "wrappedKey": base64.b64encode(_rewrap_for(url)).decode(),
                 "policyBinding": binding,
             }
             for url in urls
-            for wrap_iv in (_h(b"ztdf-rewrap-iv", dek_digest, url.encode(), policy_bytes)[:12],)
         ]
         mbytes = json.dumps(manifest, separators=(",", ":")).encode()
         return _zipc.zip_pack([(_zipc.PAYLOAD_ENTRY, payload_bytes), (_zipc.MANIFEST_ENTRY, mbytes)])
@@ -814,10 +872,8 @@ def _decrypt_ztdf_zip(
     used_ka = None
     last_err: Exception | None = None
     for ka in enc["keyAccess"]:
-        kek = kek_for_kas(master_secret, ka["url"])
-        wk = base64.b64decode(ka["wrappedKey"])
         try:
-            dek = AESGCM(kek).decrypt(wk[:12], wk[12:], policy_bytes)
+            dek = _unwrap_key_access(master_secret, ka, policy_bytes)
             used_ka = ka
             break
         except Exception as e:
