@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from ztdf_spark import mmops, ops, simops, textops  # noqa: E402
+from ztdf_spark import mmops, ops, simops, textops, tokops  # noqa: E402
 from ztdf_spark.settings import NANO_MAX_SIZE, Settings  # noqa: E402
 
 CANON_ATTR = "https://opentdf.io/attr/intellectualproperty/value/tradesecret"
@@ -688,6 +688,51 @@ def q_corpus_filter(spark, sf_dir):
     return textops.corpus_filter(_t(spark, sf_dir, "documents"))
 
 
+def _ws_len_tokens(docs: DataFrame) -> DataFrame:
+    """DuckDB-reproducible token arrays: each whitespace token becomes its
+    own length (same split semantics the hash-green text_token_counts oracle
+    already pins), so packing CONTENT — not just counts — sits under the
+    DuckDB hash."""
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.transform(
+            F.split(F.col("text"), r"\s+"), lambda t: F.length(t).cast("int")
+        ).alias("tokens"),
+    )
+
+
+def q_tok_pack_spans(spark, sf_dir):
+    """GPT-style concat-and-chunk packing layout (ztdf_spark/tokops.py):
+    documents ordered by doc_id, token stream cut every 64 tokens, one row
+    per (document, chunk) span. The global running sum is a two-level
+    distributed prefix sum (deterministic width_bucket buckets + broadcast
+    offsets) — plan-guarded to never collapse into a single partition."""
+    base = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tok"),
+    )
+    return tokops.pack_spans(base, context_len=64)
+
+
+def q_tok_pack_chunks(spark, sf_dir):
+    """Materialized packed training rows (tokops.pack_chunks): slice each
+    doc's token array per span, regroup by chunk, order by offset, flatten
+    — all Catalyst, no Python. The checksum is position-weighted
+    (sum of token*position), so any ordering or slicing error inside
+    input_ids breaks the DuckDB hash, not just the counts."""
+    ch = tokops.pack_chunks(_ws_len_tokens(_t(spark, sf_dir, "documents")), context_len=64)
+    return ch.select(
+        "chunk_id",
+        "n_tok",
+        "n_docs",
+        F.expr(
+            "aggregate(zip_with(input_ids, sequence(1, size(input_ids)),"
+            " (t, i) -> CAST(t AS BIGINT) * CAST(i AS BIGINT)),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("checksum"),
+    )
+
+
 def q_ann_topk_quantized(spark, sf_dir):
     return simops.ann_topk_quantized(_t(spark, sf_dir, "embeddings"), n_queries=10, k=5)
 
@@ -1015,6 +1060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_token_counts": q_text_token_counts,
         "corpus_filter": q_corpus_filter,
+        "tok_pack_spans": q_tok_pack_spans,
+        "tok_pack_chunks": q_tok_pack_chunks,
         "ann_topk_quantized": q_ann_topk_quantized,
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_lsh": q_ann_lsh,  # rows-only
@@ -1399,6 +1446,58 @@ def oracle_sql() -> dict[str, str]:
                CAST(floor(1000.0 * len(list_filter(w, x -> list_contains({q_stop}, x))) / len(w)) AS BIGINT) AS stop_ratio_q,
                CAST(floor(1000.0 * nc / len(w)) AS BIGINT) AS avg_wlen_q
         FROM d
+        """,
+        # tok_pack_spans / tok_pack_chunks: the concat-and-chunk layout is
+        # exactly expressible with a window cumsum + generate_series; the
+        # chunk checksum is position-weighted so content order is pinned.
+        "tok_pack_spans": r"""
+        WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n
+                   FROM documents),
+        c AS (SELECT doc_id, n,
+                     sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS start
+              FROM t WHERE n > 0),
+        s AS (SELECT doc_id, n, start,
+                     unnest(generate_series(CAST(floor(start / 64.0) AS BIGINT),
+                                            CAST(floor((start + n - 1) / 64.0) AS BIGINT))) AS chunk_id
+              FROM c)
+        SELECT doc_id, chunk_id,
+               CAST(greatest(0, start - chunk_id * 64) AS BIGINT) AS chunk_off,
+               CAST(greatest(0, chunk_id * 64 - start) AS BIGINT) AS doc_off,
+               CAST(least(start + n, (chunk_id + 1) * 64)
+                    - greatest(start, chunk_id * 64) AS BIGINT) AS span_len
+        FROM s
+        """,
+        "tok_pack_chunks": r"""
+        WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          list_transform(regexp_split_to_array(text, '\s+'),
+                                         s -> CAST(len(s) AS BIGINT)) AS toks
+                   FROM documents),
+        d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) > 0),
+        c AS (SELECT doc_id, toks, n,
+                     sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS start
+              FROM d),
+        s AS (SELECT doc_id, toks, n, start,
+                     unnest(generate_series(CAST(floor(start / 64.0) AS BIGINT),
+                                            CAST(floor((start + n - 1) / 64.0) AS BIGINT))) AS chunk_id
+              FROM c),
+        sp AS (SELECT chunk_id,
+                      greatest(0, start - chunk_id * 64) AS chunk_off,
+                      greatest(0, chunk_id * 64 - start) AS doc_off,
+                      least(start + n, (chunk_id + 1) * 64)
+                        - greatest(start, chunk_id * 64) AS span_len,
+                      toks
+               FROM s),
+        pc AS (SELECT chunk_id, chunk_off, span_len,
+                      list_slice(toks, CAST(doc_off + 1 AS BIGINT),
+                                 CAST(doc_off + span_len AS BIGINT)) AS piece
+               FROM sp)
+        SELECT chunk_id,
+               CAST(sum(span_len) AS BIGINT) AS n_tok,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(list_sum(list_transform(list_zip(piece, generate_series(1, CAST(len(piece) AS BIGINT))),
+                                                z -> z[1] * (chunk_off + z[2])))) AS BIGINT) AS checksum
+        FROM pc GROUP BY chunk_id
         """,
         "corpus_filter": f"""
         WITH fps AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(lower(text)) AS f FROM documents),

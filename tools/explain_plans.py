@@ -267,6 +267,20 @@ def main():
     checks.append(("mor_read_delta_pruned", "winner aggregate scans only the delta files, not the base", bool(scan_counts) and min(scan_counts) < max(scan_counts) and max(scan_counts) >= n_base))
     checks.append(("mor_read_delta_pruned", "no cartesian", "CartesianProduct" not in p_prd))
 
+    # sequence packing: the global running sum must be the two-level prefix
+    # sum (bucket window + broadcast offsets), never a single-partition
+    # window, and the whole pipeline stays Catalyst-side
+    dump(
+        "tok_pack_chunks",
+        em.q_tok_pack_chunks(spark, sf),
+        [
+            ("no single-partition funnel for the global cumsum", r"SinglePartition", False),
+            ("bucket offsets joined as a broadcast local relation", r"BroadcastHashJoin", True),
+            ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
+            ("no cartesian", r"CartesianProduct", False),
+        ],
+    )
+
     width = max(len(f"{n}: {d}") for n, d, _ in checks)
     fails = 0
     for n, d, ok in checks:

@@ -34,6 +34,9 @@ SimpleOpenTDFControllerService), re-expressed Spark-first:
                    fingerprint) over the ``documents`` table
 - ``simops``     — embedding similarity search (brute-force cosine top-k +
                    LSH-bucketed ANN) over the ``embeddings`` table
+- ``tokops``     — GPT-style concat-and-chunk sequence packing into fixed
+                   context windows (two-level distributed prefix sum, no
+                   single-partition funnel; spans + materialized chunks)
 """
 
 __version__ = "0.1.0"
