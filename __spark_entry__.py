@@ -319,6 +319,19 @@ def q_cdc_incremental_read(spark, sf_dir):
     return t.read().select("doc_id", "lsn", "n_tok", "source")
 
 
+def q_cdc_time_travel(spark, sf_dir):
+    """Snapshot-isolation time travel: ``read(version=v1)`` on the shared
+    MOR lake returns batch 0's exact latest-wins state even though batch 1
+    has since committed on top (and the fixture may have been compacted by
+    a sibling query — historical snapshots are immutable manifests, so the
+    answer is version-pinned, not current-files-pinned). The oracle replays
+    only batch 0's slice of the binlog (lsn % 3 <> 0); a time-travel bug
+    that leaks batch-1 rows or resolves winners against the wrong manifest
+    list breaks the hash."""
+    t, v1, _v2 = _mor_lake_from_binlog(spark, sf_dir, "timetravel")
+    return t.read(version=v1).select("doc_id", "lsn", "n_tok", "source")
+
+
 def q_cdc_cow_changes_feed(spark, sf_dir):
     """The SAME net change feed as cdc_changes_feed, but through a
     copy-on-write table created with change_feed=True (round-5: COW merge
@@ -688,6 +701,32 @@ def q_corpus_filter(spark, sf_dir):
     return textops.corpus_filter(_t(spark, sf_dir, "documents"))
 
 
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (textops.decontaminate): every 97th doc_id
+    plays the eval set; the rest is the training corpus. Exact 3-gram
+    overlap, benchmark shingles broadcast (the corpus side never shuffles
+    — plan-guarded). Returns the contaminated doc ids with distinct-hit
+    counts and the lexicographically first matching shingle; non-vacuous
+    at sf0.01 (171 contaminated docs)."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return textops.decontaminate(train, bench, k=3)
+
+
+def q_corpus_mixture(spark, sf_dir):
+    """Deterministic domain-mixture sampling (textops.mixture_sample): per-
+    language target rates applied via the engine-portable md5-threshold
+    Bernoulli — a pure row-local predicate (no shuffle, no RNG state), so
+    the DuckDB oracle reproduces the EXACT sampled id set with the same
+    md5 rule, not just the rates."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source"
+    )
+    rates = {"en": 0.9, "es": 0.5, "fr": 0.5, "de": 0.25, "zh": 0.1}
+    return textops.mixture_sample(d, rates, domain_col="lang")
+
+
 def _ws_len_tokens(docs: DataFrame) -> DataFrame:
     """DuckDB-reproducible token arrays: each whitespace token becomes its
     own length (same split semantics the hash-green text_token_counts oracle
@@ -1029,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changes_feed": q_cdc_changes_feed,
         "cdc_cow_changes_feed": q_cdc_cow_changes_feed,
         "cdc_incremental_read": q_cdc_incremental_read,
+        "cdc_time_travel": q_cdc_time_travel,
         "cdc_compacted_state": q_cdc_compacted_state,
         "cdc_stream_replicate": q_cdc_stream_replicate,
         "cdc_point_lookup": q_cdc_point_lookup,
@@ -1060,6 +1100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_token_counts": q_text_token_counts,
         "corpus_filter": q_corpus_filter,
+        "text_decontaminate": q_text_decontaminate,
+        "corpus_mixture": q_corpus_mixture,
         "tok_pack_spans": q_tok_pack_spans,
         "tok_pack_chunks": q_tok_pack_chunks,
         "ann_topk_quantized": q_ann_topk_quantized,
@@ -1578,6 +1620,43 @@ def oracle_sql() -> dict[str, str]:
         WHERE list_sum(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2])) >= 10000
         """,
     }
+    # time travel: read(version=v1) must reproduce batch 0's slice of the
+    # binlog (lsn % 3 <> 0) exactly, regardless of what committed since
+    d["cdc_time_travel"] = _BINLOG_CTE + """
+        , last AS (
+          SELECT doc_id, lsn, n_tok, source, op,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+          FROM binlog WHERE lsn % 3 <> 0)
+        SELECT doc_id, lsn, n_tok, source FROM last WHERE rn = 1 AND op <> 'D'
+        """
+    # decontamination: distinct 3-gram overlap between the doc_id%97 eval
+    # slice and the rest of the corpus — same shingle construction as the
+    # jaccard oracle (split lower(text) on single spaces, 3-word windows)
+    d["text_decontaminate"] = """
+        WITH sh AS (
+          SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(w[i:i+2], ' ')
+                           for i in generate_series(1, greatest(len(w)-2, 0))]) AS shingle
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents))),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        hits AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+        SELECT doc_id, COUNT(*) AS n_hits, MIN(shingle) AS first_hit
+        FROM hits JOIN bench USING (shingle)
+        GROUP BY doc_id
+        """
+    # mixture sampling: the EXACT md5-threshold Bernoulli (thresholds are
+    # _rate_threshold() of {en:0.9, es:0.5, fr:0.5, de:0.25, zh:0.1}) —
+    # Spark and DuckDB md5 agree byte-for-byte, so the sampled id SET (not
+    # just the rates) must match
+    d["corpus_mixture"] = """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source
+        FROM documents
+        WHERE substr(md5('mix' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)), 1, 8) <
+              CASE lang WHEN 'en' THEN 'e6666666' WHEN 'es' THEN '80000000'
+                        WHEN 'fr' THEN '80000000' WHEN 'de' THEN '40000000'
+                        WHEN 'zh' THEN '19999999' ELSE '00000000' END
+        """
     # net changes are merge-mode-invariant: the COW change-feed entry pins
     # the SAME diff against the change-manifest machinery
     d["cdc_cow_changes_feed"] = d["cdc_changes_feed"]

@@ -210,6 +210,21 @@ def test_settings_validation():
     assert s.fingerprint() == Settings().fingerprint()
 
 
+def test_settings_from_env_container_and_wrap(monkeypatch):
+    # env-driven deploys (spark-submit --conf spark.executorEnv.*) can select
+    # the spec container + RSA wrap without code changes
+    monkeypatch.setenv("ZTDF_CONTAINER_FORMAT", "zip")
+    monkeypatch.setenv("ZTDF_WRAP_MODE", "rsa-oaep")
+    s = Settings.from_env()
+    assert s.container_format == "zip" and s.wrap_mode == "rsa-oaep"
+    monkeypatch.setenv("ZTDF_CONTAINER_FORMAT", "frame")
+    monkeypatch.setenv("ZTDF_WRAP_MODE", "kek")
+    assert Settings.from_env().fingerprint() != s.fingerprint()
+    monkeypatch.setenv("ZTDF_WRAP_MODE", "bogus")
+    with pytest.raises(ConfigurationError):
+        Settings.from_env()
+
+
 def _rsa_pem():
     from cryptography.hazmat.primitives import serialization
     from cryptography.hazmat.primitives.asymmetric import rsa

@@ -99,3 +99,57 @@ def test_corpus_filter_composite(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"] for r in textops.corpus_filter(docs).collect()}
     assert got == {1, 6}
+
+
+def test_decontaminate_flags_overlapping_docs(spark, docs):
+    bench = spark.createDataFrame(
+        [(100, "the lazy dog sat still"), (101, "la casa que ladra fuerte")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textops.decontaminate(docs, bench, k=3).collect()}
+    # docs 0/1 share "the lazy dog"; doc 3 shares "la casa que" + "casa que ladra";
+    # docs 2/4/5 share no 3-gram with the benchmark
+    assert set(got) == {0, 1, 3}
+    assert got[0]["n_hits"] == 1 and got[0]["first_hit"] == "the lazy dog"
+    assert got[3]["n_hits"] == 2 and got[3]["first_hit"] == "casa que ladra"
+    # n_hits counts DISTINCT shingles: a doc repeating a benchmark shingle
+    # twice still counts it once (map-side array_distinct)
+    rep = spark.createDataFrame(
+        [(7, "the lazy dog and the lazy dog again")], "doc_id long, text string"
+    )
+    (r7,) = textops.decontaminate(rep, bench, k=3).collect()
+    assert r7["n_hits"] == 1
+    # the benchmark-shingle join side is broadcast: the corpus never shuffles
+    plan = textops.decontaminate(docs, bench, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_mixture_sample_deterministic_and_rate_accurate(spark):
+    import hashlib
+
+    n = 4000
+    rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"en": 0.75, "zh": 0.1}
+    got = sorted(r["doc_id"] for r in textops.mixture_sample(docs, rates).collect())
+    # independent python oracle: exact same md5-threshold rule
+    def keep(i, rate):
+        h = hashlib.md5(f"mix{i}".encode()).hexdigest()[:8]
+        return h < textops._rate_threshold(rate)
+
+    want = sorted(i for i, lang in rows if keep(i, rates[lang]))
+    assert got == want
+    # achieved rates are close to target (md5 is uniform; 2000 draws/domain)
+    n_en = sum(1 for i in got if i % 2 == 0)
+    n_zh = len(got) - n_en
+    assert abs(n_en / (n / 2) - 0.75) < 0.04
+    assert abs(n_zh / (n / 2) - 0.10) < 0.03
+    # determinism across re-runs and partitioning layouts
+    again = sorted(
+        r["doc_id"] for r in textops.mixture_sample(docs.repartition(13), rates).collect()
+    )
+    assert again == got
+    # edge rates: 1.0 keeps everything, default 0.0 drops unlisted domains
+    all_en = textops.mixture_sample(docs.filter("lang='en'"), {"en": 1.0}).count()
+    assert all_en == n / 2
+    assert textops.mixture_sample(docs, {"en": 1.0}).filter("lang='zh'").count() == 0

@@ -281,6 +281,30 @@ def main():
         ],
     )
 
+    # decontamination: the benchmark shingle set broadcasts; the 100 TB
+    # corpus side is never shuffled for the join (the only exchange is the
+    # groupBy over the tiny hit rows)
+    dump(
+        "text_decontaminate",
+        em.q_text_decontaminate(spark, sf),
+        [
+            ("benchmark shingles broadcast (corpus never shuffled for the join)", r"BroadcastHashJoin", True),
+            ("no sort-merge join", r"SortMergeJoin", False),
+            ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
+        ],
+    )
+
+    # mixture sampling: a pure row-local predicate — no exchange anywhere,
+    # no Python, no RNG partition dependence
+    dump(
+        "corpus_mixture",
+        em.q_corpus_mixture(spark, sf),
+        [
+            ("no shuffle (row-local md5-threshold predicate)", r"Exchange", False),
+            ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
+        ],
+    )
+
     width = max(len(f"{n}: {d}") for n, d, _ in checks)
     fails = 0
     for n, d, ok in checks:

@@ -162,6 +162,8 @@ class Settings:
             use_plaintext=env.get("ZTDF_USE_PLAINTEXT", "1") == "1",
             default_kas_url=env.get("ZTDF_DEFAULT_KAS_URL", "https://kas1.example.com"),
             master_secret=env.get("ZTDF_MASTER_SECRET", "").encode() or _DEFAULT_TEST_SECRET,
+            container_format=env.get("ZTDF_CONTAINER_FORMAT", "frame"),
+            wrap_mode=env.get("ZTDF_WRAP_MODE", "kek"),
         )
         kwargs.update(overrides)
         return cls(**kwargs)

@@ -360,3 +360,83 @@ def token_counts(docs: DataFrame) -> DataFrame:
         F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tok_ws"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0)).cast("long").alias("n_tok_re"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (exact n-gram overlap against an eval set)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, k: int = 3) -> DataFrame:
+    """Flag training documents sharing ANY k-word shingle with a benchmark /
+    eval set — the exact-substring decontamination step every LLM corpus
+    pipeline runs before training (the GPT-3-style n-gram overlap check).
+
+    Returns ``(doc_id, n_hits, first_hit)`` for contaminated docs only:
+    ``n_hits`` = number of DISTINCT benchmark shingles the doc contains,
+    ``first_hit`` = the lexicographically smallest of them (a concrete
+    pointer for a human auditing the drop list).
+
+    Scale shape: the benchmark side is small by definition (eval suites are
+    thousands of items, the corpus is the 100 TB side), so its distinct
+    shingle set is BROADCAST — the corpus is never shuffled; the only
+    exchange is the final groupBy over the (tiny) hit rows. Per-doc shingle
+    dedup is map-side ``array_distinct`` (same reasoning as ``shingles``),
+    so ``n_hits`` counts distinct shingles without a distinct() shuffle.
+    """
+    bench_sh = F.broadcast(shingles(benchmark, k).select("shingle").distinct())
+    hits = shingles(docs, k).join(bench_sh, "shingle")
+    return hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_hits"),
+        F.min("shingle").alias("first_hit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic domain-mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def _hash8(id_col, salt: str):
+    """First 8 lowercase-hex chars of md5(salt || id) — an engine-portable
+    uniform draw (Spark and DuckDB md5 agree byte-for-byte), so the sample
+    is reproducible across engines, cluster sizes, retries, and re-runs,
+    unlike ``sample``/``sampleBy`` whose RNG is partition-layout-dependent."""
+    return F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 8)
+
+
+def _rate_threshold(rate: float) -> str:
+    """Hex threshold t s.t. P[hash8 < t] == rate (exact at 16^-8 granularity).
+
+    rate >= 1.0 maps to 'g' (sorts after every hex digit → keep all)."""
+    q = int(rate * (1 << 32))
+    if q >= (1 << 32):
+        return "g"
+    return format(max(q, 0), "08x")
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    *,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: keep each row with its
+    domain's target rate (data-mixture reweighting before tokenization —
+    e.g. upweight en, downsample crawl domains).
+
+    The keep decision is ``md5(salt || id) < threshold(domain)`` — a pure
+    row-local Catalyst predicate: no shuffle, no RNG state, no driver
+    coordination; the sample at 100 TB is embarrassingly parallel, pushes
+    through the scan, and is stable under retries/speculative execution
+    (a ``sample()``-based variant would not be). Thresholds compile to one
+    CASE chain over the domain column.
+    """
+    dc, ic = F.col(domain_col), F.col(id_col)
+    expr = F.lit(_rate_threshold(default_rate))
+    for dom, rate in sorted(rates.items()):
+        expr = F.when(dc == dom, F.lit(_rate_threshold(rate))).otherwise(expr)
+    return docs.filter(_hash8(ic, salt) < expr)
