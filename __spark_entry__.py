@@ -332,6 +332,53 @@ def q_cdc_time_travel(spark, sf_dir):
     return t.read(version=v1).select("doc_id", "lsn", "n_tok", "source")
 
 
+def q_cdc_rollback_state(spark, sf_dir):
+    """Rollback under the driver hash (`LakeTable.rollback`, the Iceberg
+    rollback analog — a pure O(1) metadata commit): merge a poison batch
+    (every 5th event re-applied NEWER with n_tok+999), roll back to the
+    pre-poison snapshot, then read. The oracle is the PLAIN latest-wins
+    state — if rollback leaks even one poison row (wrong manifest list
+    re-adopted, winner resolution against the undone delta), the +999
+    n_tok values break the hash."""
+    t, _v1, v2 = _mor_lake_from_binlog(spark, sf_dir, "rollback", mutable=True)
+    b = _binlog(spark, sf_dir)
+    poison = b.filter(F.col("lsn") % 5 == 0).select(
+        "op",
+        "doc_id",
+        (F.col("lsn") + F.lit(2_000_000_000)).alias("lsn"),
+        (F.col("n_tok") + F.lit(999)).alias("n_tok"),
+        "source",
+    )
+    t.merge(poison, batch_id=2)
+    r = t.rollback(v2)
+    assert not r.get("noop")
+    return t.read().select("doc_id", "lsn", "n_tok", "source")
+
+
+def q_cdc_snapshot_history(spark, sf_dir):
+    """Snapshot-lineage audit (`LakeTable.history()`, the Iceberg
+    snapshots-metadata-table analog): per-commit operation + row accounting
+    straight from the manifest-list summaries of the shared fixture lake —
+    all driver-side metadata, zero data I/O. The oracle recomputes each
+    commit's n_upserts/n_deletes/cumulative total from the binlog slices,
+    so a summary-arithmetic bug (missed tombstone count, wrong cumulative
+    total, misattributed batch) breaks the hash."""
+    t, _v1, _v2 = _mor_lake_from_binlog(spark, sf_dir, "snaphist")
+    rows = [
+        (
+            int(s["version"]),
+            s["summary"].get("operation"),
+            int(s["summary"].get("n_upserts", 0)),
+            int(s["summary"].get("n_deletes", 0)),
+            int(s["summary"].get("total_rows", 0)),
+        )
+        for s in t.history()
+    ]
+    return spark.createDataFrame(
+        rows, "version long, operation string, n_upserts long, n_deletes long, total_rows long"
+    )
+
+
 def q_cdc_cow_changes_feed(spark, sf_dir):
     """The SAME net change feed as cdc_changes_feed, but through a
     copy-on-write table created with change_feed=True (round-5: COW merge
@@ -682,6 +729,38 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return textops.jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, min_jac_q=300, df_cap=100)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS (textops.dedup_clusters): the same exact-jaccard
+    pair graph as dedup_ngram_jaccard, closed transitively by distributed
+    connected components (alternating large-star/small-star — O(log^2 n)
+    rounds independent of component diameter) into (doc_id, cluster_id,
+    is_keeper) drop decisions. The DuckDB oracle computes the transitive
+    closure with a recursive CTE over the identical pair SQL, so a CC bug
+    (wrong root, split/merged component, dropped node) breaks the hash."""
+    return textops.dedup_clusters(
+        _t(spark, sf_dir, "documents"), k=3, min_jac_q=300, df_cap=100
+    )
+
+
+def q_events_asof_join(spark, sf_dir):
+    """Inclusive backward as-of join (stream_ops.asof_join): each purchase
+    event picks up the LATEST signup of the same user at-or-before its
+    event time (point-in-time lookup; Spark has no ASOF operator — this is
+    the one-shuffle union-scan formulation, plan-guarded: no cartesian, no
+    range-join explosion). The DuckDB oracle is its NATIVE `ASOF LEFT
+    JOIN`, with the same max-event_id tie-break on equal timestamps."""
+    from ztdf_spark.stream_ops import asof_join
+
+    e = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    left = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = (
+        e.filter(F.col("event_type") == "signup")
+        .select("user_id", "ts", F.col("event_id").alias("signup_id"))
+    )
+    j = asof_join(left, right, ["user_id"], ts="ts", value_cols=["signup_id"], tie_col="signup_id")
+    return j.select("event_id", "user_id", "signup_id")
 
 
 def q_text_langid(spark, sf_dir):
@@ -1069,6 +1148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_cow_changes_feed": q_cdc_cow_changes_feed,
         "cdc_incremental_read": q_cdc_incremental_read,
         "cdc_time_travel": q_cdc_time_travel,
+        "cdc_snapshot_history": q_cdc_snapshot_history,
+        "cdc_rollback_state": q_cdc_rollback_state,
         "cdc_compacted_state": q_cdc_compacted_state,
         "cdc_stream_replicate": q_cdc_stream_replicate,
         "cdc_point_lookup": q_cdc_point_lookup,
@@ -1102,6 +1183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "text_decontaminate": q_text_decontaminate,
         "corpus_mixture": q_corpus_mixture,
+        "dedup_clusters": q_dedup_clusters,
+        "events_asof_join": q_events_asof_join,
         "tok_pack_spans": q_tok_pack_spans,
         "tok_pack_chunks": q_tok_pack_chunks,
         "ann_topk_quantized": q_ann_topk_quantized,
@@ -1656,6 +1739,72 @@ def oracle_sql() -> dict[str, str]:
               CASE lang WHEN 'en' THEN 'e6666666' WHEN 'es' THEN '80000000'
                         WHEN 'fr' THEN '80000000' WHEN 'de' THEN '40000000'
                         WHEN 'zh' THEN '19999999' ELSE '00000000' END
+        """
+    # rollback: the poison batch must vanish — plain latest-wins state
+    d["cdc_rollback_state"] = d["cdc_latest_wins"]
+    # snapshot history: per-commit accounting recomputed from the binlog
+    # slices ((doc_id, lsn) is unique, so the merge's dropDuplicates is an
+    # identity and n_batch equals the raw slice count)
+    d["cdc_snapshot_history"] = _BINLOG_CTE + """
+        , b0 AS (
+          SELECT CAST(COUNT(*) FILTER (op <> 'D') AS BIGINT) AS u,
+                 CAST(COUNT(*) FILTER (op = 'D') AS BIGINT) AS dd,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM binlog WHERE lsn % 3 <> 0),
+        b1 AS (
+          SELECT CAST(COUNT(*) FILTER (op <> 'D') AS BIGINT) AS u,
+                 CAST(COUNT(*) FILTER (op = 'D') AS BIGINT) AS dd,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM binlog WHERE lsn % 3 = 0)
+        SELECT CAST(0 AS BIGINT) AS version, 'create' AS operation,
+               CAST(0 AS BIGINT) AS n_upserts, CAST(0 AS BIGINT) AS n_deletes,
+               CAST(0 AS BIGINT) AS total_rows
+        UNION ALL SELECT 1, 'merge', u, dd, n FROM b0
+        UNION ALL SELECT 2, 'merge', b1.u, b1.dd, b0.n + b1.n FROM b0, b1
+        """
+    # near-dup clusters: recursive-CTE transitive closure over the SAME
+    # pair construction as dedup_ngram_jaccard (threshold 300); component
+    # id = min doc_id reachable
+    d["dedup_clusters"] = """
+        WITH RECURSIVE sh AS (
+          SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(w[i:i+2], ' ')
+                           for i in generate_series(1, greatest(len(w)-2, 0))]) AS shingle
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents))),
+        per_doc AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        rare AS (
+          SELECT sh.doc_id, sh.shingle FROM sh
+          JOIN (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle HAVING COUNT(*) <= 100) f
+          USING (shingle)),
+        cnt AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+          FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT doc_a, doc_b FROM cnt
+          JOIN per_doc pa ON pa.doc_id = doc_a
+          JOIN per_doc pb ON pb.doc_id = doc_b
+          WHERE floor(1000.0 * common / (pa.n_sh + pb.n_sh - common)) >= 300),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+        reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id,
+               a = least(a, MIN(b)) AS is_keeper
+        FROM reach GROUP BY a
+        """
+    # as-of join: DuckDB's NATIVE ASOF LEFT JOIN is the oracle, with the
+    # same max-event_id dedup of equal-timestamp signups
+    d["events_asof_join"] = """
+        WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        r0 AS (SELECT user_id, ts, MAX(event_id) AS signup_id
+               FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+        SELECT l.event_id, l.user_id, r0.signup_id
+        FROM l ASOF LEFT JOIN r0 ON l.user_id = r0.user_id AND l.ts >= r0.ts
         """
     # net changes are merge-mode-invariant: the COW change-feed entry pins
     # the SAME diff against the change-manifest machinery

@@ -1316,3 +1316,65 @@ def test_bloom_on_commit_staged_path(spark, tmp_path):
     assert {r["doc_id"] for r in t.read_keys(["doc-0001", "doc-0039", "no"]).collect()} == {
         "doc-0001", "doc-0039",
     }
+
+
+# ---------------------------------------------------------------------------
+# rollback
+# ---------------------------------------------------------------------------
+
+
+def _rows(t, version=None):
+    return sorted(
+        (r["doc_id"], r["lsn"]) for r in t.read(version).select("doc_id", "lsn").collect()
+    )
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_rollback_restores_old_state_as_new_commit(spark, tmp_path, mode):
+    t = LakeTable.create(
+        spark, str(tmp_path / f"rb-{mode}"), schema=STATE_SCHEMA,
+        target_file_rows=200, merge_mode=mode,
+    )
+    t.merge(_changes(spark, [("I", "a", 1, [1], 1, "web"), ("I", "b", 2, [2], 1, "web")]), batch_id=0)
+    v1 = t.current_version()
+    state_v1 = _rows(t)
+    t.merge(_changes(spark, [("U", "a", 10, [10], 1, "web"), ("D", "b", 11, None, None, None),
+                             ("I", "c", 12, [3], 1, "code")]), batch_id=1)
+    v2 = t.current_version()
+    r = t.rollback(v1)
+    assert r["noop"] is False and r["to_version"] == v1 and r["version"] == v2 + 1
+    # state equals v1 exactly; the undone commit remains time-travelable
+    assert _rows(t) == state_v1
+    assert _rows(t, v2) != state_v1
+    assert t.history()[-1]["summary"]["operation"] == "rollback"
+    # rollback of the current state is a no-op commit
+    assert t.rollback(t.current_version())["noop"] is True
+    # the batch watermark survives: re-delivering fenced batch 1 is a no-op
+    fenced = t.merge(_changes(spark, [("I", "z", 99, [9], 1, "web")]), batch_id=1)
+    assert fenced.get("noop") is True and _rows(t) == state_v1
+    # a NEW batch on top of the rolled-back state works normally
+    t.merge(_changes(spark, [("I", "d", 20, [4], 1, "web")]), batch_id=2)
+    assert ("d", 20) in _rows(t)
+    # changes() across the rollback interval = correct net diff via the
+    # full-winner-diff fallback (rollback is deliberately unattributable)
+    ch = {
+        (r["doc_id"], r["_change_type"])
+        for r in t.changes(v2, v2 + 1).select("doc_id", "_change_type").collect()
+    }
+    assert ch == {("a", "update"), ("b", "insert"), ("c", "delete")}
+
+
+def test_rollback_expire_keeps_target_files_live(spark, tmp_path):
+    t = _mk_mor(spark, tmp_path, "rb-exp")
+    t.merge(_changes(spark, [("I", "a", 1, [1], 1, "web")]), batch_id=0)
+    v1 = t.current_version()
+    want = _rows(t)
+    t.merge(_changes(spark, [("U", "a", 5, [5], 1, "web")]), batch_id=1)
+    t.rollback(v1)
+    # retire everything but the rollback commit, then sweep: the carried
+    # manifests/files are referenced by the surviving snapshot and survive
+    t.expire_snapshots(keep_last=1)
+    t.vacuum(orphan_grace_s=0.0)
+    assert _rows(LakeTable.load(spark, t.path)) == want
+    with pytest.raises(FileNotFoundError):
+        t.rollback(v1)  # target expired → explicit error, not silent wrong state

@@ -122,3 +122,69 @@ def test_stateful_sessionizer_closes_sessions(spark, tmp_path):
     u1 = [s for s in got if s[0] == 1]
     assert len(u1) >= 1  # first session of user 1 closed by its own gap
     assert any(s[0] == 3 and s[3] == 1 for s in got)
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_matches_bisect_oracle(spark):
+    import bisect
+    import random
+    from datetime import datetime, timedelta
+
+    random.seed(23)
+    base = datetime(2026, 1, 1)
+    L = [(i, random.randrange(7), base + timedelta(seconds=random.randrange(500))) for i in range(400)]
+    R = [(1000 + i, random.randrange(7), base + timedelta(seconds=random.randrange(500))) for i in range(200)]
+    # equal-ts collisions in BOTH directions: left==right ts (inclusive
+    # semantics) and duplicate right rows at one (key, ts) (tie_col dedup)
+    R += [(2000 + i, u, t) for i, (_, u, t) in enumerate(L[:15])]
+    ldf = spark.createDataFrame(L, "event_id long, user_id long, ts timestamp")
+    rdf = spark.createDataFrame(R, "signup_id long, user_id long, ts timestamp")
+    got = {
+        r["event_id"]: r["signup_id"]
+        for r in stream_ops.asof_join(
+            ldf, rdf, ["user_id"], ts="ts", value_cols=["signup_id"], tie_col="signup_id"
+        ).collect()
+    }
+    # independent oracle: per-key sorted bisect over (ts, max-id-per-ts)
+    per_key = {}
+    for sid, u, t in R:
+        k = per_key.setdefault(u, {})
+        k[t] = max(k.get(t, -1), sid)
+    want = {}
+    for eid, u, t in L:
+        items = sorted(per_key.get(u, {}).items())
+        i = bisect.bisect_right([x[0] for x in items], t)
+        want[eid] = items[i - 1][1] if i else None
+    assert got == want
+    assert sum(1 for v in want.values() if v is None) > 0  # left-join nulls exercised
+    # determinism under a different partition layout
+    again = {
+        r["event_id"]: r["signup_id"]
+        for r in stream_ops.asof_join(
+            ldf.repartition(13), rdf.repartition(5), ["user_id"],
+            ts="ts", value_cols=["signup_id"], tie_col="signup_id"
+        ).collect()
+    }
+    assert again == got
+
+
+def test_asof_join_plan_is_one_shuffle_no_cartesian(spark):
+    from datetime import datetime
+
+    ldf = spark.createDataFrame(
+        [(1, 1, datetime(2026, 1, 1))], "event_id long, user_id long, ts timestamp"
+    )
+    rdf = spark.createDataFrame(
+        [(9, 1, datetime(2026, 1, 1))], "signup_id long, user_id long, ts timestamp"
+    )
+    j = stream_ops.asof_join(ldf, rdf, ["user_id"], ts="ts", value_cols=["signup_id"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the union-scan rewrite shuffles ONCE on the join key (both sides feed
+    # one window exchange; no per-side join exchanges)
+    assert plan.count("hashpartitioning(user_id") <= 2  # one per union branch max

@@ -153,3 +153,56 @@ def test_mixture_sample_deterministic_and_rate_accurate(spark):
     all_en = textops.mixture_sample(docs.filter("lang='en'"), {"en": 1.0}).count()
     assert all_en == n / 2
     assert textops.mixture_sample(docs, {"en": 1.0}).filter("lang='zh'").count() == 0
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent.setdefault(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_vs_union_find(spark):
+    import random
+
+    random.seed(31)
+    cases = [
+        [(i, i + 1) for i in range(60)],  # 61-node chain: diameter >> rounds
+        [(0, i) for i in range(1, 25)] + [(900, 901), (901, 902)],  # star + path
+        sorted({(random.randrange(150), random.randrange(150)) for _ in range(250)}),
+    ]
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["component"] for r in textops.connected_components(df).collect()}
+        assert got == _uf_components(edges)
+    # empty graph
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert textops.connected_components(empty).count() == 0
+
+
+def test_dedup_clusters_transitive_keeper(spark):
+    # a ~ b and b ~ c but a !~ c: one cluster {a,b,c}, keeper = min id.
+    # b bridges a and c (shares >=30% 3-grams with each).
+    rows = [
+        (10, "alpha beta gamma delta epsilon zeta"),
+        (11, "alpha beta gamma delta epsilon eta"),   # near-dup of 10
+        (12, "gamma delta epsilon eta theta iota"),    # near-dup of 11 only
+        (13, "totally different words entirely here now"),
+        (14, "totally different words entirely here now"),  # exact dup of 13
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+           for r in textops.dedup_clusters(docs, min_jac_q=300).collect()}
+    assert got[10] == (10, True) and got[11] == (10, False) and got[12] == (10, False)
+    assert got[13] == (13, True) and got[14] == (13, False)

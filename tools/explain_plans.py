@@ -305,6 +305,19 @@ def main():
         ],
     )
 
+    # as-of join: the union-scan rewrite — one hash exchange on the join
+    # key feeding a per-key window; never a range-join explosion
+    dump(
+        "events_asof_join",
+        em.q_events_asof_join(spark, sf),
+        [
+            ("no cartesian / range-join explosion", r"CartesianProduct|BroadcastNestedLoop", False),
+            ("per-key window partitioned on the join key", r"hashpartitioning\(user_id", True),
+            ("no single-partition funnel", r"SinglePartition", False),
+            ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
+        ],
+    )
+
     width = max(len(f"{n}: {d}") for n, d, _ in checks)
     fails = 0
     for n, d, ok in checks:

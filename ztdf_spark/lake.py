@@ -193,6 +193,12 @@ def added_delta_entries(snap: dict, *, read_manifest, get_parent=None):
     summary = snap.get("summary", {})
     if summary.get("operation") in ("create", "compact"):
         return []
+    if summary.get("operation") == "rollback":
+        # a rollback's net effect is row REMOVAL (the undone commits), which
+        # an added-files feed cannot express; its carried manifests keep
+        # their ORIGINAL added_at values, so the v3 walk below would wrongly
+        # report "no change" — refuse attribution instead
+        return None
     if summary.get("operation") == "merge" and summary.get("mode") != "mor":
         # COW merge: attributable ONLY when the commit recorded a change
         # manifest (table property change_feed=True, the Delta-CDF /
@@ -811,8 +817,11 @@ class LakeTable:
             ).join(probe, key_col, "left_semi")
         else:
             from_paths = {f["path"] for f in self._files(snap_from)}
-            new_files = [f for f in self._files(snap_to) if f["path"] not in from_paths]
-            if not new_files:
+            to_paths = {f["path"] for f in self._files(snap_to)}
+            # identical file sets ⇒ identical state; anything else (files
+            # added, OR ONLY REMOVED — a rollback interval shrinks the set
+            # without adding a single file) needs the real winner diff
+            if from_paths == to_paths:
                 return self.spark.createDataFrame([], out_schema)
             w_from = self._winners_df(snap_from)
             w_to = self._winners_df(snap_to)
@@ -1516,6 +1525,58 @@ class LakeTable:
                 referenced_manifests |= m
                 referenced_data |= d
         return referenced_manifests, referenced_data
+
+    def rollback(self, version: int) -> dict:
+        """Roll the table back to an earlier snapshot as a NEW commit
+        (Iceberg ``rollback`` semantics): the target snapshot's schema and
+        manifest list are re-adopted VERBATIM — a pure O(1) metadata
+        write, no data file touched, no manifest rewritten — and history
+        is preserved, so the undone commits stay time-travelable until
+        ``expire_snapshots`` retires them (their files are then reclaimed
+        by the normal targeted set-diff). Table-level config flags
+        (change_feed / bloom) and the exactly-once batch watermark stay at
+        their CURRENT values: rollback undoes DATA, not configuration, and
+        a re-delivered already-fenced batch must remain a no-op afterwards
+        (explicitly re-merge with a new batch_id to re-apply undone rows).
+
+        Change attribution: a rollback commit is deliberately
+        UNATTRIBUTABLE (``added_delta_entries`` → None) — its net effect
+        is the REMOVAL of the undone commits' rows, which a feed of added
+        files cannot express — so ``changes()`` across a rollback falls
+        back to the full winner diff and the streaming source refuses the
+        commit (resync from a fresh checkpoint, same contract as a
+        feed-less COW merge)."""
+        target = self.snapshot(version)  # FileNotFoundError if expired
+        cur = self.snapshot()
+        if version == cur["version"]:
+            return {"version": version, "noop": True}
+        new_version = cur["version"] + 1
+        if "files" in target:  # v2-format target: repackage the inline list
+            manifests = (
+                [self._write_manifest(target["files"], new_version)]
+                if target["files"]
+                else []
+            )
+        else:
+            manifests = list(target["manifests"])
+        new_snap = {
+            "format_version": FORMAT_VERSION,
+            "version": new_version,
+            "parent": cur["version"],
+            "schema": target["schema"],
+            "key_col": cur["key_col"],
+            "seq_col": cur["seq_col"],
+            "target_file_rows": cur.get("target_file_rows", 500_000),
+            "merge_mode": cur.get("merge_mode", "cow"),
+            "change_feed": cur.get("change_feed", False),
+            "bloom_delta_keys": cur.get("bloom_delta_keys", False),
+            "manifests": manifests,
+            "last_batch": dict(cur["last_batch"]),
+            "summary": {"operation": "rollback", "to_version": version},
+            "timestamp_ms": int(time.time() * 1000),
+        }
+        self._commit(new_snap)
+        return {"version": new_version, "noop": False, "to_version": version}
 
     def expire_snapshots(self, keep_last: int = 10) -> dict:
         """Snapshot retention (Iceberg ``expireSnapshots`` analog): drop all

@@ -122,3 +122,61 @@ def sessionize_stateful(events: DataFrame, *, gap_ms: int = SESSION_GAP_MS, wate
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of (temporal) join
+# ---------------------------------------------------------------------------
+
+_ASOF_TAG = "__asof_is_left"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    *,
+    ts: str = "ts",
+    value_cols: list[str],
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Inclusive backward as-of join: each left row picks up ``value_cols``
+    from the LATEST right row with ``right.ts <= left.ts`` for the same
+    key(s) — the point-in-time lookup every event pipeline needs (state as
+    of event time, latest price before a trade, last login before an
+    action). Left rows with no prior right row keep nulls (left-join
+    semantics). Spark has no ASOF JOIN operator; the classic range-join
+    rewrite (θ-join on ``r.ts <= l.ts`` + window max) explodes into
+    O(L×R) per key before pruning.
+
+    This is instead the union-scan formulation — O((L+R) log(L+R)) per
+    key and exactly ONE shuffle: tag both sides, union, and carry the last
+    non-null right value forward over a per-key event-time window
+    (``last(ignorenulls)`` over rows unbounded-preceding → current). At
+    equal timestamps the right row sorts FIRST (tag 0 < 1), giving the
+    inclusive <= semantics. Scale shape: hash-partitioned on the join
+    key(s), per-key sort, no cartesian, no Python; key skew is the same
+    skew any per-key window has (salt upstream if one key dominates).
+
+    ``tie_col``: if several right rows share (key, ts), keep the one with
+    the max ``tie_col`` (deterministic); without it the caller must
+    guarantee (key, ts) uniqueness on the right side.
+    """
+    from pyspark.sql import Window
+
+    r = right
+    if tie_col is not None:
+        r = (
+            r.groupBy(*on, ts)
+            .agg(*[F.max_by(c, tie_col).alias(c) for c in value_cols])
+        )
+    r = r.select(*on, ts, *value_cols).withColumn(_ASOF_TAG, F.lit(0))
+    l = left.withColumn(_ASOF_TAG, F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts).asc(), F.col(_ASOF_TAG).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = {c: F.last(c, ignorenulls=True).over(w) for c in value_cols}
+    return u.withColumns(carried).filter(F.col(_ASOF_TAG) == 1).drop(_ASOF_TAG)

@@ -440,3 +440,94 @@ def mixture_sample(
     for dom, rate in sorted(rates.items()):
         expr = F.when(dc == dom, F.lit(_rate_threshold(rate))).otherwise(expr)
     return docs.filter(_hash8(ic, salt) < expr)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: distributed connected components over a pair graph
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", *, max_iter: int = 50
+) -> DataFrame:
+    """Connected components of an undirected graph of long node ids —
+    the step that turns near-dup PAIRS into dedup CLUSTERS (a doc can sit
+    in many pairs; the drop decision needs the transitive closure).
+
+    Returns ``(node, component)`` for every node that appears in an edge,
+    where ``component`` is the smallest node id in its component (roots
+    included, as ``(root, root)``). Deterministic: min-based labels, no RNG.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond" — public literature),
+    which converges in O(log^2 n) rounds REGARDLESS of component diameter —
+    unlike naive min-label propagation whose round count is the graph
+    diameter (a chain of borderline near-dups would serialize it). Each
+    round is two hash aggregations + joins on the node id: embarrassingly
+    shuffle-parallel, no driver-side graph state. Per round the edge list
+    is truncated with an eager ``localCheckpoint`` (the loop would
+    otherwise stack O(rounds) of lineage onto every later job; on a real
+    cluster with executor churn switch to ``checkpoint()`` on a reliable
+    dir). Convergence is detected by an order-insensitive (count,
+    bit_xor(xxhash64)) edge-set signature — one tiny action per round.
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    sig_agg = [
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64("s", "d")).alias("x"),
+    ]
+    prev = None
+    for _ in range(max_iter):
+        # large-star: every node u emits (v, min(Γ+(u))) for its LARGER
+        # neighbors v — after this every edge points large → small
+        sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        mins = sym.groupBy("s").agg(F.least(F.min("d"), F.first("s")).alias("m"))
+        e = (
+            sym.join(mins, "s")
+            .filter(F.col("d") > F.col("s"))
+            .select(F.col("d").alias("s"), F.col("m").alias("d"))
+            .distinct()
+        )
+        # small-star: u (all its neighbors now smaller) rewires itself and
+        # every non-min neighbor to min(N(u) ∪ {u})
+        mn = e.groupBy("s").agg(F.min("d").alias("m"))
+        e = (
+            e.join(mn, "s")
+            .filter(F.col("d") != F.col("m"))
+            .select(F.col("d").alias("s"), F.col("m").alias("d"))
+            .union(mn.select("s", F.col("m").alias("d")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        row = e.agg(*sig_agg).collect()[0]
+        sig = (row["n"], row["x"])
+        if sig == prev or sig[0] == 0:
+            break
+        prev = sig
+    # converged: edges form stars (non-root → component min)
+    labels = e.select(F.col("s").alias("node"), F.col("d").alias("component"))
+    roots = e.select(F.col("d").alias("node")).distinct().withColumn("component", F.col("node"))
+    return labels.union(roots)
+
+
+def dedup_clusters(
+    docs: DataFrame, k: int = 3, min_jac_q: int = 200, df_cap: int = 100
+) -> DataFrame:
+    """End-to-end near-dup dedup decision: exact n-gram Jaccard pairs →
+    connected components → ``(doc_id, cluster_id, is_keeper)`` for every
+    doc in the pair graph. The keeper is the smallest doc_id per cluster
+    (deterministic, engine-portable); everything else is the drop list.
+    At full scale feed ``minhash_lsh_pairs`` output into
+    ``connected_components`` instead — the clustering step is pair-source
+    agnostic."""
+    pairs = jaccard_pairs(docs, k=k, min_jac_q=min_jac_q, df_cap=df_cap)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_keeper"),
+    )
