@@ -355,6 +355,40 @@ def q_cdc_rollback_state(spark, sf_dir):
     return t.read().select("doc_id", "lsn", "n_tok", "source")
 
 
+def q_cdc_wap_publish(spark, sf_dir):
+    """Write-audit-publish under the driver hash (`create_branch` /
+    `merge(branch=)` / `publish` — the Iceberg branch + fast-forward
+    pattern): the delta batch stages on an 'audit' branch (main untouched),
+    a POISON batch (n_tok+555) stages on a second branch that is NEVER
+    published, then 'audit' fast-forwards into main. The oracle is
+    latest-wins over binlog ∪ the audited delta — identical to
+    cdc_incremental_read — so a leak from the unpublished branch, a
+    mis-forwarded CURRENT, or branch commits contaminating the main chain
+    all break the hash."""
+    t, _v1, _v2 = _mor_lake_from_binlog(spark, sf_dir, "wap", mutable=True)
+    b = _binlog(spark, sf_dir)
+    t.create_branch("audit")
+    delta = b.filter(F.col("lsn") % 11 == 0).select(
+        "op",
+        "doc_id",
+        (F.col("lsn") + F.lit(1_000_000_000)).alias("lsn"),
+        (F.col("n_tok") + F.lit(7)).alias("n_tok"),
+        "source",
+    )
+    t.merge(delta, batch_id=2, branch="audit")
+    t.create_branch("junk")
+    poison = b.filter(F.col("lsn") % 7 == 0).select(
+        "op",
+        "doc_id",
+        (F.col("lsn") + F.lit(3_000_000_000)).alias("lsn"),
+        (F.col("n_tok") + F.lit(555)).alias("n_tok"),
+        "source",
+    )
+    t.merge(poison, batch_id=3, branch="junk")
+    t.publish("audit")
+    return t.read().select("doc_id", "lsn", "n_tok", "source")
+
+
 def q_cdc_snapshot_history(spark, sf_dir):
     """Snapshot-lineage audit (`LakeTable.history()`, the Iceberg
     snapshots-metadata-table analog): per-commit operation + row accounting
@@ -1150,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_snapshot_history": q_cdc_snapshot_history,
         "cdc_rollback_state": q_cdc_rollback_state,
+        "cdc_wap_publish": q_cdc_wap_publish,
         "cdc_compacted_state": q_cdc_compacted_state,
         "cdc_stream_replicate": q_cdc_stream_replicate,
         "cdc_point_lookup": q_cdc_point_lookup,
@@ -1742,6 +1777,8 @@ def oracle_sql() -> dict[str, str]:
         """
     # rollback: the poison batch must vanish — plain latest-wins state
     d["cdc_rollback_state"] = d["cdc_latest_wins"]
+    # write-audit-publish: published delta visible, unpublished junk not —
+    # same oracle as the delta-pruned incremental read
     # snapshot history: per-commit accounting recomputed from the binlog
     # slices ((doc_id, lsn) is unique, so the merge's dropDuplicates is an
     # identity and n_batch equals the raw slice count)
@@ -1823,4 +1860,5 @@ def oracle_sql() -> dict[str, str]:
           FROM all_events)
         SELECT doc_id, lsn, n_tok, source FROM last WHERE rn = 1 AND op <> 'D'
         """
+    d["cdc_wap_publish"] = d["cdc_incremental_read"]
     return d

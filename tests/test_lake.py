@@ -1378,3 +1378,97 @@ def test_rollback_expire_keeps_target_files_live(spark, tmp_path):
     assert _rows(LakeTable.load(spark, t.path)) == want
     with pytest.raises(FileNotFoundError):
         t.rollback(v1)  # target expired → explicit error, not silent wrong state
+
+
+# ---------------------------------------------------------------------------
+# branches / tags / write-audit-publish
+# ---------------------------------------------------------------------------
+
+
+def test_branch_write_audit_publish(spark, tmp_path):
+    t = _mk_mor(spark, tmp_path, "wap")
+    t.merge(_changes(spark, [("I", "a", 1, [1], 1, "web")]), batch_id=0)
+    main_v = t.current_version()
+    main_state = _rows(t)
+    t.create_branch("audit")
+    # stage two batches on the branch: main is untouched
+    t.merge(_changes(spark, [("I", "b", 2, [2], 1, "web")]), batch_id=1, branch="audit")
+    t.merge(_changes(spark, [("U", "a", 3, [3], 1, "web")]), batch_id=2, branch="audit")
+    assert t.current_version() == main_v and _rows(t) == main_state
+    head = t.ref_version("audit")
+    assert sorted(r[0] for r in _rows(t)) == ["a"]
+    branch_rows = sorted(
+        (r["doc_id"], r["lsn"]) for r in t.read(ref="audit").select("doc_id", "lsn").collect()
+    )
+    assert branch_rows == [("a", 3), ("b", 2)]
+    # publish fast-forwards main onto the branch; exactly-once watermark
+    # rides along (branch batch 2 is fenced on main afterwards)
+    r = t.publish("audit")
+    assert r["published"] == head and r["previous"] == main_v
+    assert t.current_version() == head and _rows(t) == branch_rows
+    assert t.merge(_changes(spark, [("I", "z", 9, [9], 1, "web")]), batch_id=2).get("noop")
+    # a main commit AFTER the fork makes publish a non-fast-forward
+    t.create_branch("audit2")
+    t.merge(_changes(spark, [("I", "c", 4, [4], 1, "web")]), batch_id=3, branch="audit2")
+    t.merge(_changes(spark, [("I", "d", 5, [5], 1, "web")]), batch_id=4)  # main moves
+    with pytest.raises(CommitConflict):
+        t.publish("audit2")
+    # tags are immutable: no merge onto them, duplicate names refused
+    t.create_tag("v-golden")
+    with pytest.raises(ValueError):
+        t.merge(_changes(spark, [("I", "e", 6, [6], 1, "web")]), batch_id=5, branch="v-golden")
+    with pytest.raises(CommitConflict):
+        t.create_tag("v-golden")
+
+
+def test_branch_commits_invisible_to_main_changes_and_stream(spark, tmp_path):
+    """The regression the parent-chain walk prevents: a branch commit whose
+    version lands NUMERICALLY between two main commits must not leak into
+    main-interval changes() or the streaming source."""
+    t = _mk_mor(spark, tmp_path, "wap2")
+    t.merge(_changes(spark, [("I", "a", 1, [1], 1, "web")]), batch_id=0)
+    v1 = t.current_version()
+    t.create_branch("side")
+    t.merge(_changes(spark, [("I", "POISON", 7, [7], 1, "web")]), batch_id=1, branch="side")
+    t.merge(_changes(spark, [("I", "b", 2, [2], 1, "web")]), batch_id=1)  # main
+    v_main = t.current_version()
+    assert v_main > t.ref_version("side")  # branch version sits inside the range
+    got = {r["doc_id"] for r in t.changes(v1, v_main).collect()}
+    assert got == {"b"}
+    # streaming source over the same interval: one commit, no POISON rows
+    from ztdf_spark.source import ZtdfLakeDataSource
+
+    spark.dataSource.register(ZtdfLakeDataSource)
+    q = (
+        spark.readStream.format("ztdf_lake")
+        .option("path", t.path)
+        .option("startVersion", v1)
+        .load()
+        .writeStream.format("memory")
+        .queryName("wap_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    seen = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM wap_stream").collect()}
+    assert seen == {"b"}
+
+
+def test_branch_retention_and_ref_gc(spark, tmp_path):
+    t = _mk_mor(spark, tmp_path, "wap3")
+    for i in range(4):
+        t.merge(_changes(spark, [("I", f"k{i}", i + 1, [i], 1, "web")]), batch_id=i)
+    t.create_tag("pin", version=1)
+    t.create_branch("wip")
+    t.merge(_changes(spark, [("I", "w", 99, [9], 1, "web")]), batch_id=0, app_id="wip", branch="wip")
+    wip_head = t.ref_version("wip")
+    r = t.expire_snapshots(keep_last=2)
+    # tag + branch head survive retention; old untagged main snapshots go
+    assert 1 not in r["expired_snapshots"] and wip_head not in r["expired_snapshots"]
+    assert t.read(version=1).count() == 1  # tag target readable
+    assert t.read(ref="wip").count() == 5  # branch head readable
+    t.delete_ref("pin")
+    r2 = t.expire_snapshots(keep_last=2)
+    assert 1 in r2["expired_snapshots"]  # un-pinned → expired
+    with pytest.raises(KeyError):
+        t.ref_version("pin")

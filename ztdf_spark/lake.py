@@ -254,6 +254,7 @@ class LakeTable:
         self.spark = spark
         self.path = path
         self._snap_dir = os.path.join(path, _SNAP_DIR)
+        self._refs_dir = os.path.join(path, _SNAP_DIR, "refs")
         self._manifest_dir = os.path.join(path, _MANIFEST_DIR)
         self._data_dir = os.path.join(path, _DATA_DIR)
         # manifests are immutable once written → cache by file name
@@ -357,13 +358,103 @@ class LakeTable:
     def schema(self, version: int | None = None) -> T.StructType:
         return T.StructType.fromJson(self.snapshot(version)["schema"])
 
-    def _commit(self, snap: dict) -> None:
+    def _commit(self, snap: dict, ref: str | None = None) -> None:
         _atomic_write(
             os.path.join(self._snap_dir, f"v{snap['version']:010d}.json"),
             json.dumps(snap, indent=1),
             exclusive=True,
         )
-        _atomic_write(os.path.join(self._snap_dir, "CURRENT"), str(snap["version"]))
+        if ref is None:
+            _atomic_write(os.path.join(self._snap_dir, "CURRENT"), str(snap["version"]))
+        else:
+            self._write_ref(ref, snap["version"], "branch")
+
+    def _next_version(self) -> int:
+        """Globally unique next snapshot version: branch heads and CURRENT
+        share one number space (version order IS commit order on every
+        chain — the read-time ``_cseq`` tie-break and the targeted
+        retention arithmetic both rely on it). On a linear main-only table
+        this equals ``current + 1`` exactly."""
+        vs = [
+            int(n[1:-5])
+            for n in os.listdir(self._snap_dir)
+            if n.startswith("v") and n.endswith(".json")
+        ]
+        return (max(vs) + 1) if vs else 0
+
+    # ------------------------------------------------------------------ refs
+
+    def _write_ref(self, name: str, version: int, kind: str) -> None:
+        os.makedirs(self._refs_dir, exist_ok=True)
+        _atomic_write(
+            os.path.join(self._refs_dir, name),
+            json.dumps({"version": int(version), "kind": kind}),
+        )
+
+    def refs(self) -> dict[str, dict]:
+        """Named refs (Iceberg branches/tags): ``{name: {version, kind}}``."""
+        if not os.path.isdir(self._refs_dir):
+            return {}
+        out = {}
+        for name in sorted(os.listdir(self._refs_dir)):
+            with open(os.path.join(self._refs_dir, name)) as f:
+                out[name] = json.load(f)
+        return out
+
+    def ref_version(self, name: str) -> int:
+        try:
+            with open(os.path.join(self._refs_dir, name)) as f:
+                return int(json.load(f)["version"])
+        except FileNotFoundError:
+            raise KeyError(f"no ref named {name!r} on table {self.path}")
+
+    def create_tag(self, name: str, version: int | None = None) -> dict:
+        """Immutable named pointer to a snapshot (Iceberg tag): pins the
+        version against ``expire_snapshots`` retention until deleted."""
+        return self._create_ref(name, version, "tag")
+
+    def create_branch(self, name: str, version: int | None = None) -> dict:
+        """Movable named head (Iceberg branch): ``merge(..., branch=name)``
+        commits advance it without touching the main table — the
+        write-audit-publish staging pattern. ``publish(name)`` fast-forwards
+        the main table onto it."""
+        return self._create_ref(name, version, "branch")
+
+    def _create_ref(self, name: str, version: int | None, kind: str) -> dict:
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"invalid ref name {name!r}")
+        if name in self.refs():
+            raise CommitConflict(f"ref {name!r} already exists")
+        v = self.current_version() if version is None else version
+        self.snapshot(v)  # must resolve (FileNotFoundError if expired)
+        self._write_ref(name, v, kind)
+        return {"name": name, "version": v, "kind": kind}
+
+    def delete_ref(self, name: str) -> None:
+        self.ref_version(name)  # KeyError if absent
+        os.unlink(os.path.join(self._refs_dir, name))
+
+    def publish(self, branch: str) -> dict:
+        """Write-audit-publish: fast-forward the MAIN table onto ``branch``.
+        Pure O(1) metadata — the branch's snapshots (and their exactly-once
+        batch watermark) become the main chain; refuses (CommitConflict)
+        unless the current main head is an ancestor of the branch head, so
+        a main-chain commit racing the audit is never silently discarded
+        (rebase by re-merging the branch batches onto main, or roll main
+        back explicitly, then publish)."""
+        head = self.ref_version(branch)
+        cur = self.current_version()
+        v = head
+        while v != cur:
+            if v is None or v < cur:
+                raise CommitConflict(
+                    f"publish({branch!r}): main v{cur} is not an ancestor of "
+                    f"branch head v{head} — not a fast-forward"
+                )
+            v = self.snapshot(v)["parent"]
+        if head != cur:
+            _atomic_write(os.path.join(self._snap_dir, "CURRENT"), str(head))
+        return {"published": head, "previous": cur, "noop": head == cur}
 
     # ------------------------------------------------------- manifest access
 
@@ -420,7 +511,7 @@ class LakeTable:
 
     # ------------------------------------------------------------------ read
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, ref: str | None = None) -> DataFrame:
         """Snapshot-pinned scan through the (possibly evolved) schema:
         files written before an additive evolution read the new columns as
         null — Iceberg-style schema projection.
@@ -434,6 +525,10 @@ class LakeTable:
         join is narrow-key (key, seq, cseq): a HashAggregate with map-side
         partial combine + a hash join back, never a wide-row sort.
         """
+        if ref is not None:
+            if version is not None:
+                raise ValueError("pass version= or ref=, not both")
+            version = self.ref_version(ref)
         snap = self.snapshot(version)
         schema = T.StructType.fromJson(snap["schema"])
         files = self._files(snap)
@@ -684,12 +779,23 @@ class LakeTable:
         impossible (an expired intermediate snapshot, or a non-delta change
         commit such as a COW merge) → callers fall back to the full winner
         diff. Driver cost: O(#commits) small JSON reads."""
-        out: list[dict] = []
-        for v in range(from_version + 1, to_version + 1):
+        chain: list[dict] = []
+        v: int | None = to_version
+        while v != from_version:
+            # versions are allocated globally (branches share the number
+            # space), so the MAIN chain may skip numbers — walk PARENT
+            # POINTERS, never the numeric range, or a branch commit landing
+            # between two main commits would be mis-attributed into the
+            # interval. Version monotonically decreases along any chain.
+            if v is None or v < from_version:
+                return None  # from_version is not an ancestor of to_version
             try:
-                s = self.snapshot(v)
+                chain.append(self.snapshot(v))
             except FileNotFoundError:
                 return None
+            v = chain[-1]["parent"]
+        out: list[dict] = []
+        for s in reversed(chain):
             def get_parent(s=s):
                 if s.get("parent") is None:
                     return None
@@ -1043,8 +1149,11 @@ class LakeTable:
         app_id: str,
         summary: dict,
         change_manifests: list[dict] | None = None,
+        ref: str | None = None,
+        new_version: int | None = None,
     ) -> dict:
-        new_version = snap["version"] + 1
+        if new_version is None:
+            new_version = snap["version"] + 1
         last_batch = dict(snap["last_batch"])
         if batch_id is not None:
             last_batch[app_id] = batch_id
@@ -1070,7 +1179,7 @@ class LakeTable:
             # Present-but-empty is meaningful: feed was ON and the commit
             # changed nothing (all batch rows shadowed by newer state)
             new_snap["change_manifests"] = change_manifests
-        self._commit(new_snap)
+        self._commit(new_snap, ref=ref)
         return {"version": new_version, "noop": False, **new_snap["summary"]}
 
     def _carryover_manifests(self, snap: dict, removed_paths: set[str]) -> list[dict]:
@@ -1104,6 +1213,7 @@ class LakeTable:
         app_id: str = "default",
         extra_summary: dict | None = None,
         retries: int = 2,
+        branch: str | None = None,
     ) -> dict:
         """Public MERGE entry — ``_merge_once`` plus optimistic-concurrency
         retry: losing the atomic snapshot swap to a racing writer (e.g. a
@@ -1115,7 +1225,8 @@ class LakeTable:
         for attempt in range(retries + 1):
             try:
                 return self._merge_once(
-                    changes, batch_id=batch_id, app_id=app_id, extra_summary=extra_summary
+                    changes, batch_id=batch_id, app_id=app_id,
+                    extra_summary=extra_summary, branch=branch,
                 )
             except CommitConflict:
                 if attempt == retries:
@@ -1129,6 +1240,7 @@ class LakeTable:
         batch_id: int | None = None,
         app_id: str = "default",
         extra_summary: dict | None = None,
+        branch: str | None = None,
     ) -> dict:
         """Latest-wins MERGE of a CDC batch (columns: ``op`` I/U/D + key +
         seq + payload columns) into the table.
@@ -1154,7 +1266,19 @@ class LakeTable:
         north rule 'exactly-once sink'; the Spark analog of NiFi's atomic
         session commit, SURVEY.md §3.1 step 6).
         """
-        snap = self.snapshot()
+        if branch is not None:
+            # write-audit-publish staging: commit onto the named branch's
+            # chain; the main table (CURRENT) is untouched until publish()
+            if self.refs().get(branch, {}).get("kind") != "branch":
+                raise ValueError(f"no branch named {branch!r} (tags are immutable)")
+            snap = self.snapshot(self.ref_version(branch))
+            nv = self._next_version()  # global number space, see _next_version
+        else:
+            snap = self.snapshot()
+            # _next_version() == current+1 on a linear table; with branches
+            # in the number space it skips their versions so a staged file
+            # name can never collide with a branch commit's
+            nv = self._next_version()
         key_col, seq_col = snap["key_col"], snap["seq_col"]
         target_rows = snap.get("target_file_rows", 500_000)
 
@@ -1183,7 +1307,7 @@ class LakeTable:
                 F.sum(F.when(F.col(_TOMBSTONE), 1).otherwise(0)).alias("d"),
             )
             new_entries = self._write_files(
-                to_write, snap["version"] + 1, key_col, target_rows, 0,
+                to_write, nv, key_col, target_rows, 0,
                 cluster=False, delta=True,
             )
             if snap.get("bloom_delta_keys") and new_entries:
@@ -1197,9 +1321,7 @@ class LakeTable:
             if n_batch == 0:
                 return {"version": snap["version"], "noop": True, "reason": "empty batch"}
             manifests = self._carryover_manifests(snap, set()) + [
-                self._write_manifest(
-                    new_entries, snap["version"] + 1, added_at=snap["version"] + 1
-                )
+                self._write_manifest(new_entries, nv, added_at=nv)
             ]
             total_before, _ = self._totals(snap)
             return self._commit_manifests(
@@ -1208,6 +1330,8 @@ class LakeTable:
                 manifests,
                 batch_id=batch_id,
                 app_id=app_id,
+                ref=branch,
+                new_version=nv,
                 summary={
                     "operation": "merge",
                     "mode": "mor",
@@ -1320,7 +1444,7 @@ class LakeTable:
             )
             result = merged_src.persist()
 
-            new_version = snap["version"] + 1
+            new_version = nv
             # size files from manifest stats (no extra count action): upper
             # bound = rows already in matched files + new distinct keys
             est_rows = sum(f["rows"] for f in matched) + n_batch
@@ -1356,6 +1480,8 @@ class LakeTable:
                 batch_id=batch_id,
                 app_id=app_id,
                 change_manifests=change_manifests,
+                ref=branch,
+                new_version=nv,
                 summary={
                     "operation": "merge",
                     "mode": "cow",
@@ -1405,7 +1531,8 @@ class LakeTable:
         if fenced:
             return fenced
         schema = self._evolve_schema(snap, batch_schema) if batch_schema is not None else T.StructType.fromJson(snap["schema"])
-        new_entries = self._adopt_staged(staged_dir, snap["version"] + 1, snap["key_col"], delta=True)
+        nv = self._next_version()
+        new_entries = self._adopt_staged(staged_dir, nv, snap["key_col"], delta=True)
         if not new_entries:
             return {"version": snap["version"], "noop": True, "reason": "empty batch"}
         if snap.get("bloom_delta_keys"):
@@ -1416,7 +1543,7 @@ class LakeTable:
             )
         n_batch = sum(f["rows"] for f in new_entries)
         manifests = self._carryover_manifests(snap, set()) + [
-            self._write_manifest(new_entries, snap["version"] + 1, added_at=snap["version"] + 1)
+            self._write_manifest(new_entries, nv, added_at=nv)
         ]
         total_before, _ = self._totals(snap)
         return self._commit_manifests(
@@ -1424,6 +1551,7 @@ class LakeTable:
             schema,
             manifests,
             batch_id=batch_id,
+            new_version=nv,
             app_id=app_id,
             summary={
                 "operation": "merge",
@@ -1472,15 +1600,16 @@ class LakeTable:
                 return {"version": snap["version"], "noop": True, "reason": "no delta files"}
             schema = T.StructType.fromJson(snap["schema"])
             est_rows, _ = self._totals(snap)
+            nv = self._next_version()
             # winners INCLUDING tombstones: a compacted table must still
             # shadow out-of-order stale updates to deleted keys
             new_entries = self._write_files(
-                self._winners_df(snap), snap["version"] + 1, snap["key_col"],
+                self._winners_df(snap), nv, snap["key_col"],
                 snap.get("target_file_rows", 500_000), est_rows,
             )
             # added_at=None: compaction rewrites state, it doesn't change it
             manifests = (
-                [self._write_manifest(new_entries, snap["version"] + 1)] if new_entries else []
+                [self._write_manifest(new_entries, nv)] if new_entries else []
             )
             try:
                 return self._commit_manifests(
@@ -1489,6 +1618,7 @@ class LakeTable:
                     manifests,
                     batch_id=None,
                     app_id="__compact__",
+                    new_version=nv,
                     summary={
                         "operation": "compact",
                         "files_removed": len(files),
@@ -1550,7 +1680,7 @@ class LakeTable:
         cur = self.snapshot()
         if version == cur["version"]:
             return {"version": version, "noop": True}
-        new_version = cur["version"] + 1
+        new_version = self._next_version()
         if "files" in target:  # v2-format target: repackage the inline list
             manifests = (
                 [self._write_manifest(target["files"], new_version)]
@@ -1589,14 +1719,28 @@ class LakeTable:
         exactly-once batch watermark lives in the CURRENT snapshot and is
         unaffected."""
         cur = self.current_version()
-        keep_from = max(0, cur - keep_last + 1)
+        # keep the last ``keep_last`` MAIN-CHAIN snapshots (parent walk —
+        # identical to the old numeric window on a linear table, but branch
+        # commits sharing the number space no longer shrink the window)
+        # plus every named ref head (tags pin their snapshot; a branch head
+        # must stay committable). Ref ANCESTORS expire normally — reading
+        # an expired intermediate raises, it never silently mis-reads.
+        keep: set[int] = set()
+        v = cur
+        while v is not None and len(keep) < keep_last:
+            keep.add(v)
+            try:
+                v = self.snapshot(v)["parent"]
+            except FileNotFoundError:
+                break
+        keep |= {int(r["version"]) for r in self.refs().values()}
         removed_snaps = []
         expired_manifests: set[str] = set()
         expired_data: set[str] = set()
         for name in sorted(os.listdir(self._snap_dir)):
             if name.startswith("v") and name.endswith(".json"):
                 v = int(name[1:-5])
-                if v < keep_from:
+                if v not in keep:
                     with open(os.path.join(self._snap_dir, name)) as f:
                         snap = json.load(f)
                     m, d = self._snapshot_refs(snap)
@@ -1622,7 +1766,7 @@ class LakeTable:
         return {
             "expired_snapshots": removed_snaps,
             "removed_files": removed_files,
-            "oldest_kept": keep_from,
+            "oldest_kept": min(keep) if keep else cur,
         }
 
     def vacuum(self, orphan_grace_s: float = 600.0) -> list[str]:

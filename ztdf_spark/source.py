@@ -72,6 +72,29 @@ def _read_snapshot(table_path: str, version: int) -> dict:
         ) from None
 
 
+def _main_chain(table_path: str, from_version: int, to_version: int) -> list[dict]:
+    """Snapshots on the parent chain ``(from, to]``, ascending commit
+    order. Versions are allocated globally across branches (lake.py
+    ``_next_version``), so the main chain may SKIP numbers — walking the
+    numeric range would pull a branch commit's snapshot into the stream.
+    Raises RuntimeError if ``from_version`` is not an ancestor (offset
+    regression / published-branch fork) or a link has been expired."""
+    chain: list[dict] = []
+    v: int | None = to_version
+    while v != from_version:
+        if v is None or v < from_version:
+            raise RuntimeError(
+                f"offset v{from_version} is not an ancestor of v{to_version} "
+                f"on {table_path} — the offset log does not match this "
+                "table's history (rollback or branch publish rewrote it); "
+                "restart with a fresh checkpoint and resync state"
+            )
+        snap = _read_snapshot(table_path, v)
+        chain.append(snap)
+        v = snap["parent"]
+    return list(reversed(chain))
+
+
 def _current_version(table_path: str) -> int:
     with open(os.path.join(table_path, _SNAP_DIR, "CURRENT")) as f:
         return int(f.read().strip())
@@ -150,14 +173,18 @@ class LakeChangeStreamReader(DataSourceStreamReader):
         base = self._cursor if self._cursor is not None else self.start_version
         if (self.max_versions is None and self.max_files is None) or cur <= base:
             return {"version": cur}
-        end = cur
+        try:
+            chain = _main_chain(self.table_path, base, cur)
+        except RuntimeError:
+            # regression/fork: surface through partitions()' documented
+            # error path rather than silently clamping
+            return {"version": cur}
         if self.max_versions is not None:
-            end = min(end, base + self.max_versions)
+            chain = chain[: self.max_versions]
         if self.max_files is not None:
             budget = self.max_files
-            v = base
-            while v < cur:
-                snap = _read_snapshot(self.table_path, v + 1)
+            admitted = 0
+            for snap in chain:
                 n = sum(
                     m.get("n_files", 0)
                     for m in snap.get("manifests", [])
@@ -166,12 +193,13 @@ class LakeChangeStreamReader(DataSourceStreamReader):
                     m.get("n_files", 0) for m in snap.get("change_manifests", []) or []
                 )
                 budget -= n
-                if budget < 0 and v > base:
+                if budget < 0 and admitted > 0:
                     break  # always admit ≥1 commit so the stream progresses
-                v += 1
+                admitted += 1
                 if budget <= 0:
                     break
-            end = min(end, v)
+            chain = chain[:admitted]
+        end = chain[-1]["version"] if chain else base
         return {"version": max(end, base)}
 
     def partitions(self, start: dict, end: dict):
@@ -195,8 +223,8 @@ class LakeChangeStreamReader(DataSourceStreamReader):
         self._advance_cursor(end["version"])  # restart replay reveals the
         # true planned offset — the backpressure clamp anchors here
         out: list[DeltaFilePartition] = []
-        for v in range(start["version"] + 1, end["version"] + 1):
-            snap = _read_snapshot(self.table_path, v)
+        for snap in _main_chain(self.table_path, start["version"], end["version"]):
+            v = snap["version"]
 
             def get_parent(snap=snap):
                 if snap.get("parent") is None:
