@@ -355,6 +355,20 @@ def q_cdc_rollback_state(spark, sf_dir):
     return t.read().select("doc_id", "lsn", "n_tok", "source")
 
 
+def q_cdc_delete_where(spark, sf_dir):
+    """Predicate row-level delete (`LakeTable.delete_where`, the
+    DELETE FROM ... WHERE / GDPR op): tombstone every key whose CURRENT
+    winner has source='error', through the normal merge machinery (the
+    tombstone rides at the winner's own seq and wins the equal-seq
+    tie-break toward the newer commit). Oracle: latest-wins minus the
+    predicate-matched winners — an over- or under-deletion (history-based
+    matching, tie-break the wrong way, missed key) breaks the hash."""
+    t, _v1, _v2 = _mor_lake_from_binlog(spark, sf_dir, "delwhere", mutable=True)
+    r = t.delete_where("source = 'error'", batch_id=2)
+    assert not r.get("noop")
+    return t.read().select("doc_id", "lsn", "n_tok", "source")
+
+
 def q_cdc_wap_publish(spark, sf_dir):
     """Write-audit-publish under the driver hash (`create_branch` /
     `merge(branch=)` / `publish` — the Iceberg branch + fast-forward
@@ -1185,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_history": q_cdc_snapshot_history,
         "cdc_rollback_state": q_cdc_rollback_state,
         "cdc_wap_publish": q_cdc_wap_publish,
+        "cdc_delete_where": q_cdc_delete_where,
         "cdc_compacted_state": q_cdc_compacted_state,
         "cdc_stream_replicate": q_cdc_stream_replicate,
         "cdc_point_lookup": q_cdc_point_lookup,
@@ -1861,4 +1876,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lsn, n_tok, source FROM last WHERE rn = 1 AND op <> 'D'
         """
     d["cdc_wap_publish"] = d["cdc_incremental_read"]
+    # predicate delete: latest-wins minus winners matching the predicate
+    d["cdc_delete_where"] = _BINLOG_CTE + """
+        , last AS (
+          SELECT doc_id, lsn, n_tok, source, op,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+          FROM binlog)
+        SELECT doc_id, lsn, n_tok, source FROM last
+        WHERE rn = 1 AND op <> 'D' AND source <> 'error'
+        """
     return d

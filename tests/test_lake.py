@@ -1472,3 +1472,29 @@ def test_branch_retention_and_ref_gc(spark, tmp_path):
     assert 1 in r2["expired_snapshots"]  # un-pinned → expired
     with pytest.raises(KeyError):
         t.ref_version("pin")
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_delete_where_predicate_tombstones(spark, tmp_path, mode):
+    t = LakeTable.create(
+        spark, str(tmp_path / f"dw-{mode}"), schema=STATE_SCHEMA,
+        target_file_rows=200, merge_mode=mode,
+    )
+    t.merge(_changes(spark, [
+        ("I", "a", 1, [1], 1, "web"), ("I", "b", 2, [2], 1, "code"),
+        ("I", "c", 3, [3], 1, "web"), ("I", "d", 4, [4], 1, "forum"),
+    ]), batch_id=0)
+    r = t.delete_where("source = 'web'", batch_id=1)
+    assert not r.get("noop")
+    assert sorted(x[0] for x in _rows(t)) == ["b", "d"]
+    # a LATER CDC event resurrects a deleted key (tombstone is not forever)
+    t.merge(_changes(spark, [("U", "a", 10, [10], 1, "web2")]), batch_id=2)
+    assert ("a", 10) in _rows(t)
+    # predicate over the CURRENT winner, not history: doc a's winner is now
+    # web2, so a second source='web' delete matches nothing
+    before = t.current_version()
+    t.delete_where("source = 'web'", batch_id=3)
+    assert _rows(t) == _rows(t, before) and sorted(x[0] for x in _rows(t)) == ["a", "b", "d"]
+    # change feed classifies the predicate delete as ordinary deletes
+    ch = {(r["doc_id"], r["_change_type"]) for r in t.changes(1, 2).collect()}
+    assert ch == {("a", "delete"), ("c", "delete")}

@@ -1656,6 +1656,36 @@ class LakeTable:
                 referenced_data |= d
         return referenced_manifests, referenced_data
 
+    def delete_where(
+        self,
+        condition,
+        *,
+        batch_id: int | None = None,
+        app_id: str = "default",
+        branch: str | None = None,
+    ) -> dict:
+        """Predicate row-level delete (the GDPR / right-to-be-forgotten op;
+        Delta/Iceberg ``DELETE FROM ... WHERE``): tombstone every key whose
+        CURRENT latest-wins winner matches ``condition`` (a Catalyst
+        expression string or Column).
+
+        Expressed THROUGH the normal merge: the matched winners are
+        re-emitted as op='D' rows at their OWN seq — the read-time
+        tie-break (seq, commit-seq) resolves equal-seq duplicates toward
+        the newer commit, so the tombstone shadows the winner without
+        inventing a synthetic seq, and a LATER CDC event for the key
+        (higher seq) still resurrects it — correct CDC semantics, not a
+        permanent tombstone. Cost: one pruned read + an O(matched) merge;
+        all merge machinery (fencing, branches, change feed, COW rewrite
+        pruning) applies unchanged. Physical payload bytes linger in
+        superseded files until ``compact()``/``expire_snapshots``/
+        ``vacuum()`` — run maintenance afterwards for physical erasure.
+        """
+        snap = self.snapshot(self.ref_version(branch) if branch else None)
+        matched = self.read(version=snap["version"]).filter(condition)
+        batch = matched.select(F.lit("D").alias("op"), *[f.name for f in self.schema(snap["version"]).fields])
+        return self.merge(batch, batch_id=batch_id, app_id=app_id, branch=branch)
+
     def rollback(self, version: int) -> dict:
         """Roll the table back to an earlier snapshot as a NEW commit
         (Iceberg ``rollback`` semantics): the target snapshot's schema and
