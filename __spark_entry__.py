@@ -948,6 +948,17 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (simops.ann_pq_topk): 64-dim float vectors
+    compressed to 8 one-byte codes (32x), ADC table-gather scoring over the
+    code column only, exact-cosine rerank of the PQ top-3k. Layout-
+    invariant end to end (md5-threshold training sample, total-order
+    per-partition prune) — recall@5 >= 0.9 pinned in pytest vs exact."""
+    return simops.ann_pq_topk(
+        _t(spark, sf_dir, "embeddings"), n_queries=10, k=5, m=8, n_codes=16
+    )
+
+
 def q_emb_near_dup_lsh(spark, sf_dir):
     """Banded-LSH candidate near-dup pairs at a HIGH cosine threshold — the
     100 TB scale path (the exact GEMM variant `emb_near_dup` is the oracle
@@ -1242,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,  # rows-only
         "ann_signbit_lsh": q_ann_signbit_lsh,
         "ann_ivf": q_ann_ivf,  # rows-only
+        "ann_pq": q_ann_pq,  # rows-only (recall-pinned in pytest)
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,  # rows-only
         "mm_features": q_mm_features,  # rows-only (real wav/ppm/bmp decode; pandas oracle)

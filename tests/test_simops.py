@@ -179,3 +179,23 @@ def test_blocked_gemm_matches_crossjoin_semantics(spark, emb):
                                             F.lit(0).cast("long"), lambda s, x: s + x))
            .filter(F.col("dot_q") >= 100_000).collect()}
     assert got == exp
+
+
+def test_pq_recall_and_determinism_on_planted_neighbors(spark, planted):
+    exact = simops.ann_topk_cosine(planted, n_queries=10, k=5)
+    pq = simops.ann_pq_topk(planted, n_queries=10, k=5, m=8, n_codes=16, seed=7)
+    r = _recall_at_k(pq, exact, k=5)
+    assert r >= 0.9, f"PQ recall@5 {r:.2f} < 0.9"
+    # deterministic across runs AND partition layouts (the per-partition
+    # top-R prune must be layout-invariant by construction)
+    a = simops.ann_pq_topk(planted, n_queries=10, k=5, m=8, n_codes=16, seed=7).toPandas()
+    b = simops.ann_pq_topk(
+        planted.repartition(17), n_queries=10, k=5, m=8, n_codes=16, seed=7
+    ).toPandas()
+    assert (
+        a.sort_values(["query_id", "rank"]).values.tolist()
+        == b.sort_values(["query_id", "rank"]).values.tolist()
+    )
+    # m must divide the dimension
+    with pytest.raises(ValueError):
+        simops.ann_pq_topk(planted, m=7)

@@ -305,6 +305,18 @@ def main():
         ],
     )
 
+    # PQ ANN: scoring touches only the code column (one MapInPandas), the
+    # rerank joins broadcast, and there is no all-pairs stage
+    dump(
+        "ann_pq",
+        em.q_ann_pq(spark, sf),
+        [
+            ("one ADC scoring pass over the code column", r"MapInPandas", True),
+            ("rerank joins broadcast", r"BroadcastHashJoin", True),
+            ("no cartesian / all-pairs stage", r"CartesianProduct", False),
+        ],
+    )
+
     # as-of join: the union-scan rewrite — one hash exchange on the join
     # key feeding a per-key window; never a range-join explosion
     dump(

@@ -422,3 +422,148 @@ def embedding_near_dup_pairs(emb: DataFrame, min_dot_q: int, n_chunks: int | Non
     return left.unionByName(right).groupBy("gi", "gj").applyInPandas(
         _gemm, schema="vec_a long, vec_b long, dot_q long"
     )
+
+
+def ann_pq_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    train_sample: int = 10_000,
+    iters: int = 8,
+    rerank_factor: int = 3,
+) -> DataFrame:
+    """Product-quantization ANN (the FAISS ``PQ`` compressor, Spark-shaped):
+    each vector is split into ``m`` subvectors, each encoded as the id of
+    its nearest sub-codebook centroid — ``m`` small ints instead of ``dim``
+    floats (64-dim float → 8 bytes here, a 32× cut). This is the 100 TB
+    memory path: the candidate scan touches only the code column.
+
+    Pipeline: (1) sub-codebooks k-means-trained on a bounded uniform
+    driver-side sample (index build, not a data-plane collect; seeded +
+    deterministic); (2) corpus encoded map-only (Arrow-batched numpy);
+    (3) ADC scoring — each query precomputes its (m × n_codes) table of
+    subvector dot products, a candidate's approximate score is m table
+    gathers, NO float vector is read; per-PARTITION top-k then global
+    top-k, which is exact w.r.t. PQ scores under the (score desc, id asc)
+    total order regardless of partition layout; (4) the PQ top
+    ``rerank_factor*k`` candidates are re-scored with TRUE cosine (one
+    equi-join back to the float vectors) — standard PQ-then-rerank, so
+    recall is measured against exact search in tests, not assumed.
+    """
+    d = F.col("embedding").cast("array<double>")
+    cand = emb.filter(F.col("vec_id") >= n_queries)
+    n_cand = cand.count()
+    frac = min(1.0, (train_sample * 1.5) / max(1, n_cand))
+    # layout-INVARIANT bounded training sample: md5-threshold Bernoulli on
+    # the vec id (``sample(seed=)`` draws per-partition, so the codebooks —
+    # and therefore the whole index — would depend on partition layout),
+    # then a total-order (hash, id) cap instead of limit() for the same
+    # reason. The index is identical on any cluster size or file split.
+    h = F.substring(F.md5(F.concat(F.lit(f"pq{seed}-"), F.col("vec_id").cast("string"))), 1, 8)
+    thr = "g" if frac >= 1.0 else format(int(frac * (1 << 32)), "08x")
+    sample = np.stack(
+        cand.select("embedding", h.alias("h"), "vec_id")
+        .filter(F.col("h") < thr)
+        .orderBy("h", "vec_id")
+        .limit(train_sample)
+        .toPandas()["embedding"]
+        .to_numpy()
+    ).astype(np.float64)
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, n_codes, sub))
+    for j in range(m):  # classic (Euclidean) k-means per subspace, seeded
+        sj = sample[:, j * sub : (j + 1) * sub]
+        cent = sj[rng.choice(len(sj), size=min(n_codes, len(sj)), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sj[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                pts = sj[assign == c]
+                if len(pts):
+                    cent[c] = pts.mean(axis=0)
+        books[j, : len(cent)] = cent
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _encode(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for embs in it:
+            x = np.stack(embs.to_numpy()).astype(np.float64)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                xj = x[:, j * sub : (j + 1) * sub]
+                d2 = ((xj[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.Series(list(codes))
+
+    # per-query ADC tables: qtab[q, j, c] = q_subvec_j · codebook[j, c]
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < n_queries).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qids = np.array([r["vec_id"] for r in qrows])
+    qv = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    qtab = np.einsum("qjs,jcs->qjc", qv.reshape(len(qids), m, sub), books)
+
+    codes_df = cand.select("vec_id", _encode("embedding").alias("codes"))
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("score_pq", T.DoubleType()),
+        ]
+    )
+    top_r = rerank_factor * k
+
+    def _score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            ids = pdf["vec_id"].to_numpy()
+            scores = np.zeros((len(qids), len(ids)))
+            for j in range(m):
+                scores += qtab[:, j, :][:, codes[:, j]]
+            # per-partition top-R per query under the SAME total order the
+            # global window uses — (score desc, id asc) — so the union of
+            # per-partition prefixes contains the global top-R for EVERY
+            # partition layout (argpartition's arbitrary tie-breaks would
+            # make the candidate set layout-dependent)
+            r = min(top_r, len(ids))
+            sel = np.empty((len(qids), r), dtype=np.int64)
+            for qi in range(len(qids)):
+                sel[qi] = np.lexsort((ids, -scores[qi]))[:r]
+            rows = {
+                "query_id": np.repeat(qids, r),
+                "neighbor_id": ids[sel.ravel()],
+                "score_pq": np.take_along_axis(scores, sel, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    pq_top = codes_df.mapInPandas(_score, out_schema)
+    w_pq = Window.partitionBy("query_id").orderBy(F.desc("score_pq"), F.asc("neighbor_id"))
+    cands = pq_top.withColumn("r", F.row_number().over(w_pq)).filter(F.col("r") <= top_r)
+    # exact-cosine rerank of the PQ candidates (broadcast: ≤ n_queries·3k rows)
+    cv = cand.select(F.col("vec_id").alias("neighbor_id"), d.alias("cv"), _norm(d).alias("cn"))
+    qdf = F.broadcast(
+        emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), d.alias("qv"), _norm(d).alias("qn")
+        )
+    )
+    scored = (
+        F.broadcast(cands.select("query_id", "neighbor_id"))
+        .join(cv, "neighbor_id")
+        .join(qdf, "query_id")
+        .withColumn("cos", _dot("qv", "cv") / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )
