@@ -244,16 +244,21 @@ def ann_ivf_topk(
     """
     d = F.col("embedding").cast("array<double>")
     cand = emb.filter(F.col("vec_id") >= n_queries)
-    # a REAL random sample: fraction sized from the candidate count so the
-    # training set is approximately uniform across partitions (fraction 1.0 +
-    # limit() would take the first partitions' rows — partition-ordered or
-    # clustered inputs would bias the centroids). The count is a narrow
-    # one-column job and runs once per index build, not per query.
+    # a bounded uniform sample that is also partition-layout-INVARIANT:
+    # md5-threshold Bernoulli on the vec id + total-order (hash, id) cap.
+    # ``sample(seed=)`` draws per partition and ``limit()`` takes whatever
+    # partitions answer first, so with either the trained centroids — and
+    # therefore the whole index — would depend on file splits / cluster
+    # size (caught by the PQ cross-layout determinism test; same fix
+    # here). The count is a narrow one-column job, once per index build.
     n_cand = cand.count()
     frac = min(1.0, (train_sample * 1.5) / max(1, n_cand))
+    h = F.substring(F.md5(F.concat(F.lit(f"ivf{seed}-"), F.col("vec_id").cast("string"))), 1, 8)
+    thr = "g" if frac >= 1.0 else format(int(frac * (1 << 32)), "08x")
     sample = np.stack(
-        cand.select("embedding")
-        .sample(False, frac, seed=seed)
+        cand.select("embedding", h.alias("h"), "vec_id")
+        .filter(F.col("h") < thr)
+        .orderBy("h", "vec_id")
         .limit(train_sample)
         .toPandas()["embedding"]
         .to_numpy()
