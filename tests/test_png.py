@@ -1,0 +1,123 @@
+"""PNG codec (ztdf_spark/png.py): lossless round trips through every
+filter type, a hand-assembled known-answer stream (pins the decoder
+independently of the encoder — a mirrored filter-math bug pair cannot
+pass it), color-type handling, malformed-input rejection, and the Spark
+mmops integration."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from ztdf_spark.png import _chunk, decode_png, encode_png
+
+
+def _px(h, w, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_lossless_roundtrip_every_filter(ftype):
+    for h, w in [(1, 1), (3, 5), (16, 16), (7, 31)]:
+        px = _px(h, w, seed=h * 100 + w)
+        out = decode_png(encode_png(px, filter_type=ftype))
+        assert out.shape == px.shape and np.array_equal(out, px)
+
+
+def test_known_answer_hand_assembled_stream():
+    """2x2 RGB assembled BYTE BY BYTE with hand-computed Sub/Up filter
+    deltas — decoded pixels must equal the hand-written expectation, so
+    the decoder's un-filter arithmetic is pinned without the encoder."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+    # target image rows: [(10,20,30),(15,25,35)] / [(12,22,32),(18,28,38)]
+    # row 0 uses Sub:  first pixel raw, second = delta (5,5,5)
+    # row 1 uses Up:   deltas vs row 0 = (2,2,2) and (3,3,3)
+    raw = bytes([1, 10, 20, 30, 5, 5, 5]) + bytes([2, 2, 2, 2, 3, 3, 3])
+    idat = _chunk(b"IDAT", zlib.compress(raw))
+    iend = _chunk(b"IEND", b"")
+    got = decode_png(sig + ihdr + idat + iend)
+    want = np.array(
+        [[[10, 20, 30], [15, 25, 35]], [[12, 22, 32], [18, 28, 38]]], dtype=np.uint8
+    )
+    assert np.array_equal(got, want)
+
+
+def test_gray_palette_rgba_color_types():
+    # gray (color 0) replicates to RGB
+    gray_raw = b"".join(bytes([0]) + bytes([v, v + 1]) for v in (7, 100))
+    sig = b"\x89PNG\r\n\x1a\n"
+    png = (
+        sig
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(gray_raw))
+        + _chunk(b"IEND", b"")
+    )
+    g = decode_png(png)
+    assert g.shape == (2, 2, 3) and (g[0, 0] == [7, 7, 7]).all() and (g[1, 1] == [101, 101, 101]).all()
+    # palette (color 3) resolves through PLTE
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red, green, blue
+    idx_raw = bytes([0, 0, 2]) + bytes([0, 1, 1])
+    png_p = (
+        sig
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", pal)
+        + _chunk(b"IDAT", zlib.compress(idx_raw))
+        + _chunk(b"IEND", b"")
+    )
+    p = decode_png(png_p)
+    assert (p[0] == [[255, 0, 0], [0, 0, 255]]).all() and (p[1] == [[0, 255, 0], [0, 255, 0]]).all()
+    # RGBA (color 6) drops alpha
+    rgba_raw = bytes([0]) + bytes([1, 2, 3, 200, 4, 5, 6, 10])
+    png_a = (
+        sig
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(rgba_raw))
+        + _chunk(b"IEND", b"")
+    )
+    a = decode_png(png_a)
+    assert a.shape == (1, 2, 3) and (a[0, 0] == [1, 2, 3]).all() and (a[0, 1] == [4, 5, 6]).all()
+
+
+def test_malformed_inputs_raise_never_wrong_pixels():
+    px = _px(4, 4)
+    good = encode_png(px)
+    # flipped payload byte → CRC failure
+    bad = bytearray(good)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_png(good[:30])  # truncated
+    with pytest.raises(ValueError):
+        decode_png(b"NOPE" + good[4:])
+    # interlaced and 16-bit profiles refuse (fall-through contract)
+    ih = _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + ih + _chunk(b"IDAT", zlib.compress(b"\0" * 14)) + _chunk(b"IEND", b""))
+
+
+def test_spark_mm_integration_png(spark):
+    from ztdf_spark import mmops
+
+    px = _px(9, 13, seed=42)
+    rows = [
+        (1, "image", bytearray(encode_png(px, filter_type=4))),
+        (2, "image", bytearray(b"\x89PNG\r\n\x1a\nGARBAGE")),  # malformed → skipped/fake
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media_type string, payload binary")
+    feats = {r["media_id"]: r for r in mmops.extract_features(df).collect()}
+    assert feats[1]["feature"][-1] == 5.0  # fmt_tag: REAL png decode path
+    # feature vector matches decoding the pre-encode pixels directly
+    want = mmops._rgb_features(px, fmt_tag=5.0)
+    got = np.array(feats[1]["feature"], dtype=np.float32)
+    assert np.allclose(got, want, atol=1e-5)
+    # resize emits the md5 of the real resample; the garbage row is skipped
+    rs = {r["media_id"]: r["resized_md5"] for r in mmops.resize_images(df).collect()}
+    import hashlib
+
+    ri = (np.arange(8) * 9) // 8
+    ci = (np.arange(8) * 13) // 8
+    assert rs == {1: hashlib.md5(px[np.ix_(ri, ci)].tobytes()).hexdigest()}

@@ -118,6 +118,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "y4m"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     return None
 
 
@@ -150,6 +152,14 @@ def _wav_features(payload: bytes) -> np.ndarray:
         *seg_rms,
     ]
     return np.asarray(feats, dtype=np.float32)
+
+
+def _png_rgb(payload: bytes) -> np.ndarray:
+    """REAL PNG decode (ztdf_spark/png.py — chunk walk, CRC, inflate,
+    all five prediction filters); unsupported profiles raise ValueError."""
+    from .png import decode_png
+
+    return decode_png(bytes(payload))
 
 
 def _jpeg_rgb(payload: bytes) -> np.ndarray:
@@ -308,6 +318,10 @@ def decode_media(payload: bytes, media_type: str, *, deterministic_fake: bool = 
             # REAL baseline-JPEG decode (ztdf_spark/jpeg.py, round 5);
             # progressive/arithmetic variants raise ValueError → fall through
             return _rgb_features(_jpeg_rgb(bytes(payload)), fmt_tag=4.0)
+        if fmt == "png":
+            # REAL PNG decode (ztdf_spark/png.py, round 5); interlaced /
+            # 16-bit variants raise ValueError → fall through
+            return _rgb_features(_png_rgb(bytes(payload)), fmt_tag=5.0)
     except ValueError:
         pass  # sniffed but malformed/unsupported variant → fall through
     if not deterministic_fake:
@@ -367,6 +381,8 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
                         px = _bmp_pixels(b)
                     elif fmt == "jpeg":
                         px = _jpeg_rgb(b)
+                    elif fmt == "png":
+                        px = _png_rgb(b)
                     else:
                         continue
                 except ValueError:
