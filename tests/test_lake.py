@@ -1405,7 +1405,16 @@ def test_branch_write_audit_publish(spark, tmp_path):
     # rides along (branch batch 2 is fenced on main afterwards)
     r = t.publish("audit")
     assert r["published"] == head and r["previous"] == main_v
-    assert t.current_version() == head and _rows(t) == branch_rows
+    # publish lands as a MARKER snapshot (exclusive version claim — the
+    # race-safe alternative to rewriting CURRENT in place): state equals
+    # the branch head exactly, parent chain routes through the branch
+    assert t.current_version() == r["version"] > head
+    assert t.history()[-1]["summary"]["operation"] == "publish"
+    assert _rows(t) == branch_rows
+    # the interval across the publish attributes per BRANCH commit (marker
+    # adds nothing): pruned changes equal the two staged batches' net
+    ch = {(x["doc_id"], x["_change_type"]) for x in t.changes(main_v).collect()}
+    assert ch == {("b", "insert"), ("a", "update")}
     assert t.merge(_changes(spark, [("I", "z", 9, [9], 1, "web")]), batch_id=2).get("noop")
     # a main commit AFTER the fork makes publish a non-fast-forward
     t.create_branch("audit2")

@@ -19,8 +19,12 @@ SimpleOpenTDFControllerService), re-expressed Spark-first:
                    compiled once into Catalyst Column expressions (reference
                    ``AbstractTDFProcessor.java:113-115``)
 - ``lake``       — minimal Iceberg-v2-semantics table format over Parquet
-                   (atomic snapshot commits, copy-on-write MERGE, additive
-                   schema evolution, time travel, batch-id fencing)
+                   (atomic snapshot commits, COW + merge-on-read MERGE,
+                   additive schema evolution + type widening, time travel,
+                   batch-id fencing, incremental change feed, compaction /
+                   retention / vacuum, snapshot rollback, predicate
+                   delete_where, named refs: tags + branches with
+                   write-audit-publish)
 - ``pipeline``   — Structured Streaming binlog tail → dedup → encrypt →
                    MERGE → audit/lineage, exactly-once, checkpoint-resumable
 - ``source``     — the lake AS a Structured Streaming source AND sink
@@ -30,13 +34,26 @@ SimpleOpenTDFControllerService), re-expressed Spark-first:
                    (Spark 4 Python Data Source API)
 - ``datagen``    — deterministic synthetic binlog / tokens generators
 - ``textops``    — training-data text pipeline (dedup exact/minhash/simhash,
-                   n-gram jaccard, language-id, quality, token count,
-                   fingerprint) over the ``documents`` table
-- ``simops``     — embedding similarity search (brute-force cosine top-k +
-                   LSH-bucketed ANN) over the ``embeddings`` table
+                   n-gram jaccard, connected-components near-dup clustering,
+                   eval-set decontamination, deterministic mixture sampling,
+                   language-id, quality, token count, fingerprint) over the
+                   ``documents`` table
+- ``simops``     — embedding similarity search (brute-force cosine top-k,
+                   LSH / sign-bit / IVF / product-quantization ANN, exact +
+                   LSH embedding near-dup) over the ``embeddings`` table
 - ``tokops``     — GPT-style concat-and-chunk sequence packing into fixed
                    context windows (two-level distributed prefix sum, no
                    single-partition funnel; spans + materialized chunks)
+- ``stream_ops`` — watermarked windowed aggregation (batch ≡ stream),
+                   applyInPandasWithState sessionizer, one-shuffle as-of join
+- ``mmops``      — multimodal binary columns: real pure-Python decoders
+                   (WAV, PPM, BMP, baseline JPEG via ``jpeg``, PNG via
+                   ``png``, Y4M video), features / resize / frame sampling
+                   over mapInPandas
+- ``nano``       — spec-shaped NanoTDF binary container (L1L, real ECDH +
+                   HKDF payload key, GMAC or deterministic-ECDSA binding)
+- ``bloom``      — opt-in per-delta-file key Bloom filters for point-lookup
+                   file skipping at the manifest layer
 """
 
 __version__ = "0.1.0"

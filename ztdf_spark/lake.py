@@ -191,7 +191,9 @@ def added_delta_entries(snap: dict, *, read_manifest, get_parent=None):
     whose manifests all carry explicit ``added_at``.
     """
     summary = snap.get("summary", {})
-    if summary.get("operation") in ("create", "compact"):
+    if summary.get("operation") in ("create", "compact", "publish"):
+        # publish markers are state-identical to their parent (the branch
+        # head); the branch's own commits carry the changes
         return []
     if summary.get("operation") == "rollback":
         # a rollback's net effect is row REMOVAL (the undone commits), which
@@ -384,11 +386,12 @@ class LakeTable:
 
     # ------------------------------------------------------------------ refs
 
-    def _write_ref(self, name: str, version: int, kind: str) -> None:
+    def _write_ref(self, name: str, version: int, kind: str, *, exclusive: bool = False) -> None:
         os.makedirs(self._refs_dir, exist_ok=True)
         _atomic_write(
             os.path.join(self._refs_dir, name),
             json.dumps({"version": int(version), "kind": kind}),
+            exclusive=exclusive,
         )
 
     def refs(self) -> dict[str, dict]:
@@ -427,7 +430,9 @@ class LakeTable:
             raise CommitConflict(f"ref {name!r} already exists")
         v = self.current_version() if version is None else version
         self.snapshot(v)  # must resolve (FileNotFoundError if expired)
-        self._write_ref(name, v, kind)
+        # exclusive create (raises CommitConflict): two racing create_* of
+        # one name → exactly one wins
+        self._write_ref(name, v, kind, exclusive=True)
         return {"name": name, "version": v, "kind": kind}
 
     def delete_ref(self, name: str) -> None:
@@ -441,9 +446,34 @@ class LakeTable:
         unless the current main head is an ancestor of the branch head, so
         a main-chain commit racing the audit is never silently discarded
         (rebase by re-merging the branch batches onto main, or roll main
-        back explicitly, then publish)."""
+        back explicitly, then publish).
+
+        Concurrency: the fast-forward is recorded as a MARKER SNAPSHOT
+        (parent = branch head, identical manifests, operation='publish')
+        claimed with the same exclusive version-file create every merge
+        uses — a bare compare-then-write of CURRENT would silently DISCARD
+        a main commit that lands between the ancestry check and the
+        pointer write (there is no atomic file CAS to close that window).
+        If a racing writer takes the version number first, publish raises
+        CommitConflict instead of losing the race loser's commit; a racing
+        merge that loses simply rebases onto the published state via its
+        normal retry. The marker adds no data (state identical to its
+        parent), so change attribution is [] and the streaming source /
+        ``changes()`` walk straight through it into the branch commits —
+        each branch batch is emitted as its own commit, exactly as if it
+        had been merged on main."""
         head = self.ref_version(branch)
         cur = self.current_version()
+        # already published (head == cur, or cur descends from head —
+        # e.g. the marker of an earlier publish of this same branch)
+        v: int | None = cur
+        while v is not None and v >= head:
+            if v == head:
+                return {"published": head, "previous": cur, "noop": True}
+            try:
+                v = self.snapshot(v)["parent"]
+            except FileNotFoundError:
+                break
         v = head
         while v != cur:
             if v is None or v < cur:
@@ -452,9 +482,34 @@ class LakeTable:
                     f"branch head v{head} — not a fast-forward"
                 )
             v = self.snapshot(v)["parent"]
-        if head != cur:
-            _atomic_write(os.path.join(self._snap_dir, "CURRENT"), str(head))
-        return {"published": head, "previous": cur, "noop": head == cur}
+        hs = self.snapshot(head)
+        marker = {
+            "format_version": FORMAT_VERSION,
+            "version": self._next_version(),
+            "parent": head,
+            "schema": hs["schema"],
+            "key_col": hs["key_col"],
+            "seq_col": hs["seq_col"],
+            "target_file_rows": hs.get("target_file_rows", 500_000),
+            "merge_mode": hs.get("merge_mode", "cow"),
+            "change_feed": hs.get("change_feed", False),
+            "bloom_delta_keys": hs.get("bloom_delta_keys", False),
+            "manifests": list(hs["manifests"]) if "manifests" in hs else [],
+            "last_batch": dict(hs["last_batch"]),
+            "summary": {"operation": "publish", "branch": branch, "previous_main": cur},
+            "timestamp_ms": int(time.time() * 1000),
+        }
+        if "files" in hs:  # v2-format branch head: repackage the inline list
+            marker["manifests"] = (
+                [self._write_manifest(hs["files"], marker["version"])] if hs["files"] else []
+            )
+        self._commit(marker)  # exclusive create = the conflict gate
+        return {
+            "published": head,
+            "version": marker["version"],
+            "previous": cur,
+            "noop": False,
+        }
 
     # ------------------------------------------------------- manifest access
 
