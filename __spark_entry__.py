@@ -403,6 +403,31 @@ def q_cdc_wap_publish(spark, sf_dir):
     return t.read().select("doc_id", "lsn", "n_tok", "source")
 
 
+def q_cdc_schema_rename(spark, sf_dir):
+    """Full schema evolution under the driver hash (`rename_column` /
+    `drop_column` + re-add — metadata-only alters with Iceberg field-id
+    semantics via stable physical file names): n_tok renames to tok_count
+    (values preserved, no file rewritten), source is dropped, then a
+    post-alter batch speaking the NEW names re-adds source — which gets a
+    FRESH physical column, so every pre-alter winner must read it as NULL.
+    A rename that loses values, a drop whose bytes resurface through the
+    re-added name, or a batch mis-mapped to the old physical column all
+    break the hash."""
+    t, _v1, _v2 = _mor_lake_from_binlog(spark, sf_dir, "altercols", mutable=True)
+    b = _binlog(spark, sf_dir)
+    t.rename_column("n_tok", "tok_count")
+    t.drop_column("source")
+    delta = b.filter(F.col("lsn") % 13 == 0).select(
+        "op",
+        "doc_id",
+        (F.col("lsn") + F.lit(2_000_000_000)).alias("lsn"),
+        (F.col("n_tok") + F.lit(3)).alias("tok_count"),
+        F.concat(F.lit("re-"), F.col("source")).alias("source"),
+    )
+    t.merge(delta, batch_id=2)
+    return t.read().select("doc_id", "lsn", "tok_count", "source")
+
+
 def q_cdc_snapshot_history(spark, sf_dir):
     """Snapshot-lineage audit (`LakeTable.history()`, the Iceberg
     snapshots-metadata-table analog): per-commit operation + row accounting
@@ -1210,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_history": q_cdc_snapshot_history,
         "cdc_rollback_state": q_cdc_rollback_state,
         "cdc_wap_publish": q_cdc_wap_publish,
+        "cdc_schema_rename": q_cdc_schema_rename,
         "cdc_delete_where": q_cdc_delete_where,
         "cdc_compacted_state": q_cdc_compacted_state,
         "cdc_stream_replicate": q_cdc_stream_replicate,
@@ -1888,6 +1914,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lsn, n_tok, source FROM last WHERE rn = 1 AND op <> 'D'
         """
     d["cdc_wap_publish"] = d["cdc_incremental_read"]
+    # rename/drop/re-add: latest-wins where pre-alter winners keep their
+    # (renamed) tok_count but read the re-added source as NULL — dropped
+    # values must never resurface through the fresh physical column
+    d["cdc_schema_rename"] = _BINLOG_CTE + """
+        , all_events AS (
+          SELECT op, doc_id, lsn, n_tok AS tok_count, CAST(NULL AS VARCHAR) AS source
+          FROM binlog
+          UNION ALL
+          SELECT op, doc_id, lsn + 2000000000 AS lsn, n_tok + 3 AS tok_count,
+                 're-' || source AS source
+          FROM binlog WHERE lsn % 13 = 0),
+        last AS (
+          SELECT doc_id, lsn, tok_count, source, op,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+          FROM all_events)
+        SELECT doc_id, lsn, tok_count, source FROM last WHERE rn = 1 AND op <> 'D'
+        """
     # predicate delete: latest-wins minus winners matching the predicate
     d["cdc_delete_where"] = _BINLOG_CTE + """
         , last AS (

@@ -1507,3 +1507,113 @@ def test_delete_where_predicate_tombstones(spark, tmp_path, mode):
     # change feed classifies the predicate delete as ordinary deletes
     ch = {(r["doc_id"], r["_change_type"]) for r in t.changes(1, 2).collect()}
     assert ch == {("a", "delete"), ("c", "delete")}
+
+
+# ------------------------------------------------- rename/drop/add (alter ops)
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_rename_drop_readd_columns(spark, tmp_path, mode):
+    """Metadata-only schema changes (Iceberg field-id semantics via stable
+    physical names): rename/drop touch no data file, time travel keeps the
+    old names, and a re-added name can never resurrect dropped values."""
+    t = LakeTable.create(
+        spark, str(tmp_path / f"alter-{mode}"), schema=STATE_SCHEMA,
+        target_file_rows=200, merge_mode=mode,
+    )
+    t.merge(_changes(spark, [("I", "a", 1, [1], 1, "web"), ("I", "b", 2, [2], 2, "code")]), batch_id=0)
+    v1 = t.current_version()
+
+    t.rename_column("n_tok", "tok_count")
+    # metadata-only: identical manifest list, no file touched
+    assert t.snapshot()["manifests"] == t.snapshot(v1)["manifests"]
+    assert [f.name for f in t.schema().fields] == ["doc_id", "lsn", "tokens", "tok_count", "source"]
+    got = {r["doc_id"]: r.asDict() for r in t.read().collect()}
+    assert got["a"]["tok_count"] == 1 and "n_tok" not in got["a"]
+    # time travel to the pre-rename snapshot sees the OLD name
+    assert "n_tok" in t.read(version=v1).columns and "tok_count" not in t.read(version=v1).columns
+
+    # merges speak the NEW logical name; the physical file column is stable
+    t.merge(
+        spark.createDataFrame(
+            [("U", "a", 10, [10], 5, "web")],
+            "op string, doc_id string, lsn long, tokens array<int>, tok_count int, source string",
+        ),
+        batch_id=1,
+    )
+    assert {r["doc_id"]: r["tok_count"] for r in t.read().collect()} == {"a": 5, "b": 2}
+    assert t.read_keys(["a"]).columns == ["doc_id", "lsn", "tokens", "tok_count", "source"]
+    ch = t.changes(v1)
+    assert "tok_count" in ch.columns and "n_tok" not in ch.columns
+    assert {(r["doc_id"], r["_change_type"], r["tok_count"]) for r in ch.collect()} == {("a", "update", 5)}
+
+    # drop: no logical column reads the bytes any more
+    t.drop_column("source")
+    assert "source" not in t.read().columns
+    # re-add via a merge batch carrying the same name → FRESH physical column
+    t.merge(
+        spark.createDataFrame(
+            [("I", "c", 20, [20], 7, "fresh")],
+            "op string, doc_id string, lsn long, tokens array<int>, tok_count int, source string",
+        ),
+        batch_id=2,
+    )
+    got = {r["doc_id"]: r.asDict() for r in t.read().collect()}
+    assert got["c"]["source"] == "fresh"
+    # dropped values never resurface through the re-added column
+    assert got["a"]["source"] is None and got["b"]["source"] is None
+    phys = {c["logical"]: c["physical"] for c in t.snapshot()["columns"]}
+    assert phys["source"] != "source" and phys["tok_count"] == "n_tok"
+
+    # an OLD producer still sending the pre-rename name creates a NEW
+    # column (Iceberg semantics: names rebind, ids don't)
+    t.merge(
+        spark.createDataFrame(
+            [("U", "b", 30, [30], 9)],
+            "op string, doc_id string, lsn long, tokens array<int>, n_tok int",
+        ),
+        batch_id=3,
+    )
+    got = {r["doc_id"]: r.asDict() for r in t.read().collect()}
+    assert got["b"]["n_tok"] == 9 and got["b"]["tok_count"] is None
+    assert got["a"]["n_tok"] is None  # pre-existing rows: new column is null
+    assert {c["logical"] for c in t.snapshot()["columns"]} >= {"tok_count", "n_tok", "source"}
+    assert len({c["physical"] for c in t.snapshot()["columns"]}) == len(t.snapshot()["columns"])
+
+    # validation: collisions / reserved columns refuse
+    with pytest.raises(ValueError):
+        t.rename_column("tok_count", "lsn")
+    with pytest.raises(ValueError):
+        t.rename_column("ghost", "x")
+    with pytest.raises(ValueError):
+        t.drop_column("doc_id")
+    with pytest.raises(ValueError):
+        t.add_column("lsn", "long")
+
+
+def test_alter_interacts_with_maintenance_and_time_travel(spark, tmp_path):
+    """compact/rollback/delete_where/add_column compose with the mapping."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "alter-maint"), schema=STATE_SCHEMA,
+        target_file_rows=200, merge_mode="mor",
+    )
+    t.merge(_changes(spark, [("I", "a", 1, [1], 1, "web"), ("I", "b", 2, [2], 2, "code")]), batch_id=0)
+    v1 = t.current_version()
+    t.rename_column("source", "origin")
+    t.add_column("lang", "string")
+    assert {r["doc_id"]: r["lang"] for r in t.read().collect()} == {"a": None, "b": None}
+
+    # delete_where predicate speaks the CURRENT logical names
+    t.delete_where("origin = 'web'", batch_id=1)
+    assert [r["doc_id"] for r in t.read().collect()] == ["b"]
+
+    # compaction rewrites data files but keeps the mapping (and the state)
+    r = t.compact()
+    assert not r.get("noop")
+    assert t.read().columns == ["doc_id", "lsn", "tokens", "n_tok", "origin", "lang"]
+    assert [r["doc_id"] for r in t.read().collect()] == ["b"]
+
+    # rollback to the pre-alter snapshot restores the OLD logical schema
+    t.rollback(v1)
+    assert "source" in t.read().columns and "origin" not in t.read().columns
+    assert sorted(r["doc_id"] for r in t.read().collect()) == ["a", "b"]

@@ -412,3 +412,49 @@ def test_stream_source_reads_through_widened_schema(spark, tmp_path):
     rows = _drain(spark, t.path, str(tmp_path / "ckw"), "feedw", start_version=0)
     got = {r["doc_id"]: r["n_tok"] for r in rows}
     assert got == {"a": 5, "b": big}
+
+
+def test_stream_source_and_sink_with_renamed_columns(spark, tmp_path):
+    """rename/drop are metadata-only, so the streaming surfaces must
+    translate: the SOURCE emits the table's LOGICAL names while reading the
+    stable physical file columns; the SINK accepts logical names and stages
+    files with physical names so commit_staged adopts them unchanged."""
+    a = _mk(spark, tmp_path, "renA")
+    _merge(a, [("I", "a", 1, 1, "web"), ("I", "b", 2, 1, "web")], 0)
+    a.rename_column("n_tok", "tok_count")
+    _merge_renamed = lambda rows, bid: a.merge(
+        spark.createDataFrame(
+            rows, "op string, doc_id string, lsn long, tok_count int, source string"
+        ),
+        batch_id=bid,
+    )
+    _merge_renamed([("U", "a", 10, 5, "web")], 1)
+
+    rows = _drain(spark, a.path, str(tmp_path / "ck-renA"), "renA")
+    assert "tok_count" in rows[0].asDict() and "n_tok" not in rows[0].asDict()
+    got = {(r["doc_id"], r["lsn"]): r["tok_count"] for r in rows}
+    assert got == {("a", 1): 1, ("b", 2): 1, ("a", 10): 5}
+
+    # sink into a SECOND renamed table: logical stream columns land in the
+    # physical file layer, and reads come back logical
+    b = _mk(spark, tmp_path, "renB")
+    b.rename_column("n_tok", "tok_count")
+    feed = spark.readStream.format("ztdf_lake").option("path", a.path).load()
+    out = feed.selectExpr(
+        "CASE WHEN _change_type = 'delete' THEN 'D' ELSE 'U' END AS op",
+        "doc_id", "lsn", "tok_count", "source",
+    )
+    q = (
+        out.writeStream.format("ztdf_lake")
+        .option("path", b.path)
+        .option("checkpointLocation", str(tmp_path / "ck-renB"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got_b = {r["doc_id"]: r["tok_count"] for r in b.read().collect()}
+    assert got_b == {"a": 5, "b": 1}
+    # physical file layer really is the stable name
+    snap = b.snapshot()
+    assert {c["logical"]: c["physical"] for c in snap["columns"]}["tok_count"] == "n_tok"

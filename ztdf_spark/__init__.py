@@ -20,7 +20,8 @@ SimpleOpenTDFControllerService), re-expressed Spark-first:
                    ``AbstractTDFProcessor.java:113-115``)
 - ``lake``       — minimal Iceberg-v2-semantics table format over Parquet
                    (atomic snapshot commits, COW + merge-on-read MERGE,
-                   additive schema evolution + type widening, time travel,
+                   additive schema evolution + type widening + metadata-only
+                   rename/drop/re-add (stable physical names), time travel,
                    batch-id fencing, incremental change feed, compaction /
                    retention / vacuum, snapshot rollback, predicate
                    delete_where, named refs: tags + branches with

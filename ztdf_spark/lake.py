@@ -162,6 +162,20 @@ def _entries_stats(entries: list[dict]) -> dict:
     }
 
 
+def columns_map(snap: dict) -> list[dict]:
+    """The snapshot's logical→physical column mapping, identity when the
+    table has never been altered (see ``LakeTable`` 'logical column
+    mapping'). Module-level so the streaming source/sink (ztdf_spark/
+    source.py) shares one definition with the table."""
+    cols = snap.get("columns")
+    if cols is not None:
+        return cols
+    return [
+        {"logical": f["name"], "physical": f["name"]}
+        for f in snap["schema"]["fields"]
+    ]
+
+
 def added_delta_entries(snap: dict, *, read_manifest, get_parent=None):
     """Per-file entries newly ADDED by commit ``snap`` when the commit is a
     pure MOR delta append; ``[]`` for housekeeping commits (create /
@@ -191,9 +205,10 @@ def added_delta_entries(snap: dict, *, read_manifest, get_parent=None):
     whose manifests all carry explicit ``added_at``.
     """
     summary = snap.get("summary", {})
-    if summary.get("operation") in ("create", "compact", "publish"):
+    if summary.get("operation") in ("create", "compact", "publish", "alter"):
         # publish markers are state-identical to their parent (the branch
-        # head); the branch's own commits carry the changes
+        # head); the branch's own commits carry the changes. alter commits
+        # (rename/drop/add column) are pure metadata: rows unchanged
         return []
     if summary.get("operation") == "rollback":
         # a rollback's net effect is row REMOVAL (the undone commits), which
@@ -358,7 +373,186 @@ class LakeTable:
         return list(reversed(out))
 
     def schema(self, version: int | None = None) -> T.StructType:
+        """The table's LOGICAL schema — what readers see and writers send.
+        Identical to the physical schema until a ``rename_column`` /
+        ``drop_column`` / ``add_column``; afterwards the snapshot's
+        ``columns`` mapping projects stable PHYSICAL file columns to the
+        current logical names (Iceberg field-id semantics: rename and drop
+        are metadata-only, no file rewrite, and a re-added name can never
+        resurrect dropped data)."""
+        snap = self.snapshot(version)
+        phys = T.StructType.fromJson(snap["schema"])
+        return T.StructType(
+            [
+                T.StructField(c["logical"], phys[c["physical"]].dataType, True)
+                for c in self._columns_map(snap)
+            ]
+        )
+
+    def physical_schema(self, version: int | None = None) -> T.StructType:
         return T.StructType.fromJson(self.snapshot(version)["schema"])
+
+    # ------------------------------------------------- logical column mapping
+    #
+    # PHYSICAL names are frozen at the moment a column first lands in a data
+    # file; every file of the table, forever, uses them — so one read schema
+    # covers every file and rename/drop/re-add are pure snapshot metadata
+    # (the Iceberg field-id trick, with the stable physical NAME playing the
+    # field id). The snapshot's optional ``columns`` list
+    # [{"logical", "physical"}, ...] (logical order) maps the two layers;
+    # absent = identity (every pre-existing table). Dropped columns simply
+    # leave the list — their physical fields stay in the file schema (old
+    # files still hold the bytes until compact()/vacuum() rewrites them) but
+    # no logical column reads them, and re-adding the same logical name
+    # allocates a FRESH physical name, so the old values never resurface.
+
+    def _columns_map(self, snap: dict) -> list[dict]:
+        return columns_map(snap)
+
+    def _project_logical(self, df: DataFrame, snap: dict, extra: tuple = ()) -> DataFrame:
+        """Physical result rows → logical names (+ passthrough extras).
+        A pure projection: Catalyst collapses it into the scan, so column
+        pruning still reaches parquet."""
+        sel = [
+            F.col(c["physical"]).alias(c["logical"]) for c in self._columns_map(snap)
+        ]
+        return df.select(*sel, *[F.col(e) for e in extra])
+
+    def _physicalize_batch(self, snap: dict, df: DataFrame):
+        """Incoming batch (logical names) → physical names, allocating fresh
+        physical names for NEW logical columns (additive evolution through a
+        mapping). Returns ``(renamed_df, columns_after | None)`` —
+        ``columns_after`` is None when the snapshot has no mapping and every
+        new column is identity (the common case: nothing to persist)."""
+        cols = snap.get("columns")
+        mapping = self._columns_map(snap)
+        l2p = {c["logical"]: c["physical"] for c in mapping}
+        taken = {f["name"] for f in snap["schema"]["fields"]}
+        taken |= {c["physical"] for c in mapping}
+        rename: dict[str, str] = {}
+        new_entries: list[dict] = []
+        for name in df.columns:
+            if name in ("op", _TOMBSTONE):
+                continue
+            if name in l2p:
+                if l2p[name] != name:
+                    rename[name] = l2p[name]
+                continue
+            # new logical column. Its natural physical name may be taken by
+            # a dropped/renamed-away column — allocate a fresh one so old
+            # file bytes can never read back through the new logical column
+            p, i = name, 2
+            while p in taken:
+                p, i = f"{name}__{i}", i + 1
+            taken.add(p)
+            new_entries.append({"logical": name, "physical": p})
+            if p != name:
+                rename[name] = p
+        if rename:
+            df = df.withColumnsRenamed(rename)
+        if cols is None and all(e["logical"] == e["physical"] for e in new_entries):
+            return df, None  # identity stays implicit
+        return df, mapping + new_entries
+
+    def _alter(self, mutate, summary_detail: dict, retries: int = 2) -> dict:
+        """Commit a metadata-only schema change (operation='alter'): same
+        manifests, possibly extended physical schema, updated ``columns``
+        mapping. ``mutate(columns, phys_fields)`` edits both in place.
+        Optimistic-concurrency like merge: losing the exclusive version
+        claim to a racing writer re-reads and re-applies."""
+        for attempt in range(retries + 1):
+            snap = self.snapshot()
+            columns = [dict(c) for c in self._columns_map(snap)]
+            phys_fields = [dict(f) for f in snap["schema"]["fields"]]
+            mutate(columns, phys_fields)
+            new_snap = {
+                "format_version": FORMAT_VERSION,
+                "version": self._next_version(),
+                "parent": snap["version"],
+                "schema": {**snap["schema"], "fields": phys_fields},
+                "columns": columns,
+                "key_col": snap["key_col"],
+                "seq_col": snap["seq_col"],
+                "target_file_rows": snap.get("target_file_rows", 500_000),
+                "merge_mode": snap.get("merge_mode", "cow"),
+                "change_feed": snap.get("change_feed", False),
+                "bloom_delta_keys": snap.get("bloom_delta_keys", False),
+                "manifests": list(snap["manifests"]) if "manifests" in snap else [],
+                "last_batch": dict(snap["last_batch"]),
+                "summary": {"operation": "alter", **summary_detail},
+                "timestamp_ms": int(time.time() * 1000),
+            }
+            if "files" in snap:  # v2-format parent: repackage the inline list
+                new_snap["manifests"] = (
+                    [self._write_manifest(snap["files"], new_snap["version"])]
+                    if snap["files"]
+                    else []
+                )
+            try:
+                self._commit(new_snap)
+                return {"version": new_snap["version"], **new_snap["summary"]}
+            except CommitConflict:
+                if attempt == retries:
+                    raise
+        raise AssertionError("unreachable")
+
+    def rename_column(self, old: str, new: str) -> dict:
+        """Metadata-only column rename (Iceberg ``RENAME COLUMN``): no file
+        is touched; reads at the new snapshot see ``new``, time travel to
+        older snapshots still sees ``old``. The key/seq columns may be
+        renamed too — incoming merge batches then use the new name."""
+
+        def mutate(columns, phys_fields):
+            live = {c["logical"] for c in columns}
+            if old not in live:
+                raise ValueError(f"no column {old!r} (live columns: {sorted(live)})")
+            if new in live and new != old:
+                raise ValueError(f"column {new!r} already exists")
+            for c in columns:
+                if c["logical"] == old:
+                    c["logical"] = new
+
+        return self._alter(mutate, {"rename": [old, new]})
+
+    def drop_column(self, name: str) -> dict:
+        """Metadata-only column drop. The physical column stays in old files
+        (bytes linger until compaction rewrites them — same contract as
+        ``delete_where``) but no logical column reads it, and a later
+        ``add_column``/merge with the same name gets a FRESH physical
+        column, so dropped values never resurface."""
+
+        def mutate(columns, phys_fields):
+            entry = next((c for c in columns if c["logical"] == name), None)
+            if entry is None:
+                raise ValueError(f"no column {name!r}")
+            snap = self.snapshot()
+            for reserved in (snap["key_col"], snap["seq_col"]):
+                if entry["physical"] == reserved:
+                    raise ValueError(f"cannot drop the key/seq column {name!r}")
+            columns.remove(entry)
+
+        return self._alter(mutate, {"drop": name})
+
+    def add_column(self, name: str, dtype) -> dict:
+        """Explicit additive evolution (same semantics as a merge batch
+        carrying a new column): appends a nullable logical column; existing
+        rows read it as null."""
+        if isinstance(dtype, str):
+            dtype = getattr(T, "_parse_datatype_string")(dtype)
+
+        def mutate(columns, phys_fields):
+            if any(c["logical"] == name for c in columns):
+                raise ValueError(f"column {name!r} already exists")
+            taken = {f["name"] for f in phys_fields} | {c["physical"] for c in columns}
+            p, i = name, 2
+            while p in taken:
+                p, i = f"{name}__{i}", i + 1
+            phys_fields.append(
+                json.loads(T.StructField(p, dtype, True).json())
+            )
+            columns.append({"logical": name, "physical": p})
+
+        return self._alter(mutate, {"add": name, "type": dtype.simpleString()})
 
     def _commit(self, snap: dict, ref: str | None = None) -> None:
         _atomic_write(
@@ -488,6 +682,7 @@ class LakeTable:
             "version": self._next_version(),
             "parent": head,
             "schema": hs["schema"],
+            **({"columns": hs["columns"]} if hs.get("columns") is not None else {}),
             "key_col": hs["key_col"],
             "seq_col": hs["seq_col"],
             "target_file_rows": hs.get("target_file_rows", 500_000),
@@ -588,15 +783,17 @@ class LakeTable:
         schema = T.StructType.fromJson(snap["schema"])
         files = self._files(snap)
         if not files:
-            return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame([], schema).transform(
+                lambda d: self._project_logical(d, snap)
+            )
         delta = [f for f in files if f.get("delta")]
         base = [f for f in files if not f.get("delta")]
         if delta and base:
             pruned = self._read_delta_pruned(snap, schema, base, delta)
             if pruned is not None:
-                return pruned
+                return self._project_logical(pruned, snap)
         live = self._winners_df(snap).filter(~F.coalesce(F.col(_TOMBSTONE), F.lit(False)))
-        return live.select(*[f.name for f in schema.fields])
+        return self._project_logical(live, snap)
 
     def _read_delta_pruned(self, snap: dict, schema: T.StructType, base: list[dict], delta: list[dict]) -> DataFrame | None:
         """Full-table read whose cost scales with delta size at fixed
@@ -823,8 +1020,8 @@ class LakeTable:
         live = self._winners_df(snap, files).filter(
             ~F.coalesce(F.col(_TOMBSTONE), F.lit(False))
         )
-        return live.join(F.broadcast(wanted), key_col, "left_semi").select(
-            *[f.name for f in schema.fields]
+        return self._project_logical(
+            live.join(F.broadcast(wanted), key_col, "left_semi"), snap
         )
 
     def _interval_delta_entries(self, from_version: int, to_version: int) -> list[dict] | None:
@@ -906,8 +1103,9 @@ class LakeTable:
         key_col, seq_col = snap_to["key_col"], snap_to["seq_col"]
         schema = T.StructType.fromJson(snap_to["schema"])
         data_cols = [f.name for f in schema.fields]
-        out_schema = T.StructType(
-            list(schema.fields) + [T.StructField("_change_type", T.StringType())]
+        out_schema = T.StructType(  # LOGICAL names of the `to` snapshot
+            list(self.schema(snap_to["version"]).fields)
+            + [T.StructField("_change_type", T.StringType())]
         )
         if snap_from["version"] == snap_to["version"]:
             return self.spark.createDataFrame([], out_schema)
@@ -1010,11 +1208,13 @@ class LakeTable:
             .when(t_live & f_live & (F.col(seq_col) != F.col("_fseq")), F.lit("update"))
             .when(~t_live & f_live, F.lit("delete"))
         )
-        return (
+        return self._project_logical(
             j.withColumn("_change_type", ctype)
             .filter(F.col("_change_type").isNotNull())
             .withColumn(key_col, F.coalesce(F.col(key_col), F.col("_ck")))
-            .select(*data_cols, "_change_type")
+            .select(*data_cols, "_change_type"),
+            snap_to,
+            extra=("_change_type",),
         )
 
     # ----------------------------------------------------------------- merge
@@ -1206,12 +1406,15 @@ class LakeTable:
         change_manifests: list[dict] | None = None,
         ref: str | None = None,
         new_version: int | None = None,
+        columns: list[dict] | None = None,
     ) -> dict:
         if new_version is None:
             new_version = snap["version"] + 1
         last_batch = dict(snap["last_batch"])
         if batch_id is not None:
             last_batch[app_id] = batch_id
+        if columns is None:
+            columns = snap.get("columns")  # carry the mapping forward
         new_snap = {
             "format_version": FORMAT_VERSION,
             "version": new_version,
@@ -1225,6 +1428,7 @@ class LakeTable:
             "bloom_delta_keys": snap.get("bloom_delta_keys", False),
             "manifests": manifests,
             "last_batch": last_batch,
+            **({"columns": columns} if columns is not None else {}),
             "summary": {"batch_id": batch_id, "app_id": app_id, **summary},
             "timestamp_ms": int(time.time() * 1000),
         }
@@ -1341,6 +1545,9 @@ class LakeTable:
         if fenced:
             return fenced
 
+        # batch arrives with LOGICAL names; files are written with stable
+        # PHYSICAL names (new logical columns allocate fresh physical ones)
+        changes, columns_after = self._physicalize_batch(snap, changes)
         schema = self._evolve_schema(snap, changes.schema)
         data_cols = [f.name for f in schema.fields]
         changes = changes.dropDuplicates([key_col, seq_col])
@@ -1387,6 +1594,7 @@ class LakeTable:
                 app_id=app_id,
                 ref=branch,
                 new_version=nv,
+                columns=columns_after,
                 summary={
                     "operation": "merge",
                     "mode": "mor",
@@ -1537,6 +1745,7 @@ class LakeTable:
                 change_manifests=change_manifests,
                 ref=branch,
                 new_version=nv,
+                columns=columns_after,
                 summary={
                     "operation": "merge",
                     "mode": "cow",
@@ -1585,6 +1794,38 @@ class LakeTable:
         fenced = self._fence(snap, batch_id, app_id)
         if fenced:
             return fenced
+        # staged files are ALREADY WRITTEN, so their column names must be
+        # the table's stable PHYSICAL names (after a rename the logical and
+        # physical layers differ; merge() renames a logical batch, but a
+        # staged file cannot be renamed in place). New columns are fine when
+        # their identity physical name is free; a dropped column's lingering
+        # physical name is refused so old data can't resurrect through it.
+        columns_after = None
+        if batch_schema is not None:
+            mapping = self._columns_map(snap)
+            l2p = {c["logical"]: c["physical"] for c in mapping}
+            live_phys = {c["physical"] for c in mapping}
+            all_phys = {f["name"] for f in snap["schema"]["fields"]}
+            new_entries = []
+            for f in batch_schema.fields:
+                n = f.name
+                if n in ("op", _TOMBSTONE) or n in live_phys:
+                    continue
+                if n in l2p:  # logical whose physical differs
+                    raise ValueError(
+                        f"staged column {n!r} must use the physical name "
+                        f"{l2p[n]!r} (table has renamed columns; stage with "
+                        "physical names or use merge())"
+                    )
+                if n in all_phys:  # dropped column's physical name
+                    raise ValueError(
+                        f"staged column {n!r} matches a DROPPED column's "
+                        "physical name; re-add it via add_column()/merge() "
+                        "first (it will get a fresh physical column)"
+                    )
+                new_entries.append({"logical": n, "physical": n})
+            if snap.get("columns") is not None and new_entries:
+                columns_after = mapping + new_entries
         schema = self._evolve_schema(snap, batch_schema) if batch_schema is not None else T.StructType.fromJson(snap["schema"])
         nv = self._next_version()
         new_entries = self._adopt_staged(staged_dir, nv, snap["key_col"], delta=True)
@@ -1608,6 +1849,7 @@ class LakeTable:
             batch_id=batch_id,
             new_version=nv,
             app_id=app_id,
+            columns=columns_after,
             summary={
                 "operation": "merge",
                 "mode": "mor",
@@ -1779,6 +2021,9 @@ class LakeTable:
             "version": new_version,
             "parent": cur["version"],
             "schema": target["schema"],
+            **(
+                {"columns": target["columns"]} if target.get("columns") is not None else {}
+            ),
             "key_col": cur["key_col"],
             "seq_col": cur["seq_col"],
             "target_file_rows": cur.get("target_file_rows", 500_000),

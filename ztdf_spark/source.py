@@ -54,7 +54,7 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-from .lake import _DATA_DIR, _MANIFEST_DIR, _SNAP_DIR, _TOMBSTONE
+from .lake import _DATA_DIR, _MANIFEST_DIR, _SNAP_DIR, _TOMBSTONE, columns_map
 
 CHANGE_TYPE_COL = "_change_type"
 COMMIT_VERSION_COL = "_commit_version"
@@ -151,10 +151,14 @@ class LakeChangeStreamReader(DataSourceStreamReader):
         schema: T.StructType,
         max_versions: int | None = None,
         max_files: int | None = None,
+        l2p: dict[str, str] | None = None,
     ):
         self.table_path = table_path
         self.start_version = start_version
         self.schema = schema
+        # logical→physical column names (rename/drop support): files carry
+        # stable physical names; the query schema is logical
+        self.l2p = l2p or {}
         self.max_versions = max_versions
         self.max_files = max_files
         self._cursor: int | None = None  # highest offset this reader has
@@ -270,8 +274,10 @@ class LakeChangeStreamReader(DataSourceStreamReader):
                     arrays.append(pc.if_else(dead, pa.scalar("delete"), pa.scalar("upsert")))
                 elif field.name == COMMIT_VERSION_COL:
                     arrays.append(pa.array([partition.version] * batch.num_rows, type=pa.int64()))
-                elif field.name in have:
-                    arrays.append(batch.column(field.name).cast(field.type))
+                elif self.l2p.get(field.name, field.name) in have:
+                    arrays.append(
+                        batch.column(self.l2p.get(field.name, field.name)).cast(field.type)
+                    )
                 else:
                     # file written before an additive schema evolution: the
                     # new column reads as null, Iceberg-style
@@ -311,10 +317,20 @@ class LakeStreamWriter(DataSourceStreamArrowWriter):
     fence each other's (independently numbered) epochs as replays.
     """
 
-    def __init__(self, table_path: str, schema: T.StructType, app_id: str):
+    def __init__(
+        self,
+        table_path: str,
+        schema: T.StructType,
+        app_id: str,
+        l2p: dict[str, str] | None = None,
+    ):
         self.table_path = table_path
         self.schema = schema
         self.app_id = app_id
+        # logical→physical (non-identity entries only): the stream sends
+        # logical names, staged files must carry the table's stable
+        # physical names (commit_staged cannot rename files in place)
+        self.l2p = l2p or {}
         self.stage_root = os.path.join(table_path, "_staging")
 
     def write(self, iterator):
@@ -340,6 +356,11 @@ class LakeStreamWriter(DataSourceStreamArrowWriter):
                     [batch.column(n) for n in batch.schema.names]
                     + [pa.array([False] * batch.num_rows, type=pa.bool_())],
                     list(batch.schema.names) + [_TOMBSTONE],
+                )
+            if self.l2p:
+                batch = pa.RecordBatch.from_arrays(
+                    list(batch.columns),
+                    [self.l2p.get(n, n) for n in batch.schema.names],
                 )
             if writer is None:
                 writer = pq.ParquetWriter(path, batch.schema)
@@ -370,7 +391,11 @@ class LakeStreamWriter(DataSourceStreamArrowWriter):
                 os.replace(m.path, os.path.join(d, f"{uuid.uuid4().hex}.parquet"))
                 n += m.rows
         t = LakeTable.load(SparkSession.getActiveSession(), self.table_path)
-        data_fields = [f for f in self.schema.fields if f.name not in ("op", _TOMBSTONE)]
+        data_fields = [
+            T.StructField(self.l2p.get(f.name, f.name), f.dataType, True)
+            for f in self.schema.fields
+            if f.name not in ("op", _TOMBSTONE)
+        ]
         try:
             if n:
                 t.commit_staged(
@@ -423,7 +448,13 @@ class ZtdfLakeDataSource(DataSource):
     def schema(self) -> T.StructType:
         snap = _read_snapshot(self._table_path(), _current_version(self._table_path()))
         _check_streamable(snap, self._table_path())
-        fields = list(T.StructType.fromJson(snap["schema"]).fields)
+        # LOGICAL names (post rename/drop); files keep stable physical
+        # names, translated per batch in the reader/writer
+        phys = T.StructType.fromJson(snap["schema"])
+        fields = [
+            T.StructField(c["logical"], phys[c["physical"]].dataType, True)
+            for c in columns_map(snap)
+        ]
         fields.append(T.StructField(CHANGE_TYPE_COL, T.StringType()))
         fields.append(T.StructField(COMMIT_VERSION_COL, T.LongType()))
         return T.StructType(fields)
@@ -435,12 +466,18 @@ class ZtdfLakeDataSource(DataSource):
         start = int(self.options.get("startversion", 0))
         mv = self.options.get("maxversionspertrigger")
         mf = self.options.get("maxfilespertrigger")
+        snap = _read_snapshot(path, _current_version(path))
         return LakeChangeStreamReader(
             self._table_path(),
             start,
             schema,
             max_versions=int(mv) if mv is not None else None,
             max_files=int(mf) if mf is not None else None,
+            l2p={
+                c["logical"]: c["physical"]
+                for c in columns_map(snap)
+                if c["logical"] != c["physical"]
+            },
         )
 
     def streamWriter(self, schema: T.StructType, overwrite: bool) -> LakeStreamWriter:
@@ -470,4 +507,13 @@ class ZtdfLakeDataSource(DataSource):
                     "visible to the data source)"
                 )
             app_id = "ztdf_lake_sink-" + hashlib.sha1(ckpt.encode()).hexdigest()[:12]
-        return LakeStreamWriter(path, schema, app_id)
+        return LakeStreamWriter(
+            path,
+            schema,
+            app_id,
+            l2p={
+                c["logical"]: c["physical"]
+                for c in columns_map(snap)
+                if c["logical"] != c["physical"]
+            },
+        )
