@@ -817,6 +817,34 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_dedup_canonicalize(spark, sf_dir):
+    """Corpus canonicalization (textops.dedup_canonicalize): the near-dup
+    clusters of dedup_clusters, but every document — singletons included —
+    is mapped to its cluster's highest-QUALITY keeper (longest n_chars,
+    ties to the smallest doc_id), i.e. the materialized keep/drop decision
+    a training pipeline applies. The keeper election is one partial-combine
+    aggregation (max of a (quality, -id) struct) + an equi-join back —
+    no windows, no global sort. Oracle: the recursive-CTE closure plus a
+    window arg-max over the SAME quality order; a wrong keeper (min-id
+    instead of quality, missed singleton, tie broken the other way)
+    breaks the hash."""
+    return textops.dedup_canonicalize(
+        _t(spark, sf_dir, "documents"), k=3, min_jac_q=300, df_cap=100
+    )
+
+
+def q_text_line_dedup(spark, sf_dir):
+    """Cross-document boilerplate-line removal (textops.line_dedup, the
+    CCNet/RefinedWeb filter): deterministic 10-word chunks as 'lines', any
+    line in >2 distinct docs dropped from every doc; per doc the count of
+    total/kept lines plus an md5 digest of the kept lines re-joined in
+    ORIGINAL order — so a dropped-but-should-keep line, a lost line, or a
+    reordering all break the hash."""
+    return textops.line_dedup(
+        _t(spark, sf_dir, "documents"), words_per_line=10, max_df=2
+    )
+
+
 def q_events_asof_join(spark, sf_dir):
     """Inclusive backward as-of join (stream_ops.asof_join): each purchase
     event picks up the LATEST signup of the same user at-or-before its
@@ -1271,6 +1299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "corpus_mixture": q_corpus_mixture,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_canonicalize": q_dedup_canonicalize,
+        "text_line_dedup": q_text_line_dedup,
         "events_asof_join": q_events_asof_join,
         "tok_pack_spans": q_tok_pack_spans,
         "tok_pack_chunks": q_tok_pack_chunks,
@@ -1886,6 +1916,69 @@ def oracle_sql() -> dict[str, str]:
         SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id,
                a = least(a, MIN(b)) AS is_keeper
         FROM reach GROUP BY a
+        """
+    # canonicalization: same recursive-CTE closure, then a window arg-max
+    # elects the quality keeper (longest n_chars, ties to smallest id) and
+    # singletons fold in via the LEFT JOIN + COALESCE
+    d["dedup_canonicalize"] = """
+        WITH RECURSIVE sh AS (
+          SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(w[i:i+2], ' ')
+                           for i in generate_series(1, greatest(len(w)-2, 0))]) AS shingle
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents))),
+        per_doc AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        rare AS (
+          SELECT sh.doc_id, sh.shingle FROM sh
+          JOIN (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle HAVING COUNT(*) <= 100) f
+          USING (shingle)),
+        cnt AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+          FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT doc_a, doc_b FROM cnt
+          JOIN per_doc pa ON pa.doc_id = doc_a
+          JOIN per_doc pb ON pb.doc_id = doc_b
+          WHERE floor(1000.0 * common / (pa.n_sh + pb.n_sh - common)) >= 300),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+        reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        clusters AS (SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+        alld AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
+                 FROM documents),
+        withc AS (
+          SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+          FROM alld d LEFT JOIN clusters c USING (doc_id)),
+        lab AS (
+          SELECT doc_id, cluster_id,
+                 FIRST_VALUE(doc_id) OVER (
+                   PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC) AS keeper_id
+          FROM withc)
+        SELECT doc_id, cluster_id, keeper_id, doc_id = keeper_id AS is_keeper FROM lab
+        """
+    # boilerplate-line removal: identical 10-word chunking, document
+    # frequency over distinct docs, order-preserving md5 of kept lines
+    d["text_line_dedup"] = """
+        WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        nl AS (SELECT doc_id, ws, CAST(ceil(len(ws) / 10.0) AS BIGINT) AS n FROM w),
+        lines AS (
+          SELECT doc_id, i AS pos,
+                 array_to_string(list_slice(ws, (i - 1) * 10 + 1, i * 10), ' ') AS line
+          FROM nl, LATERAL unnest(generate_series(1, n)) AS t(i)),
+        dfc AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY line),
+        fl AS (SELECT l.doc_id, l.pos, l.line, (d.df <= 2) AS keep
+               FROM lines l JOIN dfc d USING (line))
+        SELECT doc_id, COUNT(*) AS n_lines,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               md5(COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), ''))
+                 AS kept_md5
+        FROM fl GROUP BY doc_id
         """
     # as-of join: DuckDB's NATIVE ASOF LEFT JOIN is the oracle, with the
     # same max-event_id dedup of equal-timestamp signups

@@ -206,3 +206,68 @@ def test_dedup_clusters_transitive_keeper(spark):
            for r in textops.dedup_clusters(docs, min_jac_q=300).collect()}
     assert got[10] == (10, True) and got[11] == (10, False) and got[12] == (10, False)
     assert got[13] == (13, True) and got[14] == (13, False)
+
+
+def test_dedup_canonicalize_quality_keeper(spark):
+    """Keeper = longest n_chars per cluster (tie → smallest id); singletons
+    keep themselves; every input doc appears exactly once."""
+    rows = [
+        (10, "alpha beta gamma delta epsilon zeta"),
+        (11, "alpha beta gamma delta epsilon eta longer tail here"),  # near-dup of 10, LONGER
+        (12, "gamma delta epsilon eta theta iota"),  # bridges via 11
+        (13, "totally different words entirely here now"),
+        (14, "totally different words entirely here now"),  # exact dup, same length → min id wins
+        (15, "a lone unrelated document about nothing shared"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keeper_id"], r["is_keeper"])
+        for r in textops.dedup_canonicalize(docs, min_jac_q=200).collect()
+    }
+    assert len(got) == 6
+    # cluster {10,11,12}: 11 is longest → keeper despite not being min id
+    assert got[10] == (10, 11, False)
+    assert got[11] == (10, 11, True)
+    assert got[12] == (10, 11, False)
+    # equal lengths tie-break to the smaller id
+    assert got[13] == (13, 13, True) and got[14] == (13, 13, False)
+    # singleton keeps itself
+    assert got[15] == (15, 15, True)
+
+
+def test_line_dedup_boilerplate_removal(spark):
+    """Chunks repeated across >max_df docs are dropped everywhere; order of
+    surviving chunks is preserved; a doc losing every line keeps md5('')."""
+    import hashlib
+
+    wpl = 3
+    boiler = "all rights reserved"  # one 3-word line shared by ALL docs
+    rows = [
+        (1, f"{boiler} unique one text here extra pad"),
+        (2, f"{boiler} other words follow now and then"),
+        (3, f"different head part {boiler} tail bit xx"),
+        (4, boiler),  # boilerplate-only doc → zero kept lines
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r.asDict() for r in textops.line_dedup(docs, words_per_line=wpl, max_df=2).collect()}
+
+    # independent python oracle
+    chunks = {
+        i: [" ".join(t.split(" ")[j : j + wpl]) for j in range(0, len(t.split(" ")), wpl)]
+        for i, t in rows
+    }
+    df = {}
+    for i, cs in chunks.items():
+        for c in set(cs):
+            df[c] = df.get(c, 0) + 1
+    for i, cs in chunks.items():
+        kept = [c for c in cs if df[c] <= 2]
+        assert got[i]["n_lines"] == len(cs) and got[i]["n_kept"] == len(kept)
+        assert got[i]["kept_md5"] == hashlib.md5("\n".join(kept).encode()).hexdigest()
+    assert got[4]["n_kept"] == 0  # the boilerplate-only doc survives as empty

@@ -330,6 +330,32 @@ def main():
         ],
     )
 
+    # canonicalization: keeper election must be a partial-combine aggregate
+    # + equi-join back, never a window sort over the whole corpus
+    dump(
+        "dedup_canonicalize",
+        em.q_dedup_canonicalize(spark, sf),
+        [
+            ("keeper election pre-reduces map-side (partial max)", r"partial_max\(", True),
+            ("no global window sort for the keeper", r"Window", False),
+            ("no cartesian / all-pairs stage", r"CartesianProduct", False),
+            ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
+        ],
+    )
+
+    # boilerplate-line removal: chunking is map-only higher-order funcs;
+    # the doc-frequency distinct is two-phase; reassembly sorts IN-GROUP
+    dump(
+        "text_line_dedup",
+        em.q_text_line_dedup(spark, sf),
+        [
+            ("two-phase distinct aggregate on the line", r"partial_count\(distinct", True),
+            ("no global sort (array_sort is in-group)", r"\nSort |\(\d+\) Sort\b", False),
+            ("no cartesian", r"CartesianProduct", False),
+            ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
+        ],
+    )
+
     width = max(len(f"{n}: {d}") for n, d, _ in checks)
     fails = 0
     for n, d, ok in checks:

@@ -531,3 +531,95 @@ def dedup_clusters(
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_keeper"),
     )
+
+
+def dedup_canonicalize(
+    docs: DataFrame, k: int = 3, min_jac_q: int = 200, df_cap: int = 100
+) -> DataFrame:
+    """Corpus-level near-dup CANONICALIZATION — the materialized form of the
+    dedup decision a training pipeline actually applies: every document gets
+    its cluster and the cluster's KEEPER, where the keeper is the
+    highest-quality member (longest ``n_chars``, ties to the smallest
+    ``doc_id`` — deterministic and engine-portable) rather than
+    ``dedup_clusters``'s min-id convention. Singletons (docs in no near-dup
+    pair) are their own keeper.
+
+    Scale shape: the cluster labels come from the same pair graph + CC as
+    ``dedup_clusters`` (swap in ``minhash_lsh_pairs`` at full scale); the
+    keeper election is one hash aggregation with map-side partial combine
+    (max of a (quality, -id) struct — hot mega-clusters pre-reduce per
+    partition) plus an equi-join back on ``cluster_id``. No windows, no
+    sorts, no driver-side state."""
+    pairs = jaccard_pairs(docs, k=k, min_jac_q=min_jac_q, df_cap=df_cap)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    ids = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    withc = ids.join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("cluster_id"),
+        "n_chars",
+    )
+    keepers = (
+        withc.groupBy("cluster_id")
+        .agg(F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))).alias("m"))
+        .select("cluster_id", (-F.col("m.neg_id")).alias("keeper_id"))
+    )
+    return withc.join(keepers, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "keeper_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
+    )
+
+
+def line_dedup(docs: DataFrame, words_per_line: int = 10, max_df: int = 2) -> DataFrame:
+    """Cross-document repeated-line removal (the CCNet / RefinedWeb
+    boilerplate filter): a 'line' occurring in more than ``max_df`` DISTINCT
+    documents is dropped from every document; the cleaned text is returned
+    as an order-preserving digest. The test corpus has no newlines, so a
+    line is a deterministic chunk of ``words_per_line`` consecutive words —
+    the operator is delimiter-agnostic (swap the chunker for
+    ``split(text, '\\n')`` on real multi-line corpora).
+
+    Per doc: ``n_lines`` (total), ``n_kept`` (surviving), ``kept_md5``
+    (md5 of the kept lines re-joined IN ORIGINAL ORDER with '\\n') — the
+    digest pins exact content + ordering without hauling full text through
+    the compare.
+
+    Scale shape: chunking is a map-only higher-order function (no explode
+    until the narrow (doc_id, pos, line) projection); the document
+    frequency is one two-phase distinct aggregate on the line; the verdict
+    joins back on the line and re-aggregates per doc with an in-group
+    ``array_sort`` (group = one document, never a global sort)."""
+    w = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(w) / F.lit(words_per_line)).cast("int")
+    lines = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_lines),
+                lambda i: F.concat_ws(
+                    " ", F.slice(w, (i - F.lit(1)) * words_per_line + F.lit(1), words_per_line)
+                ),
+            )
+        ).alias("pos", "line"),
+    )
+    dfc = lines.groupBy("line").agg(F.count_distinct("doc_id").alias("df"))
+    flagged = lines.join(dfc, "line").withColumn("keep", F.col("df") <= max_df)
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("keep"), F.struct("pos", "line")))
+                    ),
+                    lambda x: x["line"],
+                ),
+            )
+        ).alias("kept_md5"),
+    )
