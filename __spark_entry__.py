@@ -403,6 +403,32 @@ def q_cdc_wap_publish(spark, sf_dir):
     return t.read().select("doc_id", "lsn", "n_tok", "source")
 
 
+def q_cdc_minor_compact(spark, sf_dir):
+    """Minor (delta-only) compaction under the driver hash
+    (`compact_deltas` — the Iceberg binpack-rewrite / Delta OPTIMIZE
+    analog): the fixture lake's small delta files fold into fewer
+    key-clustered delta files at O(delta) cost (base files untouched,
+    stored per-row `_cseq` preserves every cross-commit tie-break), then
+    one more batch lands on top and the final latest-wins state is
+    returned. The oracle is latest-wins over binlog ∪ the extra batch —
+    identical to cdc_incremental_read — so a fold that loses a row,
+    resurrects a shadowed one, or flips an equal-seq tie breaks the
+    hash."""
+    t, _v1, _v2 = _mor_lake_from_binlog(spark, sf_dir, "minorc", mutable=True)
+    b = _binlog(spark, sf_dir)
+    r = t.compact_deltas(min_files=2)
+    assert not r.get("noop")
+    delta = b.filter(F.col("lsn") % 11 == 0).select(
+        "op",
+        "doc_id",
+        (F.col("lsn") + F.lit(1_000_000_000)).alias("lsn"),
+        (F.col("n_tok") + F.lit(7)).alias("n_tok"),
+        "source",
+    )
+    t.merge(delta, batch_id=2)
+    return t.read().select("doc_id", "lsn", "n_tok", "source")
+
+
 def q_cdc_schema_rename(spark, sf_dir):
     """Full schema evolution under the driver hash (`rename_column` /
     `drop_column` + re-add — metadata-only alters with Iceberg field-id
@@ -1264,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_rollback_state": q_cdc_rollback_state,
         "cdc_wap_publish": q_cdc_wap_publish,
         "cdc_schema_rename": q_cdc_schema_rename,
+        "cdc_minor_compact": q_cdc_minor_compact,
         "cdc_delete_where": q_cdc_delete_where,
         "cdc_compacted_state": q_cdc_compacted_state,
         "cdc_stream_replicate": q_cdc_stream_replicate,
@@ -2007,6 +2034,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lsn, n_tok, source FROM last WHERE rn = 1 AND op <> 'D'
         """
     d["cdc_wap_publish"] = d["cdc_incremental_read"]
+    # minor compaction is state-invariant: same latest-wins oracle as the
+    # incremental read (fold → extra batch → full state)
+    d["cdc_minor_compact"] = d["cdc_incremental_read"]
     # rename/drop/re-add: latest-wins where pre-alter winners keep their
     # (renamed) tok_count but read the re-added source as NULL — dropped
     # values must never resurface through the fresh physical column

@@ -1617,3 +1617,90 @@ def test_alter_interacts_with_maintenance_and_time_travel(spark, tmp_path):
     t.rollback(v1)
     assert "source" in t.read().columns and "origin" not in t.read().columns
     assert sorted(r["doc_id"] for r in t.read().collect()) == ["a", "b"]
+
+
+# ----------------------------------------------------- minor (delta) compaction
+
+
+def test_minor_compaction_folds_small_deltas(spark, tmp_path):
+    """compact_deltas folds small delta files into fewer clustered delta
+    files at O(delta) cost: state identical, delta ratio unchanged,
+    housekeeping for the change feed, point lookups intact."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "minor"), schema=STATE_SCHEMA,
+        target_file_rows=200, merge_mode="mor", bloom_delta_keys=True,
+    )
+    rows = []
+    for b in range(4):
+        batch = [("I", f"d{b}-{i}", b * 100 + i, [i], i, "web") for i in range(10)]
+        batch.append(("U", "shared", 1000 + b, [b], b, "web"))  # cross-batch churn
+        t.merge(_changes(spark, batch), batch_id=b)
+        rows += batch
+    v_before = t.current_version()
+    before = sorted(tuple(r) for r in t.read().collect())
+    n_delta_before = sum(1 for f in t._files(t.snapshot()) if f.get("delta"))
+    assert n_delta_before >= 4
+
+    r = t.compact_deltas()
+    assert not r.get("noop") and r["mode"] == "minor"
+    assert r["files_removed"] == n_delta_before and r["files_added"] < n_delta_before
+    files_after = t._files(t.snapshot())
+    assert all(f.get("delta") for f in files_after)  # still ALL delta (minor!)
+    assert sorted(tuple(x) for x in t.read().collect()) == before
+    # the fold itself is a no-change commit for the feed
+    assert t.changes(v_before).count() == 0
+    # an interval SPANNING the fold still attributes per original commit
+    ch = {r["doc_id"] for r in t.changes(3).collect()}
+    assert ch == {f"d3-{i}" for i in range(10)} | {"shared"}
+    # point lookup (bloom re-attached on folded files) still exact
+    got = {r["doc_id"]: r["lsn"] for r in t.read_keys(["shared", "d2-3"]).collect()}
+    assert got == {"shared": 1003, "d2-3": 203}
+
+    # composes with a FULL compact + later deltas (pruned-read path)
+    t.compact()
+    t.merge(_changes(spark, [("U", "shared", 2000, [9], 9, "web")]), batch_id=10)
+    t.merge(_changes(spark, [("U", "d0-1", 2001, [8], 8, "web")]), batch_id=11)
+    r2 = t.compact_deltas()
+    assert not r2.get("noop") and r2["files_removed"] == 2
+    got = {r["doc_id"]: r["lsn"] for r in t.read().collect()}
+    assert got["shared"] == 2000 and got["d0-1"] == 2001 and len(got) == 41
+
+
+def test_minor_compaction_preserves_cseq_tie_break(spark, tmp_path):
+    """The directed regression for the stored-_cseq design: fold ONLY the
+    older of two commits holding the SAME (key, seq); the unfolded newer
+    commit must still win. (Filename-derived commit sequence would stamp
+    the folded row with the compaction version and flip the tie.)"""
+    t = LakeTable.create(
+        spark, str(tmp_path / "minor-tie"), schema=STATE_SCHEMA,
+        target_file_rows=500, merge_mode="mor",
+    )
+    t.merge(_changes(spark, [("I", "a", 5, [1], 1, "old")]), batch_id=0)  # v1, 1 row
+    big = [("U", "a", 5, [2], 2, "new")] + [
+        ("I", f"f{i}", i, [i], i, "web") for i in range(150)
+    ]
+    t.merge(_changes(spark, big), batch_id=1)  # v2, 151 rows — same (a, 5)
+
+    # sanity: newer commit wins the equal-seq tie before folding
+    assert t.read_keys(["a"]).collect()[0]["source"] == "new"
+
+    r = t.compact_deltas(max_rows=100, min_files=1)  # folds ONLY v1's file
+    assert not r.get("noop") and r["files_removed"] == 1
+    got = t.read_keys(["a"]).collect()[0]
+    assert got["source"] == "new" and got["tokens"] == [2]
+    full = {x["doc_id"]: x["source"] for x in t.read().collect()}
+    assert full["a"] == "new" and len(full) == 151
+
+    # and the mirrored case: fold the NEWER commit, it must still win
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "minor-tie2"), schema=STATE_SCHEMA,
+        target_file_rows=500, merge_mode="mor",
+    )
+    big = [("I", "a", 5, [1], 1, "old")] + [
+        ("I", f"f{i}", i, [i], i, "web") for i in range(150)
+    ]
+    t2.merge(_changes(spark, big), batch_id=0)  # v1, large
+    t2.merge(_changes(spark, [("U", "a", 5, [2], 2, "new")]), batch_id=1)  # v2, small
+    r = t2.compact_deltas(max_rows=100, min_files=1)  # folds ONLY v2's file
+    assert not r.get("noop") and r["files_removed"] == 1
+    assert t2.read_keys(["a"]).collect()[0]["source"] == "new"

@@ -432,7 +432,7 @@ class LakeTable:
         rename: dict[str, str] = {}
         new_entries: list[dict] = []
         for name in df.columns:
-            if name in ("op", _TOMBSTONE):
+            if name in ("op", _TOMBSTONE, "_cseq"):
                 continue
             if name in l2p:
                 if l2p[name] != name:
@@ -935,7 +935,9 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
-    def _winners_df(self, snap: dict, files: list[dict] | None = None) -> DataFrame:
+    def _winners_df(
+        self, snap: dict, files: list[dict] | None = None, *, keep_cseq: bool = False
+    ) -> DataFrame:
         """Latest-wins rows per key INCLUDING delete-tombstone winners
         (``_tombstone`` column retained). Tombstones must survive until the
         key is overwritten by a newer event — dropping them would let an
@@ -953,12 +955,25 @@ class LakeTable:
         read_schema = T.StructType(list(schema.fields) + [T.StructField(_TOMBSTONE, T.BooleanType())])
         if not files:
             return self.spark.createDataFrame([], read_schema)
+        if not any(f.get("delta") for f in files):
+            paths = [os.path.join(self._data_dir, f["path"]) for f in files]
+            return self.spark.read.schema(read_schema).parquet(*paths)
+        # _cseq: the commit sequence breaking cross-commit seq ties. Normal
+        # delta files encode it in the file NAME; minor-compacted files
+        # (compact_deltas) PRESERVE each surviving row's original commit
+        # sequence in a stored _cseq column — the stored value wins, so
+        # folding any subset of delta files can never flip a tie-break.
+        read_schema = T.StructType(
+            list(read_schema.fields) + [T.StructField("_cseq", T.LongType())]
+        )
         paths = [os.path.join(self._data_dir, f["path"]) for f in files]
         base = self.spark.read.schema(read_schema).parquet(*paths)
-        if not any(f.get("delta") for f in files):
-            return base  # COW/compacted: already one row per key
         raw = base.withColumn(
-            "_cseq", F.regexp_extract(F.input_file_name(), r"part-v(\d+)-", 1).cast("long")
+            "_cseq",
+            F.coalesce(
+                F.col("_cseq"),
+                F.regexp_extract(F.input_file_name(), r"part-v(\d+)-", 1).cast("long"),
+            ),
         )
         winners = (
             raw.groupBy(key_col)
@@ -985,7 +1000,11 @@ class LakeTable:
             (F.col(key_col) == F.col("_wk"))
             & (F.col(seq_col) == F.col("_wseq"))
             & (F.col("_cseq") == F.col("_wcseq")),
-        ).select(*[f.name for f in schema.fields], _TOMBSTONE)
+        ).select(
+            *[f.name for f in schema.fields],
+            _TOMBSTONE,
+            *(["_cseq"] if keep_cseq else []),
+        )
 
     def read_keys(self, keys: list, version: int | None = None) -> DataFrame:
         """Point/multi-key lookup: latest-wins rows for exactly ``keys``,
@@ -1260,7 +1279,7 @@ class LakeTable:
         fields += [
             T.StructField(f.name, f.dataType, True)
             for f in batch_schema.fields
-            if f.name not in have and f.name not in ("op", _TOMBSTONE)
+            if f.name not in have and f.name not in ("op", _TOMBSTONE, "_cseq")
         ]
         return T.StructType(fields)
 
@@ -1809,7 +1828,7 @@ class LakeTable:
             new_entries = []
             for f in batch_schema.fields:
                 n = f.name
-                if n in ("op", _TOMBSTONE) or n in live_phys:
+                if n in ("op", _TOMBSTONE, "_cseq") or n in live_phys:
                     continue
                 if n in l2p:  # logical whose physical differs
                     raise ValueError(
@@ -1926,6 +1945,95 @@ class LakeTable:
             except CommitConflict as e:
                 last_err = e  # a merge won the race: rebase on its snapshot
         raise CommitConflict(f"compact lost the commit race {retries + 1} times") from last_err
+
+    def compact_deltas(
+        self,
+        *,
+        max_rows: int | None = None,
+        min_files: int = 2,
+        retries: int = 2,
+    ) -> dict:
+        """MINOR compaction (the Iceberg binpack-rewrite / Delta OPTIMIZE
+        analog): fold SMALL delta files into fewer key-clustered delta
+        files at O(folded-delta) cost — base files are never read, never
+        rewritten. This is the steady-state file-count bound for a
+        high-frequency ingest stream: thousands of tiny per-trigger delta
+        files become a handful of clustered ones (tight min/max ranges →
+        ``read_keys``/``changes()`` pruning works on them again) WITHOUT
+        paying ``compact()``'s O(table) rewrite.
+
+        ``max_rows``: fold only delta files with at most this many rows
+        (default: half the table's ``target_file_rows`` — already-full
+        files gain nothing from rewriting). ``min_files``: no-op below
+        this many candidates.
+
+        Correctness: within the folded subset, latest-wins collapses each
+        key to its subset winner — sound because per-key max is
+        associative, so winners of (subset-winner ∪ everything else) equal
+        winners of the whole table. Each surviving row PRESERVES its
+        original commit sequence in a stored ``_cseq`` column (the read
+        path coalesces stored-over-filename), so a (seq) tie between a
+        folded row and an unfolded commit resolves exactly as before the
+        fold — an arbitrary subset can be folded, not just contiguous
+        commit ranges (test-pinned with a crafted equal-seq tie). Folded
+        manifests carry ``added_at=None`` under a 'compact' summary:
+        housekeeping for ``changes()`` and the streaming source, exactly
+        like a full compact, and the interval fast path keeps reading the
+        ORIGINAL commits' immutable manifests. Delta ratio is unchanged
+        (folded rows are still deltas) so auto-``compact()`` policy
+        arithmetic is unaffected. Same optimistic rebase-retry as
+        ``compact()``."""
+        last_err: Exception | None = None
+        for _ in range(retries + 1):
+            snap = self.snapshot()
+            target = snap.get("target_file_rows", 500_000)
+            thr = (target // 2) if max_rows is None else max_rows
+            small = [f for f in self._files(snap) if f.get("delta") and f["rows"] <= thr]
+            if len(small) < min_files:
+                return {
+                    "version": snap["version"],
+                    "noop": True,
+                    "reason": f"fewer than {min_files} delta files under {thr} rows",
+                }
+            schema = T.StructType.fromJson(snap["schema"])
+            nv = self._next_version()
+            est = sum(f["rows"] for f in small)
+            winners = self._winners_df(snap, small, keep_cseq=True)
+            new_entries = self._write_files(
+                winners, nv, snap["key_col"], target, est, delta=True
+            )
+            if snap.get("bloom_delta_keys"):
+                from . import bloom as _bloom
+
+                new_entries = _bloom.attach_blooms(
+                    self.spark, self._data_dir, new_entries, snap["key_col"]
+                )
+            manifests = self._carryover_manifests(snap, {f["path"] for f in small})
+            if new_entries:
+                # added_at=None: folded rows are OLD data, not changes
+                manifests = manifests + [self._write_manifest(new_entries, nv)]
+            try:
+                return self._commit_manifests(
+                    snap,
+                    schema,
+                    manifests,
+                    batch_id=None,
+                    app_id="__compact__",
+                    new_version=nv,
+                    summary={
+                        "operation": "compact",
+                        "mode": "minor",
+                        "files_removed": len(small),
+                        "files_added": len(new_entries),
+                        "delta_rows_folded": est,
+                        "delta_rows_after": sum(e["rows"] for e in new_entries),
+                    },
+                )
+            except CommitConflict as e:
+                last_err = e  # a merge won the race: rebase on its snapshot
+        raise CommitConflict(
+            f"compact_deltas lost the commit race {retries + 1} times"
+        ) from last_err
 
     # --------------------------------------------------------------- vacuum
 
