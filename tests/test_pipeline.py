@@ -297,3 +297,37 @@ def test_el_attribute_properties_stamp(spark, tmp_path, binlog_dir):
     # round-trip still exact with the extra attribute columns present
     res = pipe.verify_roundtrip(binlog_dir)
     assert sum(v for k, v in res.items() if k != "compared") == 0
+
+
+def test_minor_compaction_policy_bounds_delta_files(spark, tmp_path, binlog_dir):
+    """minor_compact_files fires compact_deltas after the commit when the
+    delta-file count crosses the threshold: round-trip state unchanged,
+    file count bounded, audit rows disclose which batches folded."""
+    pipe = _pipe(
+        spark, tmp_path / "pminor",
+        compact_delta_ratio=None,  # full compact off: minor policy isolated
+        minor_compact_files=3,
+    )
+    pipe.run_stream(binlog_dir)
+    res = pipe.verify_roundtrip(binlog_dir)
+    assert res["unexpected_rows"] == 0 and res["missing_rows"] == 0
+    assert res["decrypt_failures"] == 0 and res["token_mismatches"] == 0
+    # the fold keeps the table all-delta (minor never builds base files)
+    files = pipe.table._files(pipe.table.snapshot())
+    assert files and all(f.get("delta") for f in files)
+    assert pipe.table.delta_files() < 3 + pipe.cfg.max_files_per_trigger * 4
+    audits = sorted(
+        (json.load(open(os.path.join(pipe.cfg.audit_path, f)))
+         for f in os.listdir(pipe.cfg.audit_path)),
+        key=lambda a: a["batch_id"],
+    )
+    assert any(a["minor_compacted"] for a in audits)
+    assert all(not a["compacted"] for a in audits)
+    # exactly-once watermark survives the folds: re-run is a full no-op
+    v = pipe.table.current_version()
+    pipe2 = _pipe(
+        spark, tmp_path / "pminor",
+        compact_delta_ratio=None, minor_compact_files=3,
+    )
+    pipe2.run_stream(binlog_dir)
+    assert pipe2.table.current_version() == v

@@ -1892,6 +1892,17 @@ class LakeTable:
         total, delta = self._totals(self.snapshot())
         return delta
 
+    def delta_files(self) -> int:
+        """Count of delta data files in the current snapshot (minor-
+        compaction signal) — pure manifest-list arithmetic: MOR manifests
+        are homogeneous (a merge appends all-delta manifests; compaction
+        and COW rewrites emit all-base ones), so a manifest's file count is
+        all-delta exactly when it has any delta rows."""
+        snap = self.snapshot()
+        if "files" in snap:  # v2
+            return sum(1 for f in snap["files"] if f.get("delta"))
+        return sum(m["n_files"] for m in snap["manifests"] if m.get("delta_rows"))
+
     def compact(self, retries: int = 2) -> dict:
         """Fold MOR delta files into key-range-clustered base files.
 

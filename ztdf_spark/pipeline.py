@@ -85,6 +85,15 @@ class PipelineConfig:
     compact_every: int | None = None
     compact_delta_ratio: float | None = 0.5
     compact_min_delta_rows: int = 4_000_000
+    # MINOR compaction policy (compact_deltas — binpack small delta files
+    # at O(delta) cost, base untouched): fires after a batch commit when
+    # the snapshot holds ≥ this many delta files AND the full compact did
+    # not already fire this batch. The signal is delta_files() — pure
+    # manifest-list arithmetic. None (default) = caller-scheduled, keeping
+    # per-batch walls comparable across configs; high-frequency ingest
+    # with small triggers should set it (e.g. 64) to bound file-count
+    # growth between full compactions.
+    minor_compact_files: int | None = None
     # pre-encrypt latest-wins dedup policy (MOR only — COW always dedups):
     #   'always' — dedup every batch (hot-key streams: crypto only on winners)
     #   'never'  — shuffle-free map-only ingest; read-time latest-wins is
@@ -560,6 +569,7 @@ class CdcPipeline:
         t_sink = time.monotonic()
 
         compacted = False
+        minor_compacted = False
         if not mstats.get("noop"):
             if self.cfg.compact_every:
                 do_compact = (batch_id + 1) % self.cfg.compact_every == 0
@@ -577,6 +587,15 @@ class CdcPipeline:
                 cstats = self.table.compact()
                 compacted = not cstats.get("noop")
                 if compacted:
+                    mstats = {**mstats, "version": cstats["version"]}
+            if (
+                not compacted
+                and self.cfg.minor_compact_files is not None
+                and self.table.delta_files() >= self.cfg.minor_compact_files
+            ):
+                cstats = self.table.compact_deltas()
+                minor_compacted = not cstats.get("noop")
+                if minor_compacted:
                     mstats = {**mstats, "version": cstats["version"]}
 
         dt = time.monotonic() - t0
@@ -596,6 +615,7 @@ class CdcPipeline:
             "snapshot_version": mstats["version"],
             "merge_noop": bool(mstats.get("noop")),
             "compacted": compacted,
+            "minor_compacted": minor_compacted,
             # per-phase wall attribution (scaling forensics): which phase
             # fails to shrink with executor count is the next bottleneck
             "phase_s": {
