@@ -871,6 +871,29 @@ def q_text_line_dedup(spark, sf_dir):
     )
 
 
+def q_corpus_split(spark, sf_dir):
+    """Deterministic train/val/test split (textops.corpus_split): one
+    label per doc from a cumulative md5 threshold — a pure row-local
+    Catalyst CASE chain (no shuffle, no RNG state), so assignments are
+    frozen: stable across engines, cluster sizes, retries, and dataset
+    growth. The oracle recomputes the identical md5 arithmetic in DuckDB —
+    any drift in the draw, the cumulative boundaries, or the remainder
+    split breaks the hash."""
+    return textops.corpus_split(_t(spark, sf_dir, "documents"))
+
+
+def q_vocab_top_terms(spark, sf_dir):
+    """Corpus vocabulary statistics (textops.vocab_top_terms — the
+    frequency-cut before BPE training): global term frequency + document
+    frequency per whitespace term, ranked by the total order (tf DESC,
+    term ASC) and cut to the top 100 — Spark plans the cut as
+    TakeOrderedAndProject (per-partition top-N + single merge), never a
+    full sort shuffle. The oracle is the same aggregate + ORDER BY LIMIT
+    in DuckDB; a tie mis-ranked at the boundary changes the top-100 SET
+    and breaks the hash."""
+    return textops.vocab_top_terms(_t(spark, sf_dir, "documents"), top_n=100)
+
+
 def q_events_asof_join(spark, sf_dir):
     """Inclusive backward as-of join (stream_ops.asof_join): each purchase
     event picks up the LATEST signup of the same user at-or-before its
@@ -1328,6 +1351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_canonicalize": q_dedup_canonicalize,
         "text_line_dedup": q_text_line_dedup,
+        "corpus_split": q_corpus_split,
+        "vocab_top_terms": q_vocab_top_terms,
         "events_asof_join": q_events_asof_join,
         "tok_pack_spans": q_tok_pack_spans,
         "tok_pack_chunks": q_tok_pack_chunks,
@@ -1884,6 +1909,28 @@ def oracle_sql() -> dict[str, str]:
               CASE lang WHEN 'en' THEN 'e6666666' WHEN 'es' THEN '80000000'
                         WHEN 'fr' THEN '80000000' WHEN 'de' THEN '40000000'
                         WHEN 'zh' THEN '19999999' ELSE '00000000' END
+        """
+    # deterministic split: identical md5 arithmetic; cumulative thresholds
+    # 0.90 -> e6666666, 0.95 -> f3333333 (int(frac * 2^32) as hex8)
+    d["corpus_split"] = """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CASE WHEN h < 'e6666666' THEN 'train'
+                    WHEN h < 'f3333333' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     substr(md5('split' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)), 1, 8) AS h
+              FROM documents)
+        """
+    # vocabulary top-N: same aggregate, same (tf DESC, term ASC) total order
+    d["vocab_top_terms"] = """
+        WITH terms AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        stats AS (
+          SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+          FROM terms WHERE term <> '' GROUP BY term)
+        SELECT term, tf, df FROM stats ORDER BY tf DESC, term ASC LIMIT 100
         """
     # rollback: the poison batch must vanish — plain latest-wins state
     d["cdc_rollback_state"] = d["cdc_latest_wins"]

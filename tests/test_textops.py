@@ -271,3 +271,50 @@ def test_line_dedup_boilerplate_removal(spark):
         assert got[i]["n_lines"] == len(cs) and got[i]["n_kept"] == len(kept)
         assert got[i]["kept_md5"] == hashlib.md5("\n".join(kept).encode()).hexdigest()
     assert got[4]["n_kept"] == 0  # the boilerplate-only doc survives as empty
+
+
+def test_corpus_split_deterministic_and_frozen(spark):
+    """Exactly one label per doc, md5-exact against an independent python
+    oracle, and FROZEN: a subset corpus assigns the same labels (adding
+    data never reshuffles existing splits)."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", "web", 10) for i in range(500)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r["split"] for r in textops.corpus_split(docs).collect()}
+    assert len(got) == 500
+
+    def expect(i):
+        h = hashlib.md5(f"split{i}".encode()).hexdigest()[:8]
+        return "train" if h < "e6666666" else ("val" if h < "f3333333" else "test")
+
+    assert got == {i: expect(i) for i in range(500)}
+    # all three splits non-empty at n=500 with 90/5/5
+    assert {"train", "val", "test"} == set(got.values())
+    # frozen under growth: the first 100 docs alone get identical labels
+    sub = {r["doc_id"]: r["split"] for r in textops.corpus_split(docs.limit(100)).collect()}
+    assert all(got[i] == s for i, s in sub.items())
+    # custom fractions: remainder goes to the LAST split
+    two = {r["doc_id"]: r["split"]
+           for r in textops.corpus_split(docs, {"a": 0.5, "b": 0.5}).collect()}
+    assert set(two.values()) == {"a", "b"}
+
+
+def test_vocab_top_terms_exact_counts_and_ties(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "x x y z", "en", "web", 7),
+            (2, "x y y", "en", "web", 5),
+            (3, "z q", "en", "web", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = textops.vocab_top_terms(docs, top_n=3).collect()
+    # tf: x=3, y=3, z=2, q=1; tie x/y broken by term asc; top-3 cuts q
+    assert [(r["term"], r["tf"], r["df"]) for r in rows] == [
+        ("x", 3, 2),
+        ("y", 3, 2),
+        ("z", 2, 2),
+    ]

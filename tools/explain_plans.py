@@ -356,6 +356,28 @@ def main():
         ],
     )
 
+    # deterministic split: a pure row-local predicate — NO exchange at all
+    dump(
+        "corpus_split",
+        em.q_corpus_split(spark, sf),
+        [
+            ("map-only (no shuffle of any kind)", r"Exchange", False),
+            ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
+        ],
+    )
+
+    # vocab top-N: the cut must plan as TakeOrderedAndProject (per-partition
+    # top-N + single merge), never a full global sort
+    dump(
+        "vocab_top_terms",
+        em.q_vocab_top_terms(spark, sf),
+        [
+            ("top-N via TakeOrderedAndProject", r"TakeOrderedAndProject", True),
+            ("hash aggregates with map-side combine", r"partial_count", True),
+            ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
+        ],
+    )
+
     width = max(len(f"{n}: {d}") for n, d, _ in checks)
     fails = 0
     for n, d, ok in checks:

@@ -623,3 +623,57 @@ def line_dedup(docs: DataFrame, words_per_line: int = 10, max_df: int = 2) -> Da
             )
         ).alias("kept_md5"),
     )
+
+
+def corpus_split(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment (the corpus-level split a
+    training pipeline freezes before tokenization): each row gets exactly
+    one split label from a cumulative md5 threshold over ``fractions``
+    (insertion order; any remainder falls to the LAST split). Same
+    engine-portable ``md5(salt || id)`` draw as ``mixture_sample`` — a
+    pure row-local Catalyst CASE chain: no shuffle, no RNG state, stable
+    across engines, cluster sizes, retries, and re-runs, and each doc's
+    assignment is independent of every other doc (adding data never
+    reshuffles existing splits — the property that keeps eval sets
+    frozen)."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    h = _hash8(F.col(id_col), salt)
+    items = list(fractions.items())
+    cum = 0.0
+    case = None
+    for name, frac in items[:-1]:
+        cum += frac
+        cond = h < F.lit(_rate_threshold(cum))
+        case = F.when(cond, F.lit(name)) if case is None else case.when(cond, F.lit(name))
+    last = F.lit(items[-1][0])  # remainder → last split
+    label = last if case is None else case.otherwise(last)
+    return docs.select(F.col(id_col).cast("long").alias(id_col), label.alias("split"))
+
+
+def vocab_top_terms(docs: DataFrame, top_n: int = 100) -> DataFrame:
+    """Corpus vocabulary statistics (the vocab-building / frequency-cut
+    step before BPE training): global term frequency + document frequency
+    per whitespace term, ranked by (tf DESC, term ASC — a total,
+    engine-portable order) and truncated to the top ``top_n``.
+
+    Scale shape: one map-side ``explode`` of the token array feeding a
+    two-level aggregate — per-(term, doc) partial collapse, then per-term
+    (tf, df) — both hash aggregations with map-side combine; the top-N cut
+    is a rank over ONE column set, computed as a global sort LIMIT (Spark's
+    TakeOrderedAndProject — a per-partition top-N + single merge, never a
+    full sort shuffle)."""
+    terms = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    per_doc = terms.groupBy("term", "doc_id").agg(F.count("*").alias("n"))
+    stats = per_doc.groupBy("term").agg(
+        F.sum("n").alias("tf"), F.count("*").alias("df")
+    )
+    return stats.orderBy(F.col("tf").desc(), F.col("term").asc()).limit(top_n)
