@@ -894,6 +894,18 @@ def q_vocab_top_terms(spark, sf_dir):
     return textops.vocab_top_terms(_t(spark, sf_dir, "documents"), top_n=100)
 
 
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic training-order shuffle (textops.corpus_shuffle):
+    every doc gets (shard, pos) from md5-threshold shard ranges + an
+    in-shard rank of the same draw — the reproducible data-ordering step
+    before sharded tokenization. A pure function of (id, salt): identical
+    across engines, cluster sizes, retries; NO global sort (one hash
+    exchange on shard + per-shard window). Oracle recomputes the identical
+    md5 arithmetic + ROW_NUMBER in DuckDB — a drifted draw, a wrong shard
+    boundary, or an unstable in-shard order breaks the hash."""
+    return textops.corpus_shuffle(_t(spark, sf_dir, "documents"), n_shards=8)
+
+
 def q_events_asof_join(spark, sf_dir):
     """Inclusive backward as-of join (stream_ops.asof_join): each purchase
     event picks up the LATEST signup of the same user at-or-before its
@@ -1353,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_dedup": q_text_line_dedup,
         "corpus_split": q_corpus_split,
         "vocab_top_terms": q_vocab_top_terms,
+        "corpus_shuffle": q_corpus_shuffle,
         "events_asof_join": q_events_asof_join,
         "tok_pack_spans": q_tok_pack_spans,
         "tok_pack_chunks": q_tok_pack_chunks,
@@ -1920,6 +1933,23 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id,
                      substr(md5('split' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)), 1, 8) AS h
               FROM documents)
+        """
+    # deterministic shuffle: same md5 draw; shard boundaries i/8 * 2^32
+    d["corpus_shuffle"] = """
+        WITH h AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 substr(md5('shuffle' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)), 1, 8) AS hh
+          FROM documents),
+        s AS (
+          SELECT doc_id, hh,
+                 CASE WHEN hh < '20000000' THEN 0 WHEN hh < '40000000' THEN 1
+                      WHEN hh < '60000000' THEN 2 WHEN hh < '80000000' THEN 3
+                      WHEN hh < 'a0000000' THEN 4 WHEN hh < 'c0000000' THEN 5
+                      WHEN hh < 'e0000000' THEN 6 ELSE 7 END AS shard
+          FROM h)
+        SELECT doc_id, shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS BIGINT) AS pos
+        FROM s
         """
     # vocabulary top-N: same aggregate, same (tf DESC, term ASC) total order
     d["vocab_top_terms"] = """

@@ -318,3 +318,28 @@ def test_vocab_top_terms_exact_counts_and_ties(spark):
         ("y", 3, 2),
         ("z", 2, 2),
     ]
+
+
+def test_corpus_shuffle_deterministic_order(spark):
+    """(shard, pos) is a pure function of (id, salt): exact against an
+    independent python oracle, re-run identical, positions contiguous from
+    1 within each shard."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(i, f"t {i}", "en", "web", 5) for i in range(300)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: (r["shard"], r["pos"]) for r in textops.corpus_shuffle(docs, 4).collect()}
+    assert len(got) == 300
+
+    hs = {i: hashlib.md5(f"shuffle{i}".encode()).hexdigest()[:8] for i in range(300)}
+    bounds = ["40000000", "80000000", "c0000000"]
+    exp_shard = {i: sum(h >= b for b in bounds) for i, h in hs.items()}
+    for s in range(4):
+        ids = sorted((hs[i], i) for i in range(300) if exp_shard[i] == s)
+        for pos, (_, i) in enumerate(ids, start=1):
+            assert got[i] == (s, pos)
+    # stable across re-computation
+    again = {r["doc_id"]: (r["shard"], r["pos"]) for r in textops.corpus_shuffle(docs, 4).collect()}
+    assert again == got

@@ -366,6 +366,16 @@ def main():
         ],
     )
 
+    # deterministic shuffle: in-shard windows only — NO global sort
+    dump(
+        "corpus_shuffle",
+        em.q_corpus_shuffle(spark, sf),
+        [
+            ("window partitioned on shard (no SinglePartition funnel)", r"SinglePartition", False),
+            ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
+        ],
+    )
+
     # vocab top-N: the cut must plan as TakeOrderedAndProject (per-partition
     # top-N + single merge), never a full global sort
     dump(

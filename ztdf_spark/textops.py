@@ -677,3 +677,42 @@ def vocab_top_terms(docs: DataFrame, top_n: int = 100) -> DataFrame:
         F.sum("n").alias("tf"), F.count("*").alias("df")
     )
     return stats.orderBy(F.col("tf").desc(), F.col("term").asc()).limit(top_n)
+
+
+def corpus_shuffle(
+    docs: DataFrame,
+    n_shards: int = 8,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global training-order shuffle (the reproducible
+    data-ordering step before sharded tokenization): every doc gets a
+    ``(shard, pos)`` — shard by equal md5-threshold ranges, position by
+    rank of the SAME draw within the shard — so the training order is a
+    pure function of (id, salt): identical across engines, cluster sizes,
+    retries, and re-runs, and any shard can be regenerated independently.
+
+    Scale shape: NO global sort — one hash exchange on ``shard`` feeds a
+    per-shard window ordered by the (hash, id) total order. Parallelism is
+    bounded by ``n_shards``: size it to the cluster (the training-shard
+    count IS the natural unit; 1024 shards at 100 TB, 8 in tests)."""
+    h = _hash8(F.col(id_col), salt)
+    case = None
+    for i in range(1, n_shards):
+        cond = h < F.lit(_rate_threshold(i / n_shards))
+        lit = F.lit(i - 1)
+        case = F.when(cond, lit) if case is None else case.when(cond, lit)
+    shard = (F.lit(0) if case is None else case.otherwise(F.lit(n_shards - 1))).cast("int")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias(id_col),
+            h.alias("_h"),
+            shard.alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )
