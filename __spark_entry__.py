@@ -403,6 +403,20 @@ def q_cdc_wap_publish(spark, sf_dir):
     return t.read().select("doc_id", "lsn", "n_tok", "source")
 
 
+def q_cdc_range_scan(spark, sf_dir):
+    """Key-range scan (`LakeTable.read_range` — the range-predicate
+    generalization of the point lookup): latest-wins rows for an inclusive
+    doc_id band, pruned at the metadata layer (manifest-list key ranges,
+    then per-file footer ranges) before winner reconstruction — O(files
+    intersecting the range), never O(table). Oracle: latest-wins WHERE
+    doc_id BETWEEN — a band off by one file, an exclusive boundary, or a
+    tombstone leaking into the band breaks the hash."""
+    t, _v1, _v2 = _mor_lake_from_binlog(spark, sf_dir, "rangescan")
+    return t.read_range("doc-00000100", "doc-00000600").select(
+        "doc_id", "lsn", "n_tok", "source"
+    )
+
+
 def q_cdc_minor_compact(spark, sf_dir):
     """Minor (delta-only) compaction under the driver hash
     (`compact_deltas` — the Iceberg binpack-rewrite / Delta OPTIMIZE
@@ -1326,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_wap_publish": q_cdc_wap_publish,
         "cdc_schema_rename": q_cdc_schema_rename,
         "cdc_minor_compact": q_cdc_minor_compact,
+        "cdc_range_scan": q_cdc_range_scan,
         "cdc_delete_where": q_cdc_delete_where,
         "cdc_compacted_state": q_cdc_compacted_state,
         "cdc_stream_replicate": q_cdc_stream_replicate,
@@ -2114,6 +2129,16 @@ def oracle_sql() -> dict[str, str]:
     # minor compaction is state-invariant: same latest-wins oracle as the
     # incremental read (fold → extra batch → full state)
     d["cdc_minor_compact"] = d["cdc_incremental_read"]
+    # key-range scan: latest-wins restricted to the inclusive band
+    d["cdc_range_scan"] = _BINLOG_CTE + """
+        , last AS (
+          SELECT doc_id, lsn, n_tok, source, op,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+          FROM binlog)
+        SELECT doc_id, lsn, n_tok, source FROM last
+        WHERE rn = 1 AND op <> 'D'
+          AND doc_id BETWEEN 'doc-00000100' AND 'doc-00000600'
+        """
     # rename/drop/re-add: latest-wins where pre-alter winners keep their
     # (renamed) tok_count but read the re-added source as NULL — dropped
     # values must never resurface through the fresh physical column

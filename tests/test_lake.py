@@ -1704,3 +1704,51 @@ def test_minor_compaction_preserves_cseq_tie_break(spark, tmp_path):
     r = t2.compact_deltas(max_rows=100, min_files=1)  # folds ONLY v2's file
     assert not r.get("noop") and r["files_removed"] == 1
     assert t2.read_keys(["a"]).collect()[0]["source"] == "new"
+
+
+# ------------------------------------------------------------ key-range scan
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_read_range_matches_filtered_read(spark, tmp_path, mode):
+    t = LakeTable.create(
+        spark, str(tmp_path / f"range-{mode}"), schema=STATE_SCHEMA,
+        target_file_rows=50, merge_mode=mode,
+    )
+    t.merge(_changes(spark, [
+        ("I", f"k{i:03d}", i, [i], i, "web") for i in range(200)
+    ]), batch_id=0)
+    t.merge(_changes(spark, [
+        ("U", "k050", 1000, [50], 99, "web"),
+        ("D", "k060", 1001, None, None, None),
+        ("I", "k300", 1002, [3], 3, "web"),
+    ]), batch_id=1)
+    lo, hi = "k040", "k070"
+    exp = sorted(
+        tuple(r) for r in t.read().filter(f"doc_id >= '{lo}' and doc_id <= '{hi}'").collect()
+    )
+    got = sorted(tuple(r) for r in t.read_range(lo, hi).collect())
+    assert got == exp and len(got) == 30  # 31 keys in band, k060 deleted
+    # boundaries inclusive
+    ids = {r[0] for r in got}
+    assert "k040" in ids and "k070" in ids and "k060" not in ids
+    with pytest.raises(ValueError):
+        t.read_range("z", "a")
+
+
+def test_read_range_prunes_files_on_clustered_table(spark, tmp_path):
+    """After compaction (key-clustered files, tight footer ranges) a narrow
+    range scans a strict subset of the table's files."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "rangeprune"), schema=STATE_SCHEMA,
+        target_file_rows=100, merge_mode="mor",
+    )
+    t.merge(_changes(spark, [
+        ("I", f"k{i:04d}", i, [i], i, "web") for i in range(1000)
+    ]), batch_id=0)
+    t.compact()
+    n_files = len(t._files(t.snapshot()))
+    assert n_files >= 4
+    df = t.read_range("k0100", "k0150")
+    assert len(df.inputFiles()) < n_files
+    assert df.count() == 51

@@ -1043,6 +1043,49 @@ class LakeTable:
             live.join(F.broadcast(wanted), key_col, "left_semi"), snap
         )
 
+    def read_range(self, lo, hi, version: int | None = None) -> DataFrame:
+        """Key-RANGE scan: latest-wins rows with ``lo <= key <= hi``
+        (inclusive, native key ordering), tombstones filtered — at
+        O(files intersecting the range), not O(table). The range-predicate
+        generalization of ``read_keys``: a dashboard slicing one tenant's
+        id band, an export of a key shard, a backfill of a compacted
+        region.
+
+        Pruning is pure driver-side metadata: manifest-list key ranges
+        first (whole manifests skipped unopened), then per-file footer
+        ranges. Correct for the same reason as ``read_keys``: every row of
+        a key k lives in files whose [min,max] covers k, so a file set
+        covering [lo,hi] holds ALL rows of every key in the range — the
+        winner join over it is exact. Files with unbounded stats are
+        always scanned (never pruned ≠ never wrong). On a compacted table
+        (key-clustered files, tight ranges) this reads ~|range| bytes;
+        between compactions, minor-compacted delta files are clustered too,
+        so the unprunable set is just the latest raw deltas."""
+        snap = self.snapshot(version)
+        if hi < lo:
+            raise ValueError(f"empty range: hi {hi!r} < lo {lo!r}")
+        key_col = snap["key_col"]
+        files = []
+        if "files" in snap:  # v2
+            cand = snap["files"]
+        else:
+            cand = []
+            for m in snap["manifests"]:
+                if m["min_key"] is None or not (m["max_key"] < lo or m["min_key"] > hi):
+                    cand.extend(self._read_manifest(m["path"]))
+        files = [
+            f
+            for f in cand
+            if f["min_key"] is None or not (f["max_key"] < lo or f["min_key"] > hi)
+        ]
+        live = self._winners_df(snap, files).filter(
+            ~F.coalesce(F.col(_TOMBSTONE), F.lit(False))
+        )
+        return self._project_logical(
+            live.filter((F.col(key_col) >= F.lit(lo)) & (F.col(key_col) <= F.lit(hi))),
+            snap,
+        )
+
     def _interval_delta_entries(self, from_version: int, to_version: int) -> list[dict] | None:
         """Delta-file entries added by each CHANGE commit in
         ``(from, to]`` — per-commit attribution over the snapshot chain
