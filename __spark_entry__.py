@@ -818,6 +818,20 @@ def q_events_windowed(spark, sf_dir):
     return stream_ops.windowed_event_counts(_t(spark, sf_dir, "events"))
 
 
+def q_events_hopping(spark, sf_dir):
+    """Event-time HOPPING (sliding) window aggregation (1 h window, 30 min
+    slide) — each event lands in exactly window/slide overlapping windows,
+    expanded MAP-SIDE before the hash aggregation; identical plan in batch
+    and stream (stream_ops.hopping_event_counts, batch≡stream +
+    independent python membership oracle in tests). The DuckDB oracle
+    expands the same membership with generate_series — a wrong slide
+    alignment, a missing overlap window, or a boundary off-by-one breaks
+    the hash."""
+    from ztdf_spark import stream_ops
+
+    return stream_ops.hopping_event_counts(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline queries
 # ---------------------------------------------------------------------------
@@ -1356,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational coverage
         "events_sessionize": q_events_sessionize,
         "events_windowed": q_events_windowed,
+        "events_hopping": q_events_hopping,
         "tpch_q1_quantized": q_tpch_q1_quantized,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q5_region_volume": q_tpch_q5_region_volume,
@@ -1558,6 +1573,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) + 3600 AS BIGINT) AS w_end,
                event_type, COUNT(*) AS n_events, MIN(event_id) AS min_event_id
         FROM events GROUP BY 1, 2, 3
+        """,
+        "events_hopping": """
+        WITH e AS (
+          -- floor, not CAST: CAST(double) rounds, flipping membership for
+          -- sub-second timestamps at a slide boundary (Spark floors)
+          SELECT event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        m AS (
+          SELECT event_id, event_type,
+                 unnest(generate_series((t // 1800) * 1800 - 1800, (t // 1800) * 1800, 1800))
+                   AS w_start
+          FROM e)
+        SELECT w_start, w_start + 3600 AS w_end, event_type,
+               COUNT(*) AS n_events, MIN(event_id) AS min_event_id
+        FROM m GROUP BY 1, 2, 3
         """,
         "part_brand_rollup": """
         SELECT p_brand, p_type, COUNT(*) AS n_parts,

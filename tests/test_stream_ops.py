@@ -188,3 +188,43 @@ def test_asof_join_plan_is_one_shuffle_no_cartesian(spark):
     # the union-scan rewrite shuffles ONCE on the join key (both sides feed
     # one window exchange; no per-side join exchanges)
     assert plan.count("hashpartitioning(user_id") <= 2  # one per union branch max
+
+
+def test_hopping_counts_batch_equals_stream_and_membership(spark, tmp_path):
+    """Hopping windows: identical plan in batch and stream; every event
+    lands in exactly window/slide overlapping windows (membership checked
+    against an independent python expansion)."""
+    d = _mk_events(spark, tmp_path)
+    batch_df = spark.read.schema(EVENTS_DDL).parquet(os.path.join(d, "f*"))
+    expected = sorted(map(tuple, stream_ops.hopping_event_counts(batch_df).collect()))
+
+    # independent membership oracle: event t -> window starts
+    # generate_series(floor(t/S)*S - W + S, floor(t/S)*S, S)
+    W, S = 3600, 1800
+    pdf = batch_df.toPandas()
+    agg = {}
+    for _, r in pdf.iterrows():
+        t = int(r["ts"].value // 1_000_000_000)
+        base = (t // S) * S
+        for s in range(base - W + S, base + 1, S):
+            k = (s, s + W, r["event_type"])
+            n, m = agg.get(k, (0, None))
+            eid = int(r["event_id"])
+            agg[k] = (n + 1, eid if m is None or eid < m else m)
+    exp_py = sorted((k[0], k[1], k[2], v[0], v[1]) for k, v in agg.items())
+    assert expected == exp_py
+
+    q = (
+        stream_ops.hopping_event_counts(_read_stream(spark, d))
+        .writeStream.format("memory")
+        .queryName("hop_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.sql("select * from hop_counts").collect()))
+    assert got == expected
+    # hopping emits ~2x the tumbling windows (every event in W/S windows)
+    n_tumble = stream_ops.windowed_event_counts(batch_df).count()
+    assert len(got) > n_tumble

@@ -366,6 +366,18 @@ def main():
         ],
     )
 
+    # hopping windows: membership expands MAP-SIDE (Expand/Generate before
+    # the exchange), partial aggregation combines per map task
+    dump(
+        "events_hopping",
+        em.q_events_hopping(spark, sf),
+        [
+            ("map-side window expansion", r"Expand|Generate", True),
+            ("partial aggregation before the exchange", r"partial_count", True),
+            ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
+        ],
+    )
+
     # deterministic shuffle: in-shard windows only — NO global sort
     dump(
         "corpus_shuffle",

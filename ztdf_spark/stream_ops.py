@@ -180,3 +180,36 @@ def asof_join(
     )
     carried = {c: F.last(c, ignorenulls=True).over(w) for c in value_cols}
     return u.withColumns(carried).filter(F.col(_ASOF_TAG) == 1).drop(_ASOF_TAG)
+
+
+def hopping_event_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time HOPPING (sliding) window counts per event_type — each
+    event lands in ``window/slide`` overlapping windows (the trend-smoothing
+    companion of the tumbling variant; same batch ≡ stream plan contract).
+
+    Scale shape identical to the tumbling aggregation: Spark expands each
+    row into its ``window/slide`` window memberships MAP-SIDE (a projection,
+    not a join), then hash-partitions on (window, event_type) with partial
+    aggregation; streaming state is bounded by watermark ÷ slide windows
+    per group. Output epoch-second longs for bit-stable oracle compare."""
+    e = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if e.isStreaming:
+        e = e.withWatermark(ts_col, watermark)
+    return (
+        e.groupBy(F.window(ts_col, window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.min("event_id").alias("min_event_id"))
+        .select(
+            F.unix_timestamp("w.start").alias("w_start"),
+            F.unix_timestamp("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "min_event_id",
+        )
+    )
