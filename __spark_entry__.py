@@ -832,6 +832,29 @@ def q_events_hopping(spark, sf_dir):
     return stream_ops.hopping_event_counts(_t(spark, sf_dir, "events"))
 
 
+def q_events_interval_join(spark, sf_dir):
+    """Stream-stream INTERVAL join, batch twin (stream_ops.interval_join):
+    every (purchase, signup-of-same-user within the 24 h before it) pair —
+    the as-of join keeps only the latest, this keeps them all. An
+    equi-join on the key with the time bound evaluated post-match (never a
+    cartesian); in streaming both sides are watermarked and the bound lets
+    Spark evict join state (the stream-stream state contract;
+    batch≡stream pinned in tests). Oracle: the same join in DuckDB — a
+    boundary off-by-one or a dropped pair breaks the hash."""
+    from ztdf_spark import stream_ops
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter("event_type = 'purchase'").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    signups = e.filter("event_type = 'signup'").select(
+        "user_id", "ts", F.col("event_id").alias("signup_id")
+    )
+    return stream_ops.interval_join(purchases, signups, lookback="24 hours").select(
+        "user_id", "purchase_id", "signup_id", "left_ts_s", "right_ts_s"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline queries
 # ---------------------------------------------------------------------------
@@ -1371,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_windowed": q_events_windowed,
         "events_hopping": q_events_hopping,
+        "events_interval_join": q_events_interval_join,
         "tpch_q1_quantized": q_tpch_q1_quantized,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q5_region_volume": q_tpch_q5_region_volume,
@@ -1587,6 +1611,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT w_start, w_start + 3600 AS w_end, event_type,
                COUNT(*) AS n_events, MIN(event_id) AS min_event_id
         FROM m GROUP BY 1, 2, 3
+        """,
+        "events_interval_join": """
+        WITH p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+                   WHERE event_type = 'purchase'),
+        s AS (SELECT user_id, ts, event_id AS signup_id FROM events
+              WHERE event_type = 'signup')
+        SELECT p.user_id, p.purchase_id, s.signup_id,
+               CAST(floor(epoch(p.ts)) AS BIGINT) AS left_ts_s,
+               CAST(floor(epoch(s.ts)) AS BIGINT) AS right_ts_s
+        FROM p JOIN s ON p.user_id = s.user_id
+         AND s.ts >= p.ts - INTERVAL 24 HOUR AND s.ts <= p.ts
         """,
         "part_brand_rollup": """
         SELECT p_brand, p_type, COUNT(*) AS n_parts,

@@ -228,3 +228,44 @@ def test_hopping_counts_batch_equals_stream_and_membership(spark, tmp_path):
     # hopping emits ~2x the tumbling windows (every event in W/S windows)
     n_tumble = stream_ops.windowed_event_counts(batch_df).count()
     assert len(got) > n_tumble
+
+
+def test_interval_join_batch_equals_stream(spark, tmp_path):
+    """Stream-stream interval join: same plan in batch and streaming; every
+    (view, earlier-view-within-15min) pair of the same user, pinned against
+    an independent python expansion."""
+    d = _mk_events(spark, tmp_path)
+    batch = spark.read.schema(EVENTS_DDL).parquet(os.path.join(d, "f*"))
+    left = batch.select("user_id", "ts", F.col("event_id").alias("l_id"))
+    right = batch.select("user_id", "ts", F.col("event_id").alias("r_id"))
+    out_cols = ["user_id", "l_id", "r_id", "left_ts_s", "right_ts_s"]
+    expected = sorted(
+        map(tuple, stream_ops.interval_join(left, right, lookback="15 minutes")
+            .select(*out_cols).collect())
+    )
+
+    # independent oracle
+    pdf = batch.toPandas()
+    rows = [(int(r.user_id), int(r.event_id), int(r.ts.value // 1_000_000_000)) for r in pdf.itertuples()]
+    exp_py = sorted(
+        (u, li, ri, lt, rt)
+        for (u, li, lt) in rows
+        for (u2, ri, rt) in rows
+        if u == u2 and lt - 900 <= rt <= lt
+    )
+    assert expected == exp_py and len(expected) > len(rows)  # self-pairs + overlaps
+
+    sl = _read_stream(spark, d).select("user_id", "ts", F.col("event_id").alias("l_id"))
+    sr = _read_stream(spark, d).select("user_id", "ts", F.col("event_id").alias("r_id"))
+    q = (
+        stream_ops.interval_join(sl, sr, lookback="15 minutes", watermark="10 hours")
+        .select(*out_cols)
+        .writeStream.format("memory")
+        .queryName("ij_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.sql("select * from ij_out").collect()))
+    assert got == expected

@@ -378,6 +378,17 @@ def main():
         ],
     )
 
+    # interval join: equi-join on the key, time bound post-match — never a
+    # cartesian / nested-loop explosion
+    dump(
+        "events_interval_join",
+        em.q_events_interval_join(spark, sf),
+        [
+            ("equi-join, no cartesian / nested loop", r"CartesianProduct|BroadcastNestedLoop", False),
+            ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
+        ],
+    )
+
     # deterministic shuffle: in-shard windows only — NO global sort
     dump(
         "corpus_shuffle",

@@ -213,3 +213,61 @@ def hopping_event_counts(
             "min_event_id",
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "24 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INTERVAL join: each left event pairs with the right
+    events of the same key whose timestamp falls in
+    ``[left.ts - lookback, left.ts]`` (inclusive backward interval — e.g.
+    every signup within a day before a purchase; the as-of join keeps only
+    the latest, this keeps them all).
+
+    One declarative plan for batch AND streaming. In streaming BOTH sides
+    carry watermarks and the join condition bounds event-time distance, so
+    Spark can evict right-side state older than watermark + lookback and
+    left-side state older than watermark — the stream-stream inner-join
+    state contract; without the time bound state would grow forever.
+
+    Scale shape: an EQUI-join on the key (hash exchange both sides, the
+    range condition evaluated post-match) — never a cartesian; right-side
+    rows per key are bounded by the lookback horizon."""
+    l = left.withColumn(left_ts, F.col(left_ts).cast("timestamp"))
+    r = right.withColumn(right_ts, F.col(right_ts).cast("timestamp"))
+    if l.isStreaming:
+        l = l.withWatermark(left_ts, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(right_ts, watermark)
+    lp = l.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_lts"),
+        *[c for c in l.columns if c not in (key, left_ts)],
+    )
+    rp = r.select(
+        F.col(key).alias("_rk"),
+        F.col(right_ts).alias("_rts"),
+        *[c for c in r.columns if c not in (key, right_ts)],
+    )
+    cond = (
+        (F.col("_k") == F.col("_rk"))
+        & (F.col("_rts") >= F.col("_lts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("_rts") <= F.col("_lts"))
+    )
+    return (
+        lp.join(rp, cond, "inner")
+        .select(
+            F.col("_k").alias(key),
+            F.unix_timestamp("_lts").alias("left_ts_s"),
+            F.unix_timestamp("_rts").alias("right_ts_s"),
+            *[c for c in lp.columns if c not in ("_k", "_lts")],
+            *[c for c in rp.columns if c not in ("_rk", "_rts")],
+        )
+    )
