@@ -1752,3 +1752,65 @@ def test_read_range_prunes_files_on_clustered_table(spark, tmp_path):
     df = t.read_range("k0100", "k0150")
     assert len(df.inputFiles()) < n_files
     assert df.count() == 51
+
+
+def test_property_minor_compaction_interleaved_equivalence(spark, tmp_path):
+    """Property test for compact_deltas: random CDC batch sequences with
+    random MINOR compactions (random max_rows fold thresholds) interleaved
+    between merges still equal the pure-python latest-wins oracle — the
+    stored-_cseq tie-break must hold for EVERY fold subset hypothesis
+    picks, including repeated (key, lsn) collisions across commits."""
+    from hypothesis import given, settings, strategies as st
+
+    keys = [f"k{i}" for i in range(5)]
+    event = st.tuples(st.sampled_from(["I", "U", "D"]), st.sampled_from(keys))
+    # per-batch events + a fold decision after each batch:
+    # None = no fold; int = compact_deltas(max_rows=that, min_files=1)
+    batch = st.tuples(
+        st.lists(event, min_size=0, max_size=6),
+        st.one_of(st.none(), st.integers(min_value=1, max_value=8)),
+    )
+    seq = st.lists(batch, min_size=1, max_size=4)
+    counter = [0]
+
+    @settings(max_examples=6, deadline=None)
+    @given(seq, st.data())
+    def run(batches, data):
+        counter[0] += 1
+        import random
+
+        n_ev = sum(len(b) for b, _ in batches)
+        # duplicate (key, lsn) across batches allowed: draw lsns WITH a
+        # small range so equal-seq cross-commit ties actually happen
+        rng = random.Random(counter[0])
+        t = LakeTable.create(
+            spark, str(tmp_path / f"mprop{counter[0]}"), schema=STATE_SCHEMA,
+            target_file_rows=200, merge_mode="mor",
+        )
+        applied = []  # (commit_order, op, key, lsn)
+        order = 0
+        for bid, (evs, fold) in enumerate(batches):
+            rows = []
+            seen = set()
+            for op, k in evs:
+                lsn = rng.randint(1, max(4, n_ev))
+                if (k, lsn) in seen:  # merge dedups intra-batch (key,seq)
+                    continue
+                seen.add((k, lsn))
+                rows.append((op, k, lsn, [1], 1, "w"))
+            if rows:
+                t.merge(_changes(spark, rows), batch_id=bid)
+                order += 1
+                applied += [(order, op, k, lsn) for op, k, lsn, *_ in rows]
+            if fold is not None:
+                t.compact_deltas(max_rows=fold, min_files=1)
+        # python oracle: winner per key = max (lsn, commit_order)
+        best: dict = {}
+        for c, op, k, lsn in applied:
+            if k not in best or (lsn, c) > (best[k][1], best[k][2]):
+                best[k] = (op, lsn, c)
+        expect = sorted((k, v[1]) for k, v in best.items() if v[0] != "D")
+        got = sorted((r["doc_id"], r["lsn"]) for r in t.read().collect())
+        assert got == expect, f"after folds: {got} vs {expect}"
+
+    run()
