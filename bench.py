@@ -223,6 +223,37 @@ def main():
             "n_events": n_events,
         }
         print(json.dumps(out))
+        # The driver captures only the last ~2000 chars of stdout; round 5's
+        # full blob (query_runs + canary_runs) pushed the per-query timings
+        # out of that window and left BENCH_r05.json unparseable (VERDICT r5
+        # what's-wrong #2). Emit a second, COMPACT summary as the very last
+        # line — parseable on its own and small enough that every per-query
+        # min survives the tail capture. Values re-round to 2 decimals if
+        # the 3-decimal form would not fit the window.
+        def _compact(ndigits: int) -> str:
+            qmin = {
+                k: (round(v, ndigits) if isinstance(v, float) else v)
+                for k, v in queries.items()
+            }
+            return json.dumps(
+                {
+                    "metric": "cdc_replay_wall_sec",
+                    "value": replay["wall_s"],
+                    "unit": "sec",
+                    "sf": sf,
+                    "steady_eps": replay["steady_events_per_sec"],
+                    # full stalled-query list lives in the full blob above;
+                    # here only the count, to keep this line inside the window
+                    "n_stalled": len(stalled),
+                    "queries": qmin,
+                },
+                separators=(",", ":"),
+            )
+
+        line = _compact(3)
+        if len(line) > 1900:
+            line = _compact(2)
+        print(line)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
