@@ -1814,3 +1814,56 @@ def test_property_minor_compaction_interleaved_equivalence(spark, tmp_path):
         assert got == expect, f"after folds: {got} vs {expect}"
 
     run()
+
+
+def test_publish_expired_intermediate_raises_commit_conflict(spark, tmp_path):
+    """ADVICE r5 #2: expire_snapshots keeps only ref HEADS; publishing a
+    branch whose intermediate snapshots expired must surface the documented
+    CommitConflict (ancestry unprovable), not a bare FileNotFoundError."""
+    t = _mk_mor(spark, tmp_path, "pubexp")
+    t.merge(_changes(spark, [("I", "a", 1, [1], 1, "web")]), batch_id=0)
+    main_v = t.current_version()
+    t.create_branch("stage")
+    t.merge(_changes(spark, [("I", "b", 2, [2], 1, "web")]), batch_id=1, branch="stage")
+    mid = t.ref_version("stage")
+    t.merge(_changes(spark, [("I", "c", 3, [3], 1, "web")]), batch_id=2, branch="stage")
+    # retention keeps main's head + the branch HEAD; the branch's
+    # intermediate commit expires normally
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(mid)  # precondition: the intermediate really expired
+    with pytest.raises(CommitConflict, match="expired"):
+        t.publish("stage")
+    # main untouched by the refused publish
+    assert t.current_version() == main_v
+
+
+def test_changes_scratch_swept_by_next_call(spark, tmp_path, monkeypatch):
+    """ADVICE r5 #3: beyond-cap changes() scratch key-set files no longer
+    accumulate until a vacuum — the next beyond-cap changes() call reclaims
+    dirs older than the scratch grace window and leaves fresh ones alone."""
+    import glob
+    import time as _time
+
+    import ztdf_spark.ops as ops
+
+    monkeypatch.setattr(ops, "broadcast_key_limit", lambda s: 5)
+    t = _mk_mor(spark, tmp_path, "sweep")
+    b0 = [("I", f"doc-{i:03d}", i + 1, [i], 1, "web") for i in range(40)]
+    t.merge(_changes(spark, b0), batch_id=0)
+    v1 = t.current_version()
+    b1 = [("U", f"doc-{i:03d}", 100 + i, [i, i], 2, "web") for i in range(20)]
+    t.merge(_changes(spark, b1), batch_id=1)
+
+    t.changes(v1, t.current_version()).collect()
+    old = glob.glob(os.path.join(t.path, "_staging", "changes-keys-*"))
+    assert len(old) == 1
+    # age the first scratch dir past the grace window, then run another
+    # beyond-cap changes(): the stale dir is reclaimed, the new one stays
+    past = _time.time() - 2 * 3600
+    os.utime(old[0], (past, past))
+    df = t.changes(v1, t.current_version())
+    got = {r["doc_id"]: (r["_change_type"], r["lsn"]) for r in df.collect()}
+    assert got == _py_changes(b0, b0 + b1)  # result unaffected by the sweep
+    now = glob.glob(os.path.join(t.path, "_staging", "changes-keys-*"))
+    assert old[0] not in now and len(now) == 1

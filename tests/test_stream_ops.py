@@ -190,6 +190,34 @@ def test_asof_join_plan_is_one_shuffle_no_cartesian(spark):
     assert plan.count("hashpartitioning(user_id") <= 2  # one per union branch max
 
 
+def test_asof_join_null_right_value_wins_and_left_clash_raises(spark):
+    """ADVICE r5 #1: (a) a right row whose value is legitimately NULL still
+    overwrites an older non-null row (DuckDB ASOF parity — the carry keys
+    on row existence, not value non-nullness); (b) a value_col that already
+    exists on the left frame raises instead of silently carrying left
+    rows' own values forward."""
+    from datetime import datetime
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, s)
+    rdf = spark.createDataFrame(
+        [(1, t(0), "old"), (1, t(10), None)], "user_id long, ts timestamp, plan string"
+    )
+    ldf = spark.createDataFrame(
+        [(100, 1, t(5)), (101, 1, t(20))], "event_id long, user_id long, ts timestamp"
+    )
+    got = {
+        r["event_id"]: r["plan"]
+        for r in stream_ops.asof_join(
+            ldf, rdf, ["user_id"], ts="ts", value_cols=["plan"]
+        ).collect()
+    }
+    assert got == {100: "old", 101: None}  # t=20 sees the NULL overwrite at t=10
+
+    clash = ldf.withColumn("plan", F.lit("mine"))
+    with pytest.raises(ValueError, match="plan"):
+        stream_ops.asof_join(clash, rdf, ["user_id"], ts="ts", value_cols=["plan"])
+
+
 def test_hopping_counts_batch_equals_stream_and_membership(spark, tmp_path):
     """Hopping windows: identical plan in batch and stream; every event
     lands in exactly window/slide overlapping windows (membership checked

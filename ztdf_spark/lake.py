@@ -82,6 +82,12 @@ from pyspark.sql import types as T
 from .ops import latest_wins_join
 
 FORMAT_VERSION = 3
+
+# How long a beyond-cap changes() key-set scratch file survives before the
+# next beyond-cap changes() call reclaims it. Must exceed the longest gap
+# between a changes() call and its consumer's last materialization of the
+# returned (lazy) DataFrame.
+CHANGES_SCRATCH_GRACE_S = 3600.0
 _SNAP_DIR = "_snapshots"
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
@@ -459,12 +465,15 @@ class LakeTable:
         manifests, possibly extended physical schema, updated ``columns``
         mapping. ``mutate(columns, phys_fields)`` edits both in place.
         Optimistic-concurrency like merge: losing the exclusive version
-        claim to a racing writer re-reads and re-applies."""
+        claim to a racing writer re-reads and re-applies. ``mutate`` also
+        receives the snapshot each attempt is based on, so validation
+        (e.g. key/seq reservation) checks the SAME base it alters rather
+        than re-reading a possibly newer snapshot mid-attempt."""
         for attempt in range(retries + 1):
             snap = self.snapshot()
             columns = [dict(c) for c in self._columns_map(snap)]
             phys_fields = [dict(f) for f in snap["schema"]["fields"]]
-            mutate(columns, phys_fields)
+            mutate(columns, phys_fields, snap)
             new_snap = {
                 "format_version": FORMAT_VERSION,
                 "version": self._next_version(),
@@ -502,7 +511,7 @@ class LakeTable:
         older snapshots still sees ``old``. The key/seq columns may be
         renamed too — incoming merge batches then use the new name."""
 
-        def mutate(columns, phys_fields):
+        def mutate(columns, phys_fields, snap):
             live = {c["logical"] for c in columns}
             if old not in live:
                 raise ValueError(f"no column {old!r} (live columns: {sorted(live)})")
@@ -521,11 +530,12 @@ class LakeTable:
         ``add_column``/merge with the same name gets a FRESH physical
         column, so dropped values never resurface."""
 
-        def mutate(columns, phys_fields):
+        def mutate(columns, phys_fields, snap):
             entry = next((c for c in columns if c["logical"] == name), None)
             if entry is None:
                 raise ValueError(f"no column {name!r}")
-            snap = self.snapshot()
+            # validate against the snapshot THIS attempt alters (not a fresh
+            # self.snapshot() read that could race past it — ADVICE r5)
             for reserved in (snap["key_col"], snap["seq_col"]):
                 if entry["physical"] == reserved:
                     raise ValueError(f"cannot drop the key/seq column {name!r}")
@@ -540,7 +550,7 @@ class LakeTable:
         if isinstance(dtype, str):
             dtype = getattr(T, "_parse_datatype_string")(dtype)
 
-        def mutate(columns, phys_fields):
+        def mutate(columns, phys_fields, snap):
             if any(c["logical"] == name for c in columns):
                 raise ValueError(f"column {name!r} already exists")
             taken = {f["name"] for f in phys_fields} | {c["physical"] for c in columns}
@@ -675,7 +685,17 @@ class LakeTable:
                     f"publish({branch!r}): main v{cur} is not an ancestor of "
                     f"branch head v{head} — not a fast-forward"
                 )
-            v = self.snapshot(v)["parent"]
+            try:
+                v = self.snapshot(v)["parent"]
+            except FileNotFoundError:
+                # expire_snapshots keeps only ref HEADS; a branch whose
+                # intermediate snapshots expired cannot prove ancestry —
+                # surface the documented conflict, not a raw file error
+                raise CommitConflict(
+                    f"publish({branch!r}): snapshot v{v} on the branch chain "
+                    f"has been expired — ancestry of main v{cur} cannot be "
+                    f"verified; re-merge the branch batches onto main instead"
+                ) from None
         hs = self.snapshot(head)
         marker = {
             "format_version": FORMAT_VERSION,
@@ -1193,15 +1213,23 @@ class LakeTable:
             # ONCE to a scratch parquet that every consumer rescans as a
             # tiny columnar file — the round-4 shape unpersisted before
             # the consumers ran, re-running the distinct shuffle over all
-            # interval delta files up to ~5× (ADVICE r4 #5). The scratch
-            # file lands under _staging, reclaimed by vacuum()'s
-            # grace-guarded staging sweep.
+            # interval delta files up to ~5× (ADVICE r4 #5). Scratch
+            # lifecycle (ADVICE r5 #3): each changes() call sweeps
+            # changes-keys-* dirs older than CHANGES_SCRATCH_GRACE_S, so
+            # files no longer accumulate unbounded between vacuums.
+            # HAZARD (documented contract): the returned DataFrame is lazy
+            # and rescans its scratch file — a consumer that first
+            # materializes it more than the grace window (this sweep's
+            # 3600 s, or a concurrent vacuum()'s orphan_grace_s, default
+            # 600 s) after the changes() call can fail mid-query on the
+            # reclaimed file. Materialize promptly, or raise the graces.
             cap = min(200_000, broadcast_key_limit(self.spark))
             n_delta_rows = sum(f["rows"] for f in interval)
             key_rows = None
             if n_delta_rows <= cap:
                 key_rows = touched.collect()
             else:
+                self._sweep_changes_scratch()
                 tmp = os.path.join(self.path, "_staging", f"changes-keys-{uuid.uuid4().hex}")
                 tp = touched.persist()
                 try:
@@ -2260,6 +2288,31 @@ class LakeTable:
             "removed_files": removed_files,
             "oldest_kept": min(keep) if keep else cur,
         }
+
+    def _sweep_changes_scratch(self, grace_s: float = CHANGES_SCRATCH_GRACE_S) -> None:
+        """Reclaim beyond-cap ``changes()`` key-set scratch dirs older than
+        ``grace_s``. Called by each beyond-cap ``changes()`` before writing
+        its own scratch, so the files are bounded by the active-consumer
+        window instead of accumulating until a vacuum() (ADVICE r5 #3).
+        The grace must exceed the longest gap between a ``changes()`` call
+        and its consumer's LAST materialization — see the hazard note at
+        the write site."""
+        staging = os.path.join(self.path, "_staging")
+        if not os.path.isdir(staging):
+            return
+        cutoff = time.time() - grace_s
+        for name in os.listdir(staging):
+            if not name.startswith("changes-keys-"):
+                continue
+            d = os.path.join(staging, name)
+            try:
+                if os.path.getmtime(d) > cutoff:
+                    continue
+                for n in os.listdir(d):
+                    os.unlink(os.path.join(d, n))
+                os.rmdir(d)
+            except (FileNotFoundError, NotADirectoryError):
+                continue  # racing sweep/vacuum got there first
 
     def vacuum(self, orphan_grace_s: float = 600.0) -> list[str]:
         """Delete data files and manifest files not referenced by any

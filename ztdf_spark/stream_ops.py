@@ -161,16 +161,36 @@ def asof_join(
     ``tie_col``: if several right rows share (key, ts), keep the one with
     the max ``tie_col`` (deterministic); without it the caller must
     guarantee (key, ts) uniqueness on the right side.
+
+    ``value_cols`` may not collide with a left column (raises ValueError:
+    the output has one column per value, and a silent carry of the LEFT
+    frame's own values into later left rows would be a wrong as-of result
+    — ADVICE r5 #1). NULL semantics match a real ASOF JOIN (DuckDB
+    parity): a right row whose value is legitimately NULL still WINS over
+    an older non-null row — each right value rides in a struct, so the
+    last-non-null carry keys on "a right row existed", never on the
+    value itself.
     """
     from pyspark.sql import Window
 
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"value_cols {sorted(clash)} already exist on the left frame; "
+            "rename them on one side before the as-of join"
+        )
     r = right
     if tie_col is not None:
         r = (
             r.groupBy(*on, ts)
             .agg(*[F.max_by(c, tie_col).alias(c) for c in value_cols])
         )
-    r = r.select(*on, ts, *value_cols).withColumn(_ASOF_TAG, F.lit(0))
+    # struct-wrap each right value: non-null for EVERY right row, so a
+    # genuinely-NULL right value overwrites instead of being skipped for a
+    # staler non-null one (last(ignorenulls) then means "latest right row")
+    r = r.select(
+        *on, ts, *[F.struct(F.col(c).alias("v")).alias(c) for c in value_cols]
+    ).withColumn(_ASOF_TAG, F.lit(0))
     l = left.withColumn(_ASOF_TAG, F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
     w = (
@@ -179,7 +199,12 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = {c: F.last(c, ignorenulls=True).over(w) for c in value_cols}
-    return u.withColumns(carried).filter(F.col(_ASOF_TAG) == 1).drop(_ASOF_TAG)
+    u = u.withColumns(carried)
+    return (
+        u.filter(F.col(_ASOF_TAG) == 1)
+        .drop(_ASOF_TAG)
+        .withColumns({c: F.col(c).getField("v") for c in value_cols})
+    )
 
 
 def hopping_event_counts(
