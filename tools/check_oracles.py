@@ -120,6 +120,214 @@ def _pandas_minhash_lsh(sf_dir, n_hashes=64, bands=16, k=3, min_est_q=400, seed=
     return pd.DataFrame(recs, columns=["doc_a", "doc_b", "est_jac_q"]).astype("int64")
 
 
+def _emb_matrix(sf_dir):
+    """(ids, float64 matrix) sorted by vec_id."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas().sort_values("vec_id")
+    M = np.stack(t["embedding"].map(lambda v: np.asarray(v, dtype="float64")).to_numpy())
+    return t["vec_id"].to_numpy(), M
+
+
+def _hyperplane_sigs(M, dim, n_planes, n_tables, seed, multiprobe):
+    """Banded random-hyperplane probe ids, same construction as
+    simops._lsh_probes_udf (same rng seed/order): (table << 32) | bucket,
+    plus every 1-bit-flip bucket when multiprobe=1. Returns (n, P) int64."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((dim, n_tables * n_planes))
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    bits = (M @ planes) > 0
+    bits = bits.reshape(len(M), n_tables, n_planes)
+    base = bits @ weights
+    tcode = (np.arange(n_tables, dtype=np.int64) << 32)[None, :]
+    out = base + tcode
+    if multiprobe:
+        flips = base[:, :, None] ^ weights[None, None, :]
+        out = np.concatenate([out[:, :, None], flips + tcode[:, :, None]], axis=2).reshape(len(M), -1)
+    return out.astype(np.int64)
+
+
+def _topk_cos(qids, qm, cand_ids_per_q, M, ids_index, k):
+    """Exact-cosine rerank + top-k under the (cos desc, id asc) total order;
+    returns rows (query_id, neighbor_id, cos, rank)."""
+    import numpy as np
+
+    recs = []
+    for qi, qid in enumerate(qids):
+        cids = np.array(sorted(cand_ids_per_q.get(int(qid), ())), dtype=np.int64)
+        if not len(cids):
+            continue
+        cm = M[[ids_index[c] for c in cids]]
+        cos = (cm @ qm[qi]) / (np.linalg.norm(cm, axis=1) * np.linalg.norm(qm[qi]))
+        order = np.lexsort((cids, -cos))[:k]
+        for r, j in enumerate(order, 1):
+            recs.append((int(qid), int(cids[j]), float(cos[j]), r))
+    return recs
+
+
+def _ann_frame(recs):
+    import pandas as pd
+
+    df = pd.DataFrame(recs, columns=["query_id", "neighbor_id", "cos", "rank"])
+    return df.astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
+
+
+def _pandas_ann_lsh(sf_dir, n_queries=10, k=5, n_planes=8, n_tables=8, seed=42, dim=64):
+    """Oracle for q_ann_lsh: multi-table hyperplane buckets, query-side
+    1-bit multiprobe widening, exact-cosine rerank, top-k."""
+    import numpy as np
+
+    ids, M = _emb_matrix(sf_dir)
+    qmask = ids < n_queries
+    qids, qm = ids[qmask], M[qmask]
+    cids, cm = ids[~qmask], M[~qmask]
+    csig = _hyperplane_sigs(cm, dim, n_planes, n_tables, seed, multiprobe=0)
+    qsig = _hyperplane_sigs(qm, dim, n_planes, n_tables, seed, multiprobe=1)
+    buckets: dict = {}
+    for i, cid in enumerate(cids):
+        for p in csig[i]:
+            buckets.setdefault(int(p), []).append(int(cid))
+    cand: dict = {}
+    for qi, qid in enumerate(qids):
+        s = set()
+        for p in set(int(x) for x in qsig[qi]):
+            s.update(buckets.get(p, ()))
+        cand[int(qid)] = s
+    ids_index = {int(v): i for i, v in enumerate(ids)}
+    return _ann_frame(_topk_cos(qids, qm, cand, M, ids_index, k))
+
+
+def _md5_sample(ids, M, prefix, train_sample=10_000):
+    """Layout-invariant bounded training sample, same construction as
+    simops: md5(prefix + str(id))[:8] threshold + (hash, id) total-order
+    cap. Returns the sample matrix in (hash, id) order."""
+    import hashlib
+
+    import numpy as np
+
+    n = len(ids)
+    frac = min(1.0, (train_sample * 1.5) / max(1, n))
+    thr = "g" if frac >= 1.0 else format(int(frac * (1 << 32)), "08x")
+    keyed = sorted(
+        (hashlib.md5(f"{prefix}{int(v)}".encode()).hexdigest()[:8], int(v), i)
+        for i, v in enumerate(ids)
+    )
+    keep = [i for h, v, i in keyed if h < thr][:train_sample]
+    return M[keep]
+
+
+def _pandas_ann_ivf(sf_dir, n_queries=10, k=5, n_cells=16, n_probe=3, seed=42,
+                    train_sample=10_000, iters=5):
+    """Oracle for q_ann_ivf: seeded spherical k-means on the md5-sample,
+    nearest-cell assignment, n_probe query cells, exact rerank."""
+    import numpy as np
+
+    ids, M = _emb_matrix(sf_dir)
+    qmask = ids < n_queries
+    qids, qm = ids[qmask], M[qmask]
+    cids, cm = ids[~qmask], M[~qmask]
+    sample = _md5_sample(cids, cm, f"ivf{seed}-", train_sample)
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(iters):
+        cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(sample @ cn.T, axis=1)
+        for j in range(len(cent)):
+            m = sample[assign == j]
+            if len(m):
+                cent[j] = m.mean(axis=0)
+    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    c_cell = np.argsort(-(cm @ cent.T), axis=1)[:, 0]
+    q_cells = np.argsort(-(qm @ cent.T), axis=1)[:, :n_probe]
+    cell_members: dict = {}
+    for i, cid in enumerate(cids):
+        cell_members.setdefault(int(c_cell[i]), []).append(int(cid))
+    cand = {
+        int(qid): {m for c in q_cells[qi] for m in cell_members.get(int(c), ())}
+        for qi, qid in enumerate(qids)
+    }
+    ids_index = {int(v): i for i, v in enumerate(ids)}
+    return _ann_frame(_topk_cos(qids, qm, cand, M, ids_index, k))
+
+
+def _pandas_ann_pq(sf_dir, n_queries=10, k=5, m=8, n_codes=16, seed=42,
+                   train_sample=10_000, iters=8, rerank_factor=3):
+    """Oracle for q_ann_pq: per-subspace k-means codebooks on the
+    md5-sample, candidate encoding, ADC table-gather scores, global top
+    rerank_factor*k under (score desc, id asc), exact-cosine top-k."""
+    import numpy as np
+
+    ids, M = _emb_matrix(sf_dir)
+    qmask = ids < n_queries
+    qids, qm = ids[qmask], M[qmask]
+    cids, cm = ids[~qmask], M[~qmask]
+    sample = _md5_sample(cids, cm, f"pq{seed}-", train_sample)
+    dim = sample.shape[1]
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, n_codes, sub))
+    for j in range(m):
+        sj = sample[:, j * sub : (j + 1) * sub]
+        cent = sj[rng.choice(len(sj), size=min(n_codes, len(sj)), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sj[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                pts = sj[assign == c]
+                if len(pts):
+                    cent[c] = pts.mean(axis=0)
+        books[j, : len(cent)] = cent
+    codes = np.empty((len(cids), m), dtype=np.int64)
+    for j in range(m):
+        xj = cm[:, j * sub : (j + 1) * sub]
+        d2 = ((xj[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d2, axis=1)
+    qtab = np.einsum("qjs,jcs->qjc", qm.reshape(len(qids), m, sub), books)
+    scores = np.zeros((len(qids), len(cids)))
+    for j in range(m):
+        scores += qtab[:, j, :][:, codes[:, j]]
+    top_r = rerank_factor * k
+    cand = {}
+    for qi, qid in enumerate(qids):
+        sel = np.lexsort((cids, -scores[qi]))[: min(top_r, len(cids))]
+        cand[int(qid)] = {int(cids[j]) for j in sel}
+    ids_index = {int(v): i for i, v in enumerate(ids)}
+    return _ann_frame(_topk_cos(qids, qm, cand, M, ids_index, k))
+
+
+def _pandas_emb_near_dup_lsh(sf_dir, min_cos=0.45, n_planes=8, n_tables=16, seed=42, dim=64):
+    """Oracle for q_emb_near_dup_lsh: banded hyperplane collision pairs
+    (any table), exact-cosine rerank, threshold filter."""
+    import numpy as np
+    import pandas as pd
+
+    ids, M = _emb_matrix(sf_dir)
+    sig = _hyperplane_sigs(M, dim, n_planes, n_tables, seed, multiprobe=0)
+    buckets: dict = {}
+    for i in range(len(ids)):
+        for p in sig[i]:
+            buckets.setdefault(int(p), []).append(i)
+    pairs = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                pairs.add((ms[x], ms[y]))
+    norms = np.linalg.norm(M, axis=1)
+    recs = []
+    for i, j in pairs:
+        cos = float((M[i] @ M[j]) / (norms[i] * norms[j]))
+        if cos >= min_cos:
+            a, b = int(ids[i]), int(ids[j])
+            if a > b:
+                a, b = b, a
+            recs.append((a, b, cos))
+    df = pd.DataFrame(sorted(recs), columns=["vec_a", "vec_b", "cos"])
+    return df.astype({"vec_a": "int64", "vec_b": "int64"})
+
+
 def _pandas_ann_cosine(sf_dir, n_queries=10, k=5):
     import numpy as np
     import pandas as pd
@@ -320,6 +528,10 @@ PANDAS_ORACLES = {
     "dedup_simhash": _pandas_simhash,
     "dedup_minhash_lsh": _pandas_minhash_lsh,
     "ann_topk_cosine": _pandas_ann_cosine,
+    "ann_lsh": _pandas_ann_lsh,
+    "ann_ivf": _pandas_ann_ivf,
+    "ann_pq": _pandas_ann_pq,
+    "emb_near_dup_lsh": _pandas_emb_near_dup_lsh,
     "mm_features": _pandas_mm_features,
     "mm_frames": _pandas_mm_frames,
     "mm_resize": _pandas_mm_resize,
