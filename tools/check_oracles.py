@@ -55,71 +55,6 @@ def _docs_pdf(sf_dir):
     return pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
 
 
-def _pandas_simhash(sf_dir):
-    from hashlib import blake2b
-
-    import numpy as np
-    import pandas as pd
-
-    d = _docs_pdf(sf_dir)
-    bits = np.arange(64, dtype=np.uint64)
-    key = (42).to_bytes(8, "little")
-    out = []
-    for t in d["text"]:
-        ws = str(t).lower().split(" ")
-        hs = np.fromiter(
-            (int.from_bytes(blake2b(w.encode(), digest_size=8, key=key).digest(), "little") for w in ws),
-            dtype=np.uint64, count=len(ws),
-        )
-        votes = np.where((hs[:, None] >> bits) & np.uint64(1), 1, -1).sum(axis=0)
-        out.append(int(((votes > 0).astype(np.uint64) << bits).sum() & np.uint64(0x7FFFFFFFFFFFFFFF)))
-    return pd.DataFrame({"doc_id": d["doc_id"].astype("int64"), "simhash": np.array(out, dtype="int64")})
-
-
-def _pandas_minhash_lsh(sf_dir, n_hashes=64, bands=16, k=3, min_est_q=400, seed=42):
-    from hashlib import blake2b
-
-    import numpy as np
-    import pandas as pd
-
-    p = (1 << 61) - 1
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, p, size=n_hashes, dtype=np.uint64)[:, None]
-    b = rng.integers(0, p, size=n_hashes, dtype=np.uint64)[:, None]
-    d = _docs_pdf(sf_dir)
-    sigs = {}
-    for doc_id, t in zip(d["doc_id"].astype("int64"), d["text"]):
-        ws = str(t).lower().split(" ")
-        sh = {" ".join(ws[i : i + k]) for i in range(max(0, len(ws) - k + 1))}
-        if not sh:
-            sigs[doc_id] = np.zeros(n_hashes, dtype=np.int64)
-            continue
-        hv = np.fromiter(
-            (int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "little") for s in sh),
-            dtype=np.uint64, count=len(sh),
-        )
-        sig = ((a * (hv[None, :] % p) + b) % p).min(axis=1)
-        sigs[doc_id] = (sig & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
-    rows = n_hashes // bands
-    buckets: dict = {}
-    for doc_id, sig in sigs.items():
-        for bi in range(bands):
-            key = (bi, tuple(sig[bi * rows : (bi + 1) * rows]))
-            buckets.setdefault(key, []).append(doc_id)
-    cands = set()
-    for members in buckets.values():
-        ms = sorted(members)
-        for i in range(len(ms)):
-            for j in range(i + 1, len(ms)):
-                cands.add((ms[i], ms[j]))
-    recs = []
-    for da, db in sorted(cands):
-        est = int(1000 * int((sigs[da] == sigs[db]).sum()) // n_hashes)
-        if est >= min_est_q:
-            recs.append((da, db, est))
-    return pd.DataFrame(recs, columns=["doc_a", "doc_b", "est_jac_q"]).astype("int64")
-
-
 def _emb_matrix(sf_dir):
     """(ids, float64 matrix) sorted by vec_id."""
     import numpy as np
@@ -525,8 +460,6 @@ def _pandas_mm_resize(sf_dir, n=30, seed=42, out_w=8, out_h=8):
 
 
 PANDAS_ORACLES = {
-    "dedup_simhash": _pandas_simhash,
-    "dedup_minhash_lsh": _pandas_minhash_lsh,
     "ann_topk_cosine": _pandas_ann_cosine,
     "ann_lsh": _pandas_ann_lsh,
     "ann_ivf": _pandas_ann_ivf,

@@ -330,6 +330,28 @@ def main():
         ],
     )
 
+    # minhash/simhash: round-6 pure-Catalyst md5 constructions. Signature
+    # derivation is map-only codegen; minhash candidates come from a
+    # (band, bucket) equi-join — never a cross join, never Python workers.
+    dump(
+        "dedup_minhash_lsh",
+        em.q_dedup_minhash_lsh(spark, sf),
+        [
+            ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
+            ("no cartesian / all-pairs stage", r"CartesianProduct|BroadcastNestedLoop", False),
+            ("candidates via (band,bucket) equi-join", r"\[band#\d+, bucket#\d+\]", True),
+        ],
+    )
+    dump(
+        "dedup_simhash",
+        em.q_dedup_simhash(spark, sf),
+        [
+            ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
+            ("map-only: zero exchanges", r"Exchange", False),
+            ("column-pruned scan (doc_id, text only)", r"ReadSchema: struct<doc_id:bigint,text:string>", True),
+        ],
+    )
+
     # canonicalization: keeper election must be a partial-combine aggregate
     # + equi-join back, never a window sort over the whole corpus
     dump(
