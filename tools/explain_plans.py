@@ -194,6 +194,19 @@ def main():
         [
             ("query side broadcast (nested-loop cross)", r"BroadcastNestedLoopJoin", True),
             ("pushed filter isolating candidates", r"PushedFilters: \[.*GreaterThanOrEqual\(vec_id", True),
+            # VERDICT r5 minor #3: the exact baseline's top-k must prune the
+            # Q×N scored space per-partition BEFORE the exchange — Spark's
+            # rank-limit pushdown inserts a partial WindowGroupLimit (a
+            # per-partition top-k heap); only ≤ k·partitions rows shuffle
+            ("per-partition top-k before the exchange", r"WindowGroupLimit .*row_number\(\), \d+, Partial", True),
+        ],
+    )
+    dump(
+        "ann_topk_cosine",
+        em.q_ann_topk_cosine(spark, sf),
+        [
+            ("query side broadcast (nested-loop cross)", r"BroadcastNestedLoopJoin", True),
+            ("per-partition top-k before the exchange", r"WindowGroupLimit .*row_number\(\), \d+, Partial", True),
         ],
     )
 
