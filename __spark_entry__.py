@@ -922,6 +922,30 @@ def q_text_line_dedup(spark, sf_dir):
     )
 
 
+def q_text_line_dedup_nl(spark, sf_dir):
+    """The REAL-corpus (multi-line) path of textops.line_dedup: the corpus
+    is reshaped into newline-delimited docs (10-word chunks joined by \\n,
+    plus one boilerplate header line shared by EVERY doc), then deduped
+    with delimiter='\\n'. The shared header exceeds max_df and must vanish
+    from every doc's digest; per-doc chunk lines behave exactly like the
+    word-chunk variant. Pins the split('\\n') branch end to end
+    (VERDICT r5 next-round #7)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.ceil(F.size(w) / F.lit(10)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", F.slice(w, (i - F.lit(1)) * 10 + F.lit(1), 10)),
+    )
+    nl_docs = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("shared boilerplate header\n"), F.concat_ws("\n", chunks)
+        ).alias("text"),
+    )
+    return textops.line_dedup(nl_docs, delimiter="\n", max_df=2)
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic train/val/test split (textops.corpus_split): one
     label per doc from a cumulative md5 threshold — a pure row-local
@@ -1391,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first hash-green driver rows land this round
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "text_line_dedup_nl": q_text_line_dedup_nl,
         # CDC engine semantics (SURVEY.md §2.3 stages)
         "cdc_latest_wins": q_cdc_latest_wins,
         "cdc_merge_state_agg": q_cdc_merge_state_agg,
@@ -2232,6 +2257,29 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, i AS pos,
                  array_to_string(list_slice(ws, (i - 1) * 10 + 1, i * 10), ' ') AS line
           FROM nl, LATERAL unnest(generate_series(1, n)) AS t(i)),
+        dfc AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY line),
+        fl AS (SELECT l.doc_id, l.pos, l.line, (d.df <= 2) AS keep
+               FROM lines l JOIN dfc d USING (line))
+        SELECT doc_id, COUNT(*) AS n_lines,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               md5(COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), ''))
+                 AS kept_md5
+        FROM fl GROUP BY doc_id
+        """
+    # multi-line (newline-chunker) variant: same pipeline over docs rebuilt
+    # as header + \n-joined 10-word chunks; the shared header's df equals
+    # the doc count, so it must drop from every digest
+    d["text_line_dedup_nl"] = """
+        WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        nl AS (SELECT doc_id, ws, CAST(ceil(len(ws) / 10.0) AS BIGINT) AS n FROM w),
+        chunk_lines AS (
+          SELECT doc_id, i AS pos,
+                 array_to_string(list_slice(ws, (i - 1) * 10 + 1, i * 10), ' ') AS line
+          FROM nl, LATERAL unnest(generate_series(1, n)) AS t(i)),
+        lines AS (
+          SELECT doc_id, 0 AS pos, 'shared boilerplate header' AS line FROM w
+          UNION ALL SELECT * FROM chunk_lines),
         dfc AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY line),
         fl AS (SELECT l.doc_id, l.pos, l.line, (d.df <= 2) AS keep
                FROM lines l JOIN dfc d USING (line))

@@ -273,6 +273,39 @@ def test_line_dedup_boilerplate_removal(spark):
     assert got[4]["n_kept"] == 0  # the boilerplate-only doc survives as empty
 
 
+def test_line_dedup_newline_delimiter(spark):
+    """The real-corpus chunker: lines are literal '\\n' splits. A header
+    line shared by all docs is dropped everywhere; per-doc unique lines
+    survive in order; digests match an independent python oracle."""
+    import hashlib
+
+    rows = [
+        (1, "COPYRIGHT HEADER\nalpha beta\ngamma delta"),
+        (2, "COPYRIGHT HEADER\nepsilon zeta\ngamma delta"),
+        (3, "COPYRIGHT HEADER\nunique line here"),
+        (4, "COPYRIGHT HEADER"),  # header-only doc → zero kept lines
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in textops.line_dedup(docs, max_df=2, delimiter="\n").collect()
+    }
+    lines = {i: t.split("\n") for i, t in rows}
+    df = {}
+    for i, ls in lines.items():
+        for l in set(ls):
+            df[l] = df.get(l, 0) + 1
+    for i, ls in lines.items():
+        kept = [l for l in ls if df[l] <= 2]
+        assert got[i]["n_lines"] == len(ls) and got[i]["n_kept"] == len(kept)
+        assert got[i]["kept_md5"] == hashlib.md5("\n".join(kept).encode()).hexdigest()
+    assert got[4]["n_kept"] == 0  # header df=4 > max_df → dropped
+    assert got[1]["n_kept"] == 2 and got[2]["n_kept"] == 2  # 'gamma delta' df=2 kept
+
+
 def test_corpus_split_deterministic_and_frozen(spark):
     """Exactly one label per doc, md5-exact against an independent python
     oracle, and FROZEN: a subset corpus assigns the same labels (adding

@@ -583,14 +583,21 @@ def dedup_canonicalize(
     )
 
 
-def line_dedup(docs: DataFrame, words_per_line: int = 10, max_df: int = 2) -> DataFrame:
+def line_dedup(
+    docs: DataFrame,
+    words_per_line: int = 10,
+    max_df: int = 2,
+    delimiter: str | None = None,
+) -> DataFrame:
     """Cross-document repeated-line removal (the CCNet / RefinedWeb
     boilerplate filter): a 'line' occurring in more than ``max_df`` DISTINCT
     documents is dropped from every document; the cleaned text is returned
-    as an order-preserving digest. The test corpus has no newlines, so a
-    line is a deterministic chunk of ``words_per_line`` consecutive words —
-    the operator is delimiter-agnostic (swap the chunker for
-    ``split(text, '\\n')`` on real multi-line corpora).
+    as an order-preserving digest. Two chunkers, same pipeline:
+    ``delimiter`` set (e.g. ``"\\n"`` — the real-corpus CCNet shape) splits
+    on it literally; ``delimiter=None`` falls back to deterministic chunks
+    of ``words_per_line`` consecutive words (the synthetic test corpus has
+    no newlines). Both paths are pinned by driver oracles
+    (text_line_dedup / text_line_dedup_nl).
 
     Per doc: ``n_lines`` (total), ``n_kept`` (surviving), ``kept_md5``
     (md5 of the kept lines re-joined IN ORIGINAL ORDER with '\\n') — the
@@ -602,18 +609,22 @@ def line_dedup(docs: DataFrame, words_per_line: int = 10, max_df: int = 2) -> Da
     frequency is one two-phase distinct aggregate on the line; the verdict
     joins back on the line and re-aggregates per doc with an in-group
     ``array_sort`` (group = one document, never a global sort)."""
-    w = F.split(F.col("text"), " ")
-    n_lines = F.ceil(F.size(w) / F.lit(words_per_line)).cast("int")
+    if delimiter is not None:
+        import re as _re
+
+        lines_arr = F.split(F.col("text"), _re.escape(delimiter))
+    else:
+        w = F.split(F.col("text"), " ")
+        n_lines = F.ceil(F.size(w) / F.lit(words_per_line)).cast("int")
+        lines_arr = F.transform(
+            F.sequence(F.lit(1), n_lines),
+            lambda i: F.concat_ws(
+                " ", F.slice(w, (i - F.lit(1)) * words_per_line + F.lit(1), words_per_line)
+            ),
+        )
     lines = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), n_lines),
-                lambda i: F.concat_ws(
-                    " ", F.slice(w, (i - F.lit(1)) * words_per_line + F.lit(1), words_per_line)
-                ),
-            )
-        ).alias("pos", "line"),
+        F.posexplode(lines_arr).alias("pos", "line"),
     )
     dfc = lines.groupBy("line").agg(F.count_distinct("doc_id").alias("df"))
     flagged = lines.join(dfc, "line").withColumn("keep", F.col("df") <= max_df)
