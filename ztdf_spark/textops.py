@@ -457,7 +457,12 @@ def mixture_sample(
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", *, max_iter: int = 50
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components of an undirected graph of long node ids —
     the step that turns near-dup PAIRS into dedup CLUSTERS (a doc can sit
@@ -490,7 +495,9 @@ def connected_components(
         F.bit_xor(F.xxhash64("s", "d")).alias("x"),
     ]
     prev = None
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # large-star: every node u emits (v, min(Γ+(u))) for its LARGER
         # neighbors v — after this every edge points large → small
         sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
@@ -517,6 +524,8 @@ def connected_components(
         if sig == prev or sig[0] == 0:
             break
         prev = sig
+    if stats is not None:
+        stats["rounds"] = rounds  # convergence evidence for BENCH/cc_scale.json
     # converged: edges form stars (non-root → component min)
     labels = e.select(F.col("s").alias("node"), F.col("d").alias("component"))
     roots = e.select(F.col("d").alias("node")).distinct().withColumn("component", F.col("node"))
