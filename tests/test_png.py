@@ -121,3 +121,70 @@ def test_spark_mm_integration_png(spark):
     ri = (np.arange(8) * 9) // 8
     ci = (np.arange(8) * 13) // 8
     assert rs == {1: hashlib.md5(px[np.ix_(ri, ci)].tobytes()).hexdigest()}
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_interlaced_roundtrip_every_filter(ftype):
+    """Adam7: lossless round trip at sizes that exercise empty passes
+    (dims < pass offsets) and ragged sub-image grids."""
+    for h, w in [(1, 1), (1, 9), (9, 1), (3, 3), (7, 5), (8, 8), (13, 17)]:
+        px = _px(h, w, seed=h * 100 + w + ftype)
+        out = decode_png(encode_png(px, filter_type=ftype, interlace=True))
+        assert out.shape == px.shape and np.array_equal(out, px)
+
+
+def test_interlaced_and_plain_decode_identically():
+    px = _px(12, 10, seed=9)
+    plain, adam7 = encode_png(px), encode_png(px, interlace=True)
+    assert plain != adam7  # genuinely different byte streams
+    assert np.array_equal(decode_png(plain), decode_png(adam7))
+
+
+def test_interlaced_known_answer_hand_assembled_stream():
+    """3x3 Adam7 stream assembled BYTE BY BYTE from the spec's pass grids
+    (pass 1 -> (0,0); 4 -> (0,2); 5 -> (2,0),(2,2); 6 -> (0,1),(2,1);
+    7 -> row y=1), filter 0 throughout — pins the de-interlace scatter
+    independently of the encoder."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 1))
+    want = np.zeros((3, 3, 3), dtype=np.uint8)
+    for y in range(3):
+        for x in range(3):
+            want[y, x] = (y * 10 + x, 50 + x, 90 + y)
+
+    def pix(y, x):
+        return bytes(int(v) for v in want[y, x])
+
+    raw = (
+        bytes([0]) + pix(0, 0)                    # pass 1: 1x1
+        + bytes([0]) + pix(0, 2)                  # pass 4: 1x1
+        + bytes([0]) + pix(2, 0) + pix(2, 2)      # pass 5: 1x2
+        + bytes([0]) + pix(0, 1)                  # pass 6 row 0
+        + bytes([0]) + pix(2, 1)                  # pass 6 row 1
+        + bytes([0]) + pix(1, 0) + pix(1, 1) + pix(1, 2)  # pass 7: y=1
+    )
+    png = sig + ihdr + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+    assert np.array_equal(decode_png(png), want)
+
+
+def test_interlaced_truncated_stream_rejected():
+    """An Adam7 stream missing its final pass must raise, not mis-decode."""
+    px = _px(8, 8, seed=4)
+    good = encode_png(px, interlace=True)
+    # walk the chunks, shorten the decompressed scanlines by the last
+    # pass (pass 7 of an 8x8: 4 rows of 1+24 bytes), re-assemble
+    pos, parts = 8, {}
+    while pos + 8 <= len(good):
+        (length,) = struct.unpack(">I", good[pos : pos + 4])
+        ctype = good[pos + 4 : pos + 8]
+        parts[ctype] = good[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+    raw = zlib.decompress(parts[b"IDAT"])
+    bad = (
+        good[:8]
+        + _chunk(b"IHDR", parts[b"IHDR"])
+        + _chunk(b"IDAT", zlib.compress(raw[: -4 * 25]))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(bad)

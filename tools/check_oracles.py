@@ -292,6 +292,76 @@ def _pandas_ann_cosine(sf_dir, n_queries=10, k=5):
 # -- the spec exactly (same numpy reductions), as with the hash oracles.
 
 
+def _oracle_png_pixels(b: bytes):
+    """INDEPENDENT PNG (8-bit RGB, plain or Adam7) pixel parse: chunk walk
+    via int.from_bytes, pure-python per-byte un-filter lists, pass grids
+    enumerated as coordinate ranges — none of png.py's numpy structure."""
+    import zlib
+
+    import numpy as np
+
+    pos, idat = 8, bytearray()
+    w = h = None
+    interlace = 0
+    while pos + 12 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        typ = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            assert body[8] == 8 and body[9] == 2, "oracle fixture is 8-bit RGB"
+            interlace = body[12]
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    raw = zlib.decompress(bytes(idat))
+
+    def paeth(a, up, c):
+        p = a + up - c
+        pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+        return a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+
+    grids = (
+        [(0, 0, 1, 1)]
+        if interlace == 0
+        else [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    )
+    px = [[None] * w for _ in range(h)]
+    off = 0
+    for x0, y0, dx, dy in grids:
+        xs, ys = list(range(x0, w, dx)), list(range(y0, h, dy))
+        if not xs or not ys:
+            continue
+        stride = len(xs) * 3
+        prev = [0] * stride
+        for y in ys:
+            ft, line = raw[off], raw[off + 1 : off + 1 + stride]
+            off += 1 + stride
+            cur = [0] * stride
+            for i in range(stride):
+                left = cur[i - 3] if i >= 3 else 0
+                ul = prev[i - 3] if i >= 3 else 0
+                v = line[i]
+                if ft == 1:
+                    v += left
+                elif ft == 2:
+                    v += prev[i]
+                elif ft == 3:
+                    v += (left + prev[i]) >> 1
+                elif ft == 4:
+                    v += paeth(left, prev[i], ul)
+                cur[i] = v & 0xFF
+            prev = cur
+            for rx, x in enumerate(xs):
+                px[y][x] = cur[rx * 3 : rx * 3 + 3]
+    assert off == len(raw)
+    return np.array(px, dtype=np.uint8)
+
+
 def _oracle_decode(payload: bytes, mtype: str):
     import hashlib
     import re
@@ -332,6 +402,9 @@ def _oracle_decode(payload: bytes, mtype: str):
         arr = np.frombuffer(b, np.uint8, count=stride * h, offset=data_off).reshape(h, stride)
         px = arr[:, : w * 3].reshape(h, w, 3)[..., ::-1][::-1]
         fmt_tag = 2.0
+    elif b[:8] == b"\x89PNG\r\n\x1a\n":
+        px = _oracle_png_pixels(b)
+        fmt_tag = 5.0
     if px is not None:
         f = px.astype(np.float64)
         mean, std = f.mean(axis=(0, 1)), f.std(axis=(0, 1))
@@ -451,6 +524,8 @@ def _pandas_mm_resize(sf_dir, n=30, seed=42, out_w=8, out_h=8):
             stride = (w * 3 + 3) & ~3
             arr = np.frombuffer(b, np.uint8, count=stride * h, offset=data_off).reshape(h, stride)
             px = arr[:, : w * 3].reshape(h, w, 3)[..., ::-1][::-1]
+        elif b[:8] == b"\x89PNG\r\n\x1a\n":
+            px = _oracle_png_pixels(b)
         else:
             continue
         small = px[np.ix_((np.arange(out_h) * px.shape[0]) // out_h,

@@ -319,8 +319,8 @@ def decode_media(payload: bytes, media_type: str, *, deterministic_fake: bool = 
             # progressive/arithmetic variants raise ValueError → fall through
             return _rgb_features(_jpeg_rgb(bytes(payload)), fmt_tag=4.0)
         if fmt == "png":
-            # REAL PNG decode (ztdf_spark/png.py, round 5); interlaced /
-            # 16-bit variants raise ValueError → fall through
+            # REAL PNG decode (ztdf_spark/png.py, round 5; Adam7 interlace
+            # round 6); 16-bit variants raise ValueError → fall through
             return _rgb_features(_png_rgb(bytes(payload)), fmt_tag=5.0)
     except ValueError:
         pass  # sniffed but malformed/unsupported variant → fall through
@@ -467,10 +467,13 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, *, deterministic_fake:
 
 
 def synthetic_media_rows(n: int = 20, seed: int = 42) -> list:
-    """Deterministic media rows: REAL WAV payloads for audio, REAL PPM/BMP
-    (alternating) for images, opaque bytes for video (h264 stand-in).
-    Shared by the Spark fixture below and the independent pandas oracle
-    (the fixture is test INPUT; the decode path under test is not shared)."""
+    """Deterministic media rows: REAL WAV payloads for audio, REAL
+    PPM/BMP/PNG/interlaced-PNG (rotating) for images, opaque bytes for
+    video (h264 stand-in). Shared by the Spark fixture below and the
+    independent pandas oracle (the fixture is test INPUT; the decode path
+    under test is not shared)."""
+    from .png import encode_png
+
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
@@ -478,8 +481,18 @@ def synthetic_media_rows(n: int = 20, seed: int = 42) -> list:
         if mtype == "image":
             w, h = int(rng.integers(4, 32)), int(rng.integers(4, 32))
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            payload = make_ppm(px) if (i // 3) % 2 == 0 else make_bmp(px)
-            meta = (w, h, 0, "ppm" if (i // 3) % 2 == 0 else "bmp")
+            variant = (i // 3) % 4
+            if variant == 0:
+                payload, codec = make_ppm(px), "ppm"
+            elif variant == 1:
+                payload, codec = make_bmp(px), "bmp"
+            elif variant == 2:
+                # real compressed PNG, Paeth-filtered scanlines
+                payload, codec = encode_png(px, filter_type=4), "png"
+            else:
+                # real Adam7-interlaced PNG (round-6 decode path)
+                payload, codec = encode_png(px, filter_type=2, interlace=True), "png"
+            meta = (w, h, 0, codec)
         elif mtype == "audio":
             sr = (8000, 16000)[(i // 3) % 2]
             nch = 1 + (i // 3) % 2

@@ -7,10 +7,11 @@ reassembly, all five filter types, 8-bit gray / RGB / RGBA / palette),
 not a fixture-shaped stand-in.
 
 Scope (raises ``ValueError`` outside it, so ``mmops.decode_media`` falls
-through to its disclosed fake): bit depth 8, interlace none (Adam7 would
-be mechanical but the corpus has no interlaced fixtures to pin it),
-color types 0 (gray), 2 (RGB), 3 (palette), 6 (RGBA). Output is always
-HxWx3 uint8 RGB (gray replicated, alpha dropped, palette resolved).
+through to its disclosed fake): bit depth 8, interlace none OR Adam7
+(round 6 — seven independently-filtered reduced images scattered on the
+spec's (start, step) grids), color types 0 (gray), 2 (RGB), 3 (palette),
+6 (RGBA). Output is always HxWx3 uint8 RGB (gray replicated, alpha
+dropped, palette resolved).
 
 Correctness argument (mirrors jpeg.py): the format is LOSSLESS, so
 ``decode(encode(px, filter_type=f)) == px`` must hold EXACTLY for every
@@ -33,6 +34,19 @@ import numpy as np
 _SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
 
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step). Each pass is
+# an independently-filtered reduced image; pixels scatter back on the
+# (start, step) grid (W3C PNG §8.2).
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
 
 def _paeth(a: int, b: int, c: int) -> int:
     """The spec's Paeth predictor (left, up, up-left)."""
@@ -41,6 +55,55 @@ def _paeth(a: int, b: int, c: int) -> int:
     if pa <= pb and pa <= pc:
         return a
     return b if pb <= pc else c
+
+
+def _unfilter(raw: bytes, offset: int, n_rows: int, stride: int, ch: int):
+    """Reverse per-scanline filtering for one (sub-)image of ``n_rows``
+    rows of ``stride`` bytes each (filter byte + data per row). Returns
+    (rows uint8 (n_rows, stride), next offset). The ``prev`` row resets to
+    zeros — each interlace pass filters independently."""
+    need = n_rows * (stride + 1)
+    if offset + need > len(raw):
+        raise ValueError("decompressed size mismatch")
+    out = np.zeros((n_rows, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(n_rows):
+        row_start = offset + y * (stride + 1)
+        ftype = raw[row_start]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=row_start + 1).astype(
+            np.int32
+        )
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub (sequential left dependency)
+            cur = line.copy()
+            for i in range(ch, stride):
+                cur[i] = (cur[i] + cur[i - ch]) & 0xFF
+        elif ftype == 2:  # Up (vectorized)
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - ch] if i >= ch else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - ch] if i >= ch else 0
+                ul = prev[i - ch] if i >= ch else 0
+                cur[i] = (cur[i] + _paeth(int(left), int(prev[i]), int(ul))) & 0xFF
+        else:
+            raise ValueError(f"unknown filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out, offset + need
+
+
+def _pass_dims(w: int, h: int, p: tuple[int, int, int, int]) -> tuple[int, int]:
+    x0, y0, dx, dy = p
+    pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+    ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+    return pw, ph
 
 
 def decode_png(data: bytes) -> np.ndarray:
@@ -76,49 +139,31 @@ def decode_png(data: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
     if comp != 0 or filt != 0:
         raise ValueError("unknown compression/filter method")
-    if interlace != 0:
-        raise ValueError("interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError("unknown interlace method")
     if depth != 8 or color not in _CHANNELS:
         raise ValueError(f"unsupported depth/color ({depth}/{color})")
     if w == 0 or h == 0 or w * h > 64_000_000:
         raise ValueError("bad dimensions")
     ch = _CHANNELS[color]
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
+    if interlace == 0:
+        rows, end = _unfilter(raw, 0, h, w * ch, ch)
+        px = rows.reshape(h, w, ch)
+    else:
+        # Adam7: seven independently-filtered reduced images, scattered
+        # back onto the (start, step) pixel grid
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        end = 0
+        for p in _ADAM7:
+            pw, ph = _pass_dims(w, h, p)
+            if pw == 0 or ph == 0:
+                continue
+            rows, end = _unfilter(raw, end, ph, pw * ch, ch)
+            x0, y0, dx, dy = p
+            px[y0::dy, x0::dx] = rows.reshape(ph, pw, ch)
+    if end != len(raw):
         raise ValueError("decompressed size mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        row_start = y * (stride + 1)
-        ftype = raw[row_start]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=row_start + 1).astype(
-            np.int32
-        )
-        if ftype == 0:  # None
-            cur = line
-        elif ftype == 1:  # Sub (sequential left dependency)
-            cur = line.copy()
-            for i in range(ch, stride):
-                cur[i] = (cur[i] + cur[i - ch]) & 0xFF
-        elif ftype == 2:  # Up (vectorized)
-            cur = (line + prev) & 0xFF
-        elif ftype == 3:  # Average
-            cur = line.copy()
-            for i in range(stride):
-                left = cur[i - ch] if i >= ch else 0
-                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            cur = line.copy()
-            for i in range(stride):
-                left = cur[i - ch] if i >= ch else 0
-                ul = prev[i - ch] if i >= ch else 0
-                cur[i] = (cur[i] + _paeth(int(left), int(prev[i]), int(ul))) & 0xFF
-        else:
-            raise ValueError(f"unknown filter type {ftype}")
-        out[y] = cur.astype(np.uint8)
-        prev = cur
-    px = out.reshape(h, w, ch)
     if color == 0:
         return np.repeat(px, 3, axis=2)
     if color == 2:
@@ -144,22 +189,14 @@ def _chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
-    """HxWx3 uint8 RGB → PNG bytes, every scanline filtered with
-    ``filter_type`` (0..4). The non-zero filters exist so the decoder's
-    un-filter paths are exercised by lossless round trips; a real encoder
-    would pick per-row — irrelevant for correctness, only for size."""
-    if px.ndim != 3 or px.shape[2] != 3 or px.dtype != np.uint8:
-        raise ValueError("need HxWx3 uint8 RGB")
-    if filter_type not in (0, 1, 2, 3, 4):
-        raise ValueError("filter_type must be 0..4")
-    h, w, _ = px.shape
-    ch = 3
-    stride = w * ch
-    flat = px.reshape(h, stride).astype(np.int32)
+def _filter_rows(flat: np.ndarray, ch: int, filter_type: int) -> bytes:
+    """Apply one filter type to every row of a (sub-)image ((n, stride)
+    int32) and emit the spec's filter-byte-prefixed scanlines. ``prev``
+    starts at zeros — each interlace pass filters independently."""
+    n, stride = flat.shape
     lines = bytearray()
     prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
+    for y in range(n):
         cur = flat[y]
         if filter_type == 0:
             enc = cur
@@ -182,10 +219,40 @@ def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
         lines.append(filter_type)
         lines += enc.astype(np.uint8).tobytes()
         prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return bytes(lines)
+
+
+def encode_png(px: np.ndarray, filter_type: int = 0, interlace: bool = False) -> bytes:
+    """HxWx3 uint8 RGB → PNG bytes, every scanline filtered with
+    ``filter_type`` (0..4); ``interlace=True`` emits Adam7 (seven
+    independently-filtered reduced images). The non-default modes exist so
+    the decoder's un-filter and de-interlace paths are exercised by
+    lossless round trips; a real encoder would pick per-row — irrelevant
+    for correctness, only for size."""
+    if px.ndim != 3 or px.shape[2] != 3 or px.dtype != np.uint8:
+        raise ValueError("need HxWx3 uint8 RGB")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError("filter_type must be 0..4")
+    h, w, _ = px.shape
+    ch = 3
+    if not interlace:
+        raw = _filter_rows(px.reshape(h, w * ch).astype(np.int32), ch, filter_type)
+    else:
+        parts = []
+        for p in _ADAM7:
+            pw, ph = _pass_dims(w, h, p)
+            if pw == 0 or ph == 0:
+                continue
+            x0, y0, dx, dy = p
+            sub = px[y0::dy, x0::dx]
+            parts.append(
+                _filter_rows(sub.reshape(ph, pw * ch).astype(np.int32), ch, filter_type)
+            )
+        raw = b"".join(parts)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(lines), 9))
+        + _chunk(b"IDAT", zlib.compress(raw, 9))
         + _chunk(b"IEND", b"")
     )
