@@ -1,5 +1,6 @@
-"""Pure-Python baseline JPEG codec (ztdf_spark/jpeg.py) and its mmops
-integration. The independent check for the decoder is the PRE-ENCODE
+"""Pure-Python JPEG codec (ztdf_spark/jpeg.py — baseline SOF0 and
+progressive SOF2 with spectral selection + successive approximation) and
+its mmops integration. The independent check for the decoder is the PRE-ENCODE
 source pixels: with flat quantization the loss is DCT + color-convert
 rounding, so decode(encode(px)) must match px within a small fixed bound — an
 encoder/decoder pair that merely mirrored each other's bugs could not
@@ -79,10 +80,15 @@ def test_decoder_rejects_unsupported():
     blob = bytearray(encode_jpeg(px))
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01\x02")  # no SOI
-    # flip SOF0 -> SOF2 (progressive): refuse, don't mis-decode
+    # flip SOF0 -> SOF9 (arithmetic coding): refuse, don't mis-decode
     i = blob.index(b"\xff\xc0")
+    blob[i + 1] = 0xC9
+    with pytest.raises(ValueError, match="unsupported SOF"):
+        decode_jpeg(bytes(blob))
+    # flip SOF0 -> SOF2: the baseline full-band scan header is ILLEGAL in
+    # progressive mode (Ss=0 with Se=63) — refuse, don't mis-decode
     blob[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="non-baseline"):
+    with pytest.raises(ValueError, match="DC and AC"):
         decode_jpeg(bytes(blob))
     with pytest.raises(ValueError):
         decode_jpeg(bytes(encode_jpeg(px))[:40])  # truncated
@@ -136,14 +142,72 @@ def test_mm_resize_jpeg_rows(spark):
     assert out[0]["resized_md5"] == want
 
 
-def test_progressive_jpeg_falls_back_to_fake(spark):
-    """A sniffed-but-unsupported jpeg (progressive) must not fail the
-    job: decode_media falls through to the deterministic fake."""
+def test_arithmetic_jpeg_falls_back_to_fake(spark):
+    """A sniffed-but-unsupported jpeg (arithmetic-coded SOF9) must not
+    fail the job: decode_media falls through to the deterministic fake.
+    (Progressive SOF2 is REAL-decoded since round 6 — covered below.)"""
     px = np.zeros((8, 8), dtype=np.uint8)
     blob = bytearray(encode_jpeg(px))
     i = blob.index(b"\xff\xc0")
-    blob[i + 1] = 0xC2
+    blob[i + 1] = 0xC9
     feat = mmops.decode_media(bytes(blob), "image", deterministic_fake=True)
     assert feat.shape == (mmops.FEAT_DIM,)
     with pytest.raises(NotImplementedError):
         mmops.decode_media(bytes(blob), "image", deterministic_fake=False)
+
+
+@pytest.mark.parametrize("mode", ["gray", "444", "420"])
+def test_progressive_decodes_bit_identical_to_baseline(mode):
+    """The same quantized coefficients reach the IDCT through either SOF
+    path, so progressive output must EQUAL baseline output bit for bit —
+    across subsampling modes, ragged sizes (incl. the 420 padded-grid /
+    true-grid mismatch), both scan scripts (spectral-selection-only and
+    +successive-approximation)."""
+    from ztdf_spark.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(20)
+    for h, w in [(8, 8), (17, 23), (24, 24), (24, 17), (33, 40)]:
+        if mode == "gray":
+            px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            base = decode_jpeg(encode_jpeg(px))
+        else:
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            base = decode_jpeg(encode_jpeg(px, subsampling=mode))
+        kw = {} if mode == "gray" else {"subsampling": mode}
+        prog = decode_jpeg(encode_jpeg_progressive(px, **kw))
+        assert np.array_equal(base, prog), (mode, h, w, "successive-approx")
+        ss_only = decode_jpeg(
+            encode_jpeg_progressive(px, approx_bits=0, bands=((1, 63),), **kw)
+        )
+        assert np.array_equal(base, ss_only), (mode, h, w, "spectral-only")
+
+
+def test_progressive_roundtrip_matches_source_pixels():
+    """decode(encode_progressive(px)) lands back on the SOURCE pixels
+    within the flat-quant bound — the encoder/decoder pair cannot merely
+    mirror each other's bugs against the pre-encode data."""
+    from ztdf_spark.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(21)
+    g = rng.integers(0, 256, size=(19, 27), dtype=np.uint8)
+    dg = decode_jpeg(encode_jpeg_progressive(g))
+    assert np.abs(dg.astype(int) - g.astype(int)).max() <= 2
+    px = rng.integers(0, 256, size=(22, 18, 3), dtype=np.uint8)
+    dp = decode_jpeg(encode_jpeg_progressive(px))
+    assert np.abs(dp.astype(int) - px.astype(int)).max() <= 3
+    # lossy tables through the progressive path stay a real image too
+    dl = decode_jpeg(encode_jpeg_progressive(px, lossy=True))
+    assert dl.shape == px.shape
+
+
+def test_progressive_through_decode_media(spark):
+    """mm plumbing: a progressive jpeg payload real-decodes through
+    decode_media (fmt_tag 4.0, true dims) — no fake fallback."""
+    from ztdf_spark.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(22)
+    px = rng.integers(0, 256, size=(14, 26, 3), dtype=np.uint8)
+    feat = mmops.decode_media(
+        encode_jpeg_progressive(px), "image", deterministic_fake=False
+    )
+    assert feat[15] == 4.0 and feat[0] == 26.0 and feat[1] == 14.0

@@ -3,11 +3,12 @@ columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 Decode status (round 5): REAL pure-Python decoders for at least one
 container per modality — WAV/PCM-16 audio (stdlib ``wave``), PPM (P6),
-BMP (24-bit uncompressed) AND baseline JPEG (SOF0 huffman+DCT,
-``ztdf_spark/jpeg.py``) images, Y4M (YUV4MPEG2, C444 + C420*) video —
-no external media libraries needed. Formats this container cannot decode
-(progressive jpeg, h264, opus...) still fall back to the disclosed
-deterministic fake (content-hash-derived vector) when
+BMP (24-bit uncompressed), JPEG (baseline SOF0 AND progressive SOF2,
+``ztdf_spark/jpeg.py``) and PNG (plain + Adam7 interlaced,
+``ztdf_spark/png.py``) images, Y4M (YUV4MPEG2, C444 + C420*) video — no
+external media libraries needed. Formats this container cannot decode
+(h264, opus, arithmetic-coded jpeg, 16-bit png) still fall back to the
+disclosed deterministic fake (content-hash-derived vector) when
 ``deterministic_fake=True``, else ``NotImplementedError``; a real codec
 library (PIL/ffmpeg/torchaudio) drops in behind the same ``decode_media``
 signature.
@@ -315,8 +316,9 @@ def decode_media(payload: bytes, media_type: str, *, deterministic_fake: bool = 
         if fmt == "y4m":
             return _y4m_features(bytes(payload))
         if fmt == "jpeg":
-            # REAL baseline-JPEG decode (ztdf_spark/jpeg.py, round 5);
-            # progressive/arithmetic variants raise ValueError → fall through
+            # REAL JPEG decode (ztdf_spark/jpeg.py): baseline SOF0 (round 5)
+            # AND progressive SOF2 with spectral selection + successive
+            # approximation (round 6); arithmetic/12-bit raise → fall through
             return _rgb_features(_jpeg_rgb(bytes(payload)), fmt_tag=4.0)
         if fmt == "png":
             # REAL PNG decode (ztdf_spark/png.py, round 5; Adam7 interlace
