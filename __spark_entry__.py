@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from ztdf_spark import mmops, ops, simops, textops, tokops  # noqa: E402
+from ztdf_spark import bpeops, mmops, ops, simops, textops, tokops  # noqa: E402
 from ztdf_spark.settings import NANO_MAX_SIZE, Settings  # noqa: E402
 
 CANON_ATTR = "https://opentdf.io/attr/intellectualproperty/value/tradesecret"
@@ -946,6 +946,25 @@ def q_text_line_dedup_nl(spark, sf_dir):
     return textops.line_dedup(nl_docs, delimiter="\n", max_df=2)
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE vocabulary training (bpeops.bpe_train): one
+    corpus-sized word-frequency shuffle, then per-merge-round aggregates
+    over the distinct-word table only; winner by (count desc, pair asc)
+    total order — layout-invariant, value-matched by an independent
+    collections.Counter oracle."""
+    return bpeops.bpe_train_merges(_t(spark, sf_dir, "documents"), n_merges=16)
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE tokenization with the learned merges (bpeops.bpe_encode):
+    Arrow-batched mapInPandas merge replay with per-batch word memo; per
+    doc the subword-token count and an order-sensitive md5 digest of the
+    token sequence."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpeops.bpe_train(docs, n_merges=16)
+    return bpeops.bpe_encode(docs, merges)
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic train/val/test split (textops.corpus_split): one
     label per doc from a cumulative md5 threshold — a pure row-local
@@ -1416,6 +1435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "text_line_dedup_nl": q_text_line_dedup_nl,
+        "bpe_train": q_bpe_train,  # pandas oracle (iterative training loop)
+        "bpe_encode": q_bpe_encode,  # pandas oracle
         # CDC engine semantics (SURVEY.md §2.3 stages)
         "cdc_latest_wins": q_cdc_latest_wins,
         "cdc_merge_state_agg": q_cdc_merge_state_agg,

@@ -55,6 +55,97 @@ def _docs_pdf(sf_dir):
     return pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
 
 
+def _py_bpe_train(sf_dir, n_merges=16, sample_docs=10_000, seed=42):
+    """Independent BPE trainer: collections.Counter over the same
+    layout-invariant md5 doc sample, same (count desc, pair asc) winner
+    order — none of bpeops' Spark machinery."""
+    import hashlib
+    from collections import Counter
+
+    d = _docs_pdf(sf_dir)
+    n = len(d)
+    frac = min(1.0, (sample_docs * 1.5) / max(1, n))
+    thr = "g" if frac >= 1.0 else format(int(frac * (1 << 32)), "08x")
+    keyed = sorted(
+        (hashlib.md5(f"bpe{seed}-{int(i)}".encode()).hexdigest()[:8], int(i), t)
+        for i, t in zip(d["doc_id"], d["text"])
+    )
+    texts = [t for h, _i, t in keyed if h < thr][:sample_docs]
+    wf = Counter()
+    for t in texts:
+        for w in str(t).lower().split(" "):
+            if w:
+                wf[w] += 1
+    syms = {w: list(w) + ["</w>"] for w in wf}
+    merges = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for w, f in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (left, right), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((rank, left, right, left + right))
+        for w in syms:
+            out = []
+            for s in syms[w]:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            syms[w] = out
+    return merges
+
+
+def _pandas_bpe_train(sf_dir):
+    import pandas as pd
+
+    m = _py_bpe_train(sf_dir)
+    return pd.DataFrame(m, columns=["rank", "left", "right", "token"]).astype(
+        {"rank": "int64"}
+    )
+
+
+def _pandas_bpe_encode(sf_dir):
+    import hashlib
+
+    import pandas as pd
+
+    merges = _py_bpe_train(sf_dir)
+    d = _docs_pdf(sf_dir)
+    memo: dict = {}
+
+    def tok(word):
+        got = memo.get(word)
+        if got is None:
+            syms = list(word) + ["</w>"]
+            for _r, left, right, _t in merges:
+                out = []
+                for s in syms:
+                    if out and out[-1] == left and s == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(s)
+                syms = out
+            got = memo[word] = syms
+        return got
+
+    recs = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        toks = []
+        for w in str(t).lower().split(" "):
+            if w:
+                toks.extend(tok(w))
+        recs.append((int(i), len(toks), hashlib.md5(" ".join(toks).encode()).hexdigest()))
+    return pd.DataFrame(recs, columns=["doc_id", "n_tokens", "tokens_md5"]).astype(
+        {"doc_id": "int64", "n_tokens": "int64"}
+    )
+
+
 def _emb_matrix(sf_dir):
     """(ids, float64 matrix) sorted by vec_id."""
     import numpy as np
@@ -535,6 +626,8 @@ def _pandas_mm_resize(sf_dir, n=30, seed=42, out_w=8, out_h=8):
 
 
 PANDAS_ORACLES = {
+    "bpe_train": _pandas_bpe_train,
+    "bpe_encode": _pandas_bpe_encode,
     "ann_topk_cosine": _pandas_ann_cosine,
     "ann_lsh": _pandas_ann_lsh,
     "ann_ivf": _pandas_ann_ivf,

@@ -343,6 +343,19 @@ def main():
         ],
     )
 
+    # BPE encode: Arrow-batched python (the legitimate UDF stage) over a
+    # pruned 2-column scan; no shuffle anywhere in the encode pass
+    dump(
+        "bpe_encode",
+        em.q_bpe_encode(spark, sf),
+        [
+            ("Arrow-batched mapInPandas (not row-at-a-time)", r"MapInPandas|FlatMapGroupsInPandas", True),
+            ("no row-at-a-time Python UDF", r"BatchEvalPython", False),
+            ("map-only encode: zero exchanges", r"Exchange", False),
+            ("column-pruned scan (doc_id, text only)", r"ReadSchema: struct<doc_id:bigint,text:string>", True),
+        ],
+    )
+
     # minhash/simhash: round-6 pure-Catalyst md5 constructions. Signature
     # derivation is map-only codegen; minhash candidates come from a
     # (band, bucket) equi-join — never a cross join, never Python workers.
