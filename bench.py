@@ -230,29 +230,30 @@ def main():
         # line — parseable on its own and small enough that every per-query
         # min survives the tail capture. Values re-round to 2 decimals if
         # the 3-decimal form would not fit the window.
-        def _compact(ndigits: int) -> str:
+        def _compact(ndigits: int, minimal: bool = False) -> str:
             qmin = {
                 k: (round(v, ndigits) if isinstance(v, float) else v)
                 for k, v in queries.items()
             }
-            return json.dumps(
-                {
-                    "metric": "cdc_replay_wall_sec",
-                    "value": replay["wall_s"],
-                    "unit": "sec",
-                    "sf": sf,
-                    "steady_eps": replay["steady_events_per_sec"],
-                    # full stalled-query list lives in the full blob above;
-                    # here only the count, to keep this line inside the window
-                    "n_stalled": len(stalled),
-                    "queries": qmin,
-                },
-                separators=(",", ":"),
-            )
+            head = {
+                "metric": "cdc_replay_wall_sec",
+                "value": replay["wall_s"],
+                "unit": "sec",
+                "sf": sf,
+                "steady_eps": replay["steady_events_per_sec"],
+                # full stalled-query list lives in the full blob above;
+                # here only the count, to keep this line inside the window
+                "n_stalled": len(stalled),
+            }
+            if minimal:
+                head = {"value": replay["wall_s"], "sf": sf}
+            return json.dumps({**head, "queries": qmin}, separators=(",", ":"))
 
         line = _compact(3)
         if len(line) > 1900:
             line = _compact(2)
+        if len(line) > 1900:
+            line = _compact(2, minimal=True)
         print(line)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
