@@ -366,6 +366,8 @@ def main():
             ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
             ("no cartesian / all-pairs stage", r"CartesianProduct|BroadcastNestedLoop", False),
             ("candidates via (band,bucket) equi-join", r"\[band#\d+, bucket#\d+\]", True),
+            # lane mins pre-reduce map-side before the doc_id exchange
+            ("partial-combine signature aggregate", r"partial_min\(", True),
         ],
     )
     dump(
@@ -373,7 +375,10 @@ def main():
         em.q_dedup_simhash(spark, sf),
         [
             ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
-            ("map-only: zero exchanges", r"Exchange", False),
+            # bit votes pre-reduce map-side: partial sum aggregate below the
+            # ONE doc_id exchange (shuffle = docs x 60 longs, not words)
+            ("partial-combine vote aggregate", r"partial_sum\(", True),
+            ("single doc_id exchange", r"hashpartitioning\(doc_id", True),
             ("column-pruned scan (doc_id, text only)", r"ReadSchema: struct<doc_id:bigint,text:string>", True),
         ],
     )

@@ -175,31 +175,36 @@ def _shingle_expr(k: int) -> str:
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = 64, k: int = 3, seed: int = 42) -> DataFrame:
     """(doc_id, sig array<long>) — minhash over k-shingles, PURE CATALYST
-    (no Python workers in the hot path): shingle hash = 32-bit md5 prefix
-    mod 2^31−1, sig_i = min over shingles of (a_i·h + b_i) mod p. All
-    integer ops are exact and identical in DuckDB, so the signatures (and
-    everything built on them) hash-match a SQL oracle. O(shingles ×
-    n_hashes) per row, map-only, whole-stage codegen."""
+    (no Python workers): shingle hash = 32-bit md5 prefix mod 2^31−1,
+    sig_i = min over shingles of (a_i·h + b_i) mod p. All integer ops are
+    exact and identical in DuckDB, so the signatures (and everything built
+    on them) hash-match a SQL oracle.
+
+    Physical shape: explode distinct shingles (narrow), compute the
+    ``n_hashes`` lane values as PLAIN integer expression columns
+    (whole-stage codegen — a first cut computed them inside nested
+    higher-order-function lambdas, which Catalyst INTERPRETS per element:
+    ~25x slower at sf0.1), then ONE hash aggregate of per-lane ``min``s
+    with map-side partial combine — shuffle volume is docs × n_hashes
+    longs, not shingles. The same work/shuffle shape you'd want at
+    100 TB."""
     a_params, b_params = _minhash_params(n_hashes, seed)
-    a_lit = "array(" + ",".join(f"{int(x)}L" for x in a_params) + ")"
-    b_lit = "array(" + ",".join(f"{int(x)}L" for x in b_params) + ")"
-    sig = (
-        f"zip_with({a_lit}, {b_lit}, (ai, bi) -> "
-        f"array_min(transform(hs, h -> (ai * h + bi) % {MINHASH_P}L)))"
-    )
-    return (
+    h = (F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long") % F.lit(MINHASH_P)).alias("h")
+    lanes = [
+        ((F.lit(int(a_params[i])) * F.col("h") + F.lit(int(b_params[i]))) % F.lit(MINHASH_P)).alias(f"l{i}")
+        for i in range(n_hashes)
+    ]
+    exploded = (
         docs.select(F.col("doc_id").cast("long").alias("doc_id"),
                     F.expr("split(lower(text), ' ')").alias("ws"))
-        .select("doc_id", F.expr(_shingle_expr(k)).alias("sh"))
-        .select(
-            "doc_id",
-            F.expr(
-                f"transform(sh, s -> cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint)"
-                f" % {MINHASH_P}L)"
-            ).alias("hs"),
-        )
-        .select("doc_id", F.expr(sig).alias("sig"))
+        .select("doc_id", F.explode(F.expr(_shingle_expr(k))).alias("s"))
+        .select("doc_id", h)
+        .select("doc_id", *lanes)
     )
+    agg = exploded.groupBy("doc_id").agg(
+        *[F.min(f"l{i}").alias(f"m{i}") for i in range(n_hashes)]
+    )
+    return agg.select("doc_id", F.array(*[f"m{i}" for i in range(n_hashes)]).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -213,7 +218,10 @@ def minhash_lsh_pairs(
     100 TB-safe near-dup plan.
     """
     rows = n_hashes // bands
-    sigs = minhash_signatures(docs, n_hashes, k, seed)
+    # sigs feed three consumers (band explode + both sides of the
+    # signature rerank); persist the small (docs × 64 longs) table once
+    # instead of re-running the shingle explode/aggregate per consumer
+    sigs = minhash_signatures(docs, n_hashes, k, seed).persist()
     # band key = the band's signature slice rendered as a string — the same
     # key a SQL oracle can build (F.hash is Spark-private murmur3); the
     # equi-join behavior is identical, the key is just self-describing
@@ -263,19 +271,34 @@ def simhash64(docs: DataFrame, seed: int = 42, n_bits: int = 60) -> DataFrame:
     DuckDB-oracle-able: word hash = 60-bit md5 prefix of ``sim{seed}:word``
     (the seed plays the keyed-hash role), signature = Σ 2^b over bits whose
     vote is positive. 60 bits keep every value exact in signed 64-bit on
-    both engines. Map-only, O(words × n_bits) per row, no Python workers."""
-    hs = (
-        f"transform(split(lower(text), ' '), w -> "
-        f"cast(conv(substr(md5(concat('sim{seed}:', w)), 1, 15), 16, 10) as bigint))"
+    both engines.
+
+    Physical shape: explode words, one hash per word (codegen), then ONE
+    aggregate with ``n_bits`` plain ``sum(case...)`` vote columns —
+    whole-stage codegen with map-side partial combine (shuffle = docs ×
+    n_bits longs). A first cut folded the bit loop through nested
+    higher-order functions, which Catalyst interprets per element —
+    ~100x slower at sf0.1."""
+    hcol = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"sim{seed}:"), F.col("w"))), 1, 15), 16, 10
+    ).cast("long")
+    words = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.expr("split(lower(text), ' ')")).alias("w"),
+    ).select("doc_id", hcol.alias("h"))
+    votes = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(n_bits)
+        ]
     )
-    sim = (
-        f"aggregate(sequence(0, {n_bits - 1}), 0L, (acc, b) -> acc + "
-        f"IF(aggregate(hs, 0L, (v, h) -> v + IF((shiftright(h, b) & 1) = 1, 1L, -1L)) > 0, "
-        f"shiftleft(1L, b), 0L))"
-    )
-    return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"), F.expr(hs).alias("hs")
-    ).select("doc_id", F.expr(sim).alias("simhash"))
+    sim = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
