@@ -959,13 +959,17 @@ def test_changes_big_keyset_materializes_to_staging(spark, tmp_path, monkeypatch
     v1 = t.current_version()
     b1 = [("U", f"doc-{i:03d}", 100 + i, [i, i], 2, "web") for i in range(20)]
     t.merge(_changes(spark, b1), batch_id=1)
+    # delta-based: earlier tests in the shared session may legitimately hold
+    # persisted blocks (e.g. a lazily-consumed minhash sig cache); changes()
+    # itself must not ADD any
+    persisted_before = spark.sparkContext._jsc.getPersistentRDDs().size()
     df = t.changes(v1, t.current_version())
     got = {r["doc_id"]: (r["_change_type"], r["lsn"]) for r in df.collect()}
     assert got == _py_changes(b0, b0 + b1)
     assert glob.glob(os.path.join(t.path, "_staging", "changes-keys-*")), (
         "big-path key set was not materialized to _staging"
     )
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0, (
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == persisted_before, (
         "changes() leaked a persisted block"
     )
 

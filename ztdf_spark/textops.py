@@ -519,6 +519,7 @@ def connected_components(
     ]
     prev = None
     rounds = 0
+    prev_e = None
     for _ in range(max_iter):
         rounds += 1
         # large-star: every node u emits (v, min(Γ+(u))) for its LARGER
@@ -542,6 +543,13 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        if prev_e is not None:
+            # the new checkpoint is materialized (eager) and self-contained:
+            # release the previous round's blocks, or O(rounds) edge-list
+            # copies pile up in executor memory (the FINAL round's blocks
+            # stay — the returned labels read them)
+            prev_e.unpersist()
+        prev_e = e
         row = e.agg(*sig_agg).collect()[0]
         sig = (row["n"], row["x"])
         if sig == prev or sig[0] == 0:
