@@ -170,6 +170,21 @@ def main():
 
             canary_time(spark)  # discarded warm-up: the first measured
             # canary must not carry JVM/codegen warm-up as a fake stall
+            # Discarded SWEEP warm-up: the canary is JVM-only, but the
+            # first swept query also pays parquet-footer caching, codegen
+            # compilation of the corpus-scan shapes, and AQE warm-up —
+            # round 6 moved an expensive iterative query (dedup_clusters)
+            # to position 1 and its first measurement absorbed ~2x warm-up
+            # that used to be hidden inside a cheap cdc_* query. Burn it
+            # on two small representative queries instead (one corpus
+            # scan, one CDC pipeline shape).
+            for wname in ("doc_fingerprints", "cdc_latest_wins"):
+                wfn = entrymod.queries().get(wname)
+                if wfn is not None:
+                    try:
+                        time_query(spark, wfn, sf_dir, n_runs=1)
+                    except Exception:
+                        pass
             for name, fn in entrymod.queries().items():
                 # steady-state timing, same rationale as the replay's
                 # median-steady-batch: first execution pays codegen/JIT and
