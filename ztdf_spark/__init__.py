@@ -45,12 +45,16 @@ SimpleOpenTDFControllerService), re-expressed Spark-first:
 - ``tokops``     — GPT-style concat-and-chunk sequence packing into fixed
                    context windows (two-level distributed prefix sum, no
                    single-partition funnel; spans + materialized chunks)
+- ``bpeops``     — distributed BPE vocabulary training (one corpus-sized
+                   shuffle, per-merge rounds over the distinct-word table,
+                   Catalyst fold merge application) + Arrow-batched
+                   tokenization with the learned merges
 - ``stream_ops`` — watermarked windowed aggregation (batch ≡ stream),
                    applyInPandasWithState sessionizer, one-shuffle as-of join
 - ``mmops``      — multimodal binary columns: real pure-Python decoders
-                   (WAV, PPM, BMP, baseline JPEG via ``jpeg``, PNG via
-                   ``png``, Y4M video), features / resize / frame sampling
-                   over mapInPandas
+                   (WAV, PPM, BMP, baseline+progressive JPEG via ``jpeg``,
+                   plain+Adam7-interlaced PNG via ``png``, Y4M video),
+                   features / resize / frame sampling over mapInPandas
 - ``nano``       — spec-shaped NanoTDF binary container (L1L, real ECDH +
                    HKDF payload key, GMAC or deterministic-ECDSA binding)
 - ``bloom``      — opt-in per-delta-file key Bloom filters for point-lookup
