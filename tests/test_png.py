@@ -188,3 +188,128 @@ def test_interlaced_truncated_stream_rejected():
     )
     with pytest.raises(ValueError):
         decode_png(bad)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 full static profile: depths 1/2/4/8/16, color types 0/2/3/4/6
+# ---------------------------------------------------------------------------
+
+from ztdf_spark.png import _CHANNELS, _VALID_DEPTHS, encode_png_ex
+
+
+@pytest.mark.parametrize(
+    "color,depth",
+    [(c, d) for c, ds in sorted(_VALID_DEPTHS.items()) for d in ds],
+)
+def test_every_depth_color_combo_roundtrips(color, depth):
+    """Lossless round trip for EVERY spec-legal (color, depth) pair, both
+    plain and Adam7, across all five filters — 16-bit samples encode
+    left-bit-replicated (v*257) so the high-byte reduction is the exact
+    inverse; sub-byte gray levels left-bit-replicate on decode."""
+    rng = np.random.default_rng(color * 100 + depth)
+    ch = _CHANNELS[color]
+    for h, w in [(1, 1), (3, 5), (9, 13)]:
+        for ftype in (0, 1, 2, 3, 4):
+            for interlace in (False, True):
+                if color == 3:
+                    k = min(1 << depth, 11)
+                    pal = rng.integers(0, 256, size=(k, 3), dtype=np.uint8)
+                    idx = rng.integers(0, k, size=(h, w), dtype=np.uint8)
+                    blob = encode_png_ex(idx, 3, depth, ftype, interlace, palette=pal)
+                    want = pal[idx]
+                else:
+                    shape = (h, w) if ch == 1 else (h, w, ch)
+                    if depth == 16:
+                        v8 = rng.integers(0, 256, size=shape, dtype=np.uint16)
+                        s, e8 = (v8 * 257).astype(np.uint16), v8.astype(np.uint8)
+                    else:
+                        s = rng.integers(0, 1 << depth, size=shape).astype(np.uint16)
+                        e8 = (s * (255 // ((1 << depth) - 1))).astype(np.uint8)
+                    blob = encode_png_ex(s, color, depth, ftype, interlace)
+                    if ch == 1:
+                        e8 = e8[:, :, None]
+                    if color in (0, 4):
+                        want = np.repeat(e8[:, :, :1], 3, axis=2)
+                    else:
+                        want = e8[:, :, :3]
+                got = decode_png(blob)
+                assert got.shape == (h, w, 3) and np.array_equal(got, want), (
+                    color, depth, h, w, ftype, interlace)
+
+
+def test_known_answer_sub_byte_bit_packing():
+    """5x2 2-bit gray assembled BYTE BY BYTE: row 0 unfiltered with
+    hand-packed MSB-first bit groups (levels 0,1,2,3,0 -> 0x1B 0x00),
+    row 1 Sub-filtered at the sub-byte bpp=1 distance (levels 3,2,1,0,3
+    -> packed 0xE4 0xC0 -> deltas 0xE4 0xDC). Pins bit unpacking AND the
+    byte-level filter distance independently of the encoder."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 2, 2, 0, 0, 0, 0))
+    raw = bytes([0, 0x1B, 0x00]) + bytes([1, 0xE4, 0xDC])
+    png = sig + ihdr + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+    got = decode_png(png)
+    lv = np.array([[0, 1, 2, 3, 0], [3, 2, 1, 0, 3]], dtype=np.uint8) * 85
+    assert np.array_equal(got, np.repeat(lv[:, :, None], 3, axis=2))
+
+
+def test_known_answer_16bit_filters():
+    """16-bit gray assembled BYTE BY BYTE: Up filtering works on BYTES
+    (row 1 = byte deltas vs row 0), Sub works at the 2-byte bpp distance;
+    decode reduces each big-endian sample to its high byte."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 1x2: row0 = 0x1234 (None), row1 = 0xABCD via Up deltas (0x99, 0x99)
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 2, 16, 0, 0, 0, 0))
+    raw = bytes([0, 0x12, 0x34]) + bytes([2, 0x99, 0x99])
+    png = sig + ihdr + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+    got = decode_png(png)
+    assert got[0, 0, 0] == 0x12 and got[1, 0, 0] == 0xAB
+    # 2x1: Sub at bpp=2 — second sample's bytes delta against the first's
+    ihdr2 = _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0))
+    raw2 = bytes([1, 0x01, 0x02, 0x02, 0x04])  # 0x0102 then 0x0306
+    png2 = sig + ihdr2 + _chunk(b"IDAT", zlib.compress(raw2)) + _chunk(b"IEND", b"")
+    got2 = decode_png(png2)
+    assert got2[0, 0, 0] == 0x01 and got2[0, 1, 0] == 0x03
+
+
+def test_gray_alpha_color_type():
+    """Color type 4 (gray+alpha): gray replicates to RGB, alpha dropped."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 4, 0, 0, 0))
+    raw = bytes([0, 10, 200, 20, 30])  # (gray=10,a=200), (gray=20,a=30)
+    png = sig + ihdr + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+    got = decode_png(png)
+    assert np.array_equal(got, [[[10, 10, 10], [20, 20, 20]]])
+
+
+def test_illegal_depth_color_combos_rejected():
+    """Spec-ILLEGAL pairs must refuse on both encode and decode."""
+    for color, depth in [(3, 16), (2, 4), (4, 2), (6, 1)]:
+        with pytest.raises(ValueError):
+            encode_png_ex(np.zeros((2, 2, _CHANNELS[color]), np.uint16), color, depth)
+        ih = _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, 0))
+        blob = (
+            b"\x89PNG\r\n\x1a\n" + ih
+            + _chunk(b"IDAT", zlib.compress(b"\0" * 20)) + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            decode_png(blob)
+
+
+def test_fixture_variants_cross_check_independent_oracle():
+    """Every rotating image variant the media fixture emits (incl. the
+    new 16-bit RGB and 4-bit palette PNGs) decodes identically under
+    png.py and the tools/check_oracles.py INDEPENDENT parser."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from check_oracles import _oracle_png_pixels
+
+    from ztdf_spark import mmops
+
+    rows = mmops.synthetic_media_rows(36)
+    n_png = 0
+    for _, mtype, payload, meta in rows:
+        if mtype == "image" and bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
+            n_png += 1
+            assert np.array_equal(decode_png(bytes(payload)), _oracle_png_pixels(bytes(payload)))
+    assert n_png >= 8  # all four PNG variants appeared (12 images / 6 variants x 4 cycles)

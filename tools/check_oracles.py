@@ -384,8 +384,10 @@ def _pandas_ann_cosine(sf_dir, n_queries=10, k=5):
 
 
 def _oracle_png_pixels(b: bytes):
-    """INDEPENDENT PNG (8-bit RGB, plain or Adam7) pixel parse: chunk walk
-    via int.from_bytes, pure-python per-byte un-filter lists, pass grids
+    """INDEPENDENT PNG pixel parse (fixture profiles: 8/16-bit RGB,
+    sub-byte palette, gray, plain or Adam7): chunk walk via
+    int.from_bytes, pure-python per-byte un-filter lists, per-pixel bit
+    extraction via integer shifts on a big-int bit cursor, pass grids
     enumerated as coordinate ranges — none of png.py's numpy structure."""
     import zlib
 
@@ -393,7 +395,8 @@ def _oracle_png_pixels(b: bytes):
 
     pos, idat = 8, bytearray()
     w = h = None
-    interlace = 0
+    depth = color = interlace = 0
+    pal = None
     while pos + 12 <= len(b):
         ln = int.from_bytes(b[pos : pos + 4], "big")
         typ = b[pos + 4 : pos + 8]
@@ -401,14 +404,18 @@ def _oracle_png_pixels(b: bytes):
         if typ == b"IHDR":
             w = int.from_bytes(body[0:4], "big")
             h = int.from_bytes(body[4:8], "big")
-            assert body[8] == 8 and body[9] == 2, "oracle fixture is 8-bit RGB"
+            depth, color = body[8], body[9]
             interlace = body[12]
+        elif typ == b"PLTE":
+            pal = [list(body[i : i + 3]) for i in range(0, len(body), 3)]
         elif typ == b"IDAT":
             idat += body
         elif typ == b"IEND":
             break
         pos += 12 + ln
     raw = zlib.decompress(bytes(idat))
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    bpp = max(1, nch * depth // 8)
 
     def paeth(a, up, c):
         p = a + up - c
@@ -427,15 +434,15 @@ def _oracle_png_pixels(b: bytes):
         xs, ys = list(range(x0, w, dx)), list(range(y0, h, dy))
         if not xs or not ys:
             continue
-        stride = len(xs) * 3
+        stride = (len(xs) * nch * depth + 7) // 8
         prev = [0] * stride
         for y in ys:
             ft, line = raw[off], raw[off + 1 : off + 1 + stride]
             off += 1 + stride
             cur = [0] * stride
             for i in range(stride):
-                left = cur[i - 3] if i >= 3 else 0
-                ul = prev[i - 3] if i >= 3 else 0
+                left = cur[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
                 v = line[i]
                 if ft == 1:
                     v += left
@@ -447,8 +454,26 @@ def _oracle_png_pixels(b: bytes):
                     v += paeth(left, prev[i], ul)
                 cur[i] = v & 0xFF
             prev = cur
+            # bit cursor over the unfiltered row: sample s of pixel r sits
+            # at bit offset (r*nch + s)*depth, MSB first
+            rowint = int.from_bytes(bytes(cur), "big")
+            rowbits = stride * 8
             for rx, x in enumerate(xs):
-                px[y][x] = cur[rx * 3 : rx * 3 + 3]
+                samples = []
+                for s in range(nch):
+                    sh = rowbits - (rx * nch + s + 1) * depth
+                    v = (rowint >> sh) & ((1 << depth) - 1)
+                    if depth == 16:
+                        v >>= 8  # high byte == inverse of v8*257 replication
+                    elif depth < 8 and color != 3:
+                        v *= 255 // ((1 << depth) - 1)
+                    samples.append(v)
+                if color == 3:
+                    px[y][x] = pal[samples[0]]
+                elif color == 0 or color == 4:
+                    px[y][x] = [samples[0]] * 3
+                else:
+                    px[y][x] = samples[:3]
     assert off == len(raw)
     return np.array(px, dtype=np.uint8)
 

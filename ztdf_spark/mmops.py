@@ -1,13 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-Decode status (round 5): REAL pure-Python decoders for at least one
+Decode status (round 6): REAL pure-Python decoders for at least one
 container per modality — WAV/PCM-16 audio (stdlib ``wave``), PPM (P6),
 BMP (24-bit uncompressed), JPEG (baseline SOF0 AND progressive SOF2,
-``ztdf_spark/jpeg.py``) and PNG (plain + Adam7 interlaced,
-``ztdf_spark/png.py``) images, Y4M (YUV4MPEG2, C444 + C420*) video — no
-external media libraries needed. Formats this container cannot decode
-(h264, opus, arithmetic-coded jpeg, 16-bit png) still fall back to the
+``ztdf_spark/jpeg.py``) and PNG (every spec-legal static profile:
+depths 1/2/4/8/16, gray/RGB/palette/gray-alpha/RGBA, plain + Adam7
+interlaced, ``ztdf_spark/png.py``) images, Y4M (YUV4MPEG2, C444 +
+C420*) video — no external media libraries needed. Formats this
+container cannot decode
+(h264, opus, arithmetic-coded jpeg) still fall back to the
 disclosed deterministic fake (content-hash-derived vector) when
 ``deterministic_fake=True``, else ``NotImplementedError``; a real codec
 library (PIL/ffmpeg/torchaudio) drops in behind the same ``decode_media``
@@ -321,8 +323,8 @@ def decode_media(payload: bytes, media_type: str, *, deterministic_fake: bool = 
             # approximation (round 6); arithmetic/12-bit raise → fall through
             return _rgb_features(_jpeg_rgb(bytes(payload)), fmt_tag=4.0)
         if fmt == "png":
-            # REAL PNG decode (ztdf_spark/png.py, round 5; Adam7 interlace
-            # round 6); 16-bit variants raise ValueError → fall through
+            # REAL PNG decode (ztdf_spark/png.py, round 5; Adam7 interlace +
+            # every spec-legal depth/color round 6); malformed → fall through
             return _rgb_features(_png_rgb(bytes(payload)), fmt_tag=5.0)
     except ValueError:
         pass  # sniffed but malformed/unsupported variant → fall through
@@ -470,11 +472,11 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, *, deterministic_fake:
 
 def synthetic_media_rows(n: int = 20, seed: int = 42) -> list:
     """Deterministic media rows: REAL WAV payloads for audio, REAL
-    PPM/BMP/PNG/interlaced-PNG (rotating) for images, opaque bytes for
-    video (h264 stand-in). Shared by the Spark fixture below and the
-    independent pandas oracle (the fixture is test INPUT; the decode path
-    under test is not shared)."""
-    from .png import encode_png
+    PPM/BMP/PNG (rotating: Paeth, Adam7-interlaced, 16-bit RGB, 4-bit
+    palette) for images, opaque bytes for video (h264 stand-in). Shared
+    by the Spark fixture below and the independent pandas oracle (the
+    fixture is test INPUT; the decode path under test is not shared)."""
+    from .png import encode_png, encode_png_ex
 
     rng = np.random.default_rng(seed)
     rows = []
@@ -483,7 +485,7 @@ def synthetic_media_rows(n: int = 20, seed: int = 42) -> list:
         if mtype == "image":
             w, h = int(rng.integers(4, 32)), int(rng.integers(4, 32))
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            variant = (i // 3) % 4
+            variant = (i // 3) % 6
             if variant == 0:
                 payload, codec = make_ppm(px), "ppm"
             elif variant == 1:
@@ -491,9 +493,21 @@ def synthetic_media_rows(n: int = 20, seed: int = 42) -> list:
             elif variant == 2:
                 # real compressed PNG, Paeth-filtered scanlines
                 payload, codec = encode_png(px, filter_type=4), "png"
-            else:
+            elif variant == 3:
                 # real Adam7-interlaced PNG (round-6 decode path)
                 payload, codec = encode_png(px, filter_type=2, interlace=True), "png"
+            elif variant == 4:
+                # 16-bit RGB PNG (left-bit-replicated samples decode back
+                # to exactly px via the high byte), Sub-filtered at bpp=6
+                payload = encode_png_ex(px.astype(np.uint16) * 257, 2, 16, filter_type=1)
+                codec = "png"
+            else:
+                # 4-bit palette PNG: quantize px onto a 16-color palette
+                pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+                idx = rng.integers(0, 16, size=(h, w), dtype=np.uint8)
+                px = pal[idx]  # meta/oracle see the palette-resolved pixels
+                payload = encode_png_ex(idx, 3, 4, filter_type=3, palette=pal)
+                codec = "png"
             meta = (w, h, 0, codec)
         elif mtype == "audio":
             sr = (8000, 16000)[(i // 3) % 2]
