@@ -946,6 +946,70 @@ def q_text_line_dedup_nl(spark, sf_dir):
     return textops.line_dedup(nl_docs, delimiter="\n", max_df=2)
 
 
+def q_text_pii_scrub(spark, sf_dir):
+    """PII redaction (textops.pii_scrub): the corpus is re-planted with
+    deterministic doc_id-derived PII — an email in every doc, a phone every
+    3rd, an SSN every 4th, an IPv4 every 5th (the synthetic word-salad text
+    contains none on its own, so the fixture must plant what the operator
+    removes, same pattern as text_line_dedup_nl's shared header) — then
+    scrubbed. Per doc: per-category match counts on the raw text and an md5
+    of the sequentially-scrubbed text, so a missed match, an over-match, or
+    a replacement-order change all break the hash. Map-only pure Catalyst
+    (plan-guarded: zero exchanges, no Python)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("long")
+
+    def s(c):
+        return c.cast("string")
+
+    phone = F.concat(
+        F.lit(" call 555-"),
+        F.lpad(s(d % 1000), 3, "0"),
+        F.lit("-"),
+        F.lpad(s(d % 10000), 4, "0"),
+    )
+    ssn = F.concat(
+        F.lit(" ssn "),
+        F.lpad(s(d % 1000), 3, "0"),
+        F.lit("-"),
+        F.lpad(s(d % 100), 2, "0"),
+        F.lit("-"),
+        F.lpad(s(d % 10000), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit(" from "),
+        s(d % 256),
+        F.lit("."),
+        s((d * 7) % 256),
+        F.lit("."),
+        s((d * 13) % 256),
+        F.lit("."),
+        s((d * 31) % 256),
+    )
+    planted = docs.select(
+        d.alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            s(d),
+            F.lit("@example.com"),
+            F.when(d % 3 == 0, phone).otherwise(F.lit("")),
+            F.when(d % 4 == 0, ssn).otherwise(F.lit("")),
+            F.when(d % 5 == 0, ip).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return textops.pii_scrub(planted)
+
+
+def q_text_repetition(spark, sf_dir):
+    """Intra-document repetition signals (textops.ngram_repetition, the
+    Gopher repetition rules): most-frequent-2-gram occupancy and
+    duplicate-5-gram occurrence fraction per doc, ×1000-quantized for an
+    exact DuckDB hash match. Explode → two codegen hash aggregations with
+    map-side combine on per-doc keys (plan-guarded: no sorts, no Python)."""
+    return textops.ngram_repetition(_t(spark, sf_dir, "documents"))
+
+
 def q_bpe_train(spark, sf_dir):
     """Distributed BPE vocabulary training (bpeops.bpe_train): one
     corpus-sized word-frequency shuffle, then per-merge-round aggregates
@@ -1435,6 +1499,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "text_line_dedup_nl": q_text_line_dedup_nl,
+        # r6 additions: PII scrub + Gopher repetition rules (full DuckDB
+        # oracles), inside the driver window for first-round green rows
+        "text_pii_scrub": q_text_pii_scrub,
+        "text_repetition": q_text_repetition,
         "bpe_train": q_bpe_train,  # pandas oracle (iterative training loop)
         "bpe_encode": q_bpe_encode,  # pandas oracle
         # CDC engine semantics (SURVEY.md §2.3 stages)
@@ -2113,6 +2181,76 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, COUNT(*) AS n_hits, MIN(shingle) AS first_hit
         FROM hits JOIN bench USING (shingle)
         GROUP BY doc_id
+        """
+    # PII scrub: same doc_id-derived planting, same Java/RE2-portable
+    # patterns (see textops.PII_PATTERNS), counts on the raw text, md5 of
+    # the sequentially-replaced text (DuckDB regexp_replace needs the 'g'
+    # flag to match Spark's global-replace semantics)
+    d["text_pii_scrub"] = r"""
+        WITH planted AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 text || ' reach user' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
+                      || '@example.com'
+                 || CASE WHEN doc_id % 3 = 0 THEN ' call 555-'
+                      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END
+                 || CASE WHEN doc_id % 4 = 0 THEN ' ssn '
+                      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN ' from '
+                      || CAST(doc_id % 256 AS VARCHAR) || '.'
+                      || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+                      || CAST((doc_id * 13) % 256 AS VARCHAR) || '.'
+                      || CAST((doc_id * 31) % 256 AS VARCHAR)
+                    ELSE '' END AS text
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+          CAST(len(regexp_extract_all(text,
+            '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+          CAST(len(regexp_extract_all(text,
+            '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+          CAST(len(regexp_extract_all(text,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+          md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+              '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))
+            AS scrubbed_md5
+        FROM planted
+        """
+    # Gopher repetition rules: unnest-then-group (the fast oracle shape),
+    # identical integer-quantized divisions
+    d["text_repetition"] = """
+        WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          string_split(text, ' ') AS ws
+                   FROM documents),
+        g AS (
+          SELECT doc_id, 2 AS n,
+                 array_to_string(list_slice(ws, i, i + 1), ' ') AS gram
+          FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)
+          UNION ALL
+          SELECT doc_id, 5 AS n,
+                 array_to_string(list_slice(ws, i, i + 4), ' ') AS gram
+          FROM w, LATERAL unnest(generate_series(1, len(ws) - 4)) AS t(i)),
+        c AS (SELECT doc_id, n, gram, COUNT(*) AS c
+              FROM g GROUP BY doc_id, n, gram),
+        a AS (SELECT doc_id,
+                MAX(CASE WHEN n = 2 THEN c END) AS mx,
+                SUM(CASE WHEN n = 2 THEN c END) AS tot_top,
+                SUM(CASE WHEN n = 5 THEN c END) AS tot_dup,
+                SUM(CASE WHEN n = 5 AND c > 1 THEN c END) AS dup_occ
+              FROM c GROUP BY doc_id)
+        SELECT doc_id,
+               CAST(tot_top AS BIGINT) AS n_2grams,
+               CAST(floor(1000 * mx / tot_top) AS BIGINT) AS top2_q,
+               CAST(floor(1000 * coalesce(dup_occ, 0) / tot_dup) AS BIGINT) AS dup5_q
+        FROM a
         """
     # mixture sampling: the EXACT md5-threshold Bernoulli (thresholds are
     # _rate_threshold() of {en:0.9, es:0.5, fr:0.5, de:0.25, zh:0.1}) —

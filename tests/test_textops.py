@@ -376,3 +376,50 @@ def test_corpus_shuffle_deterministic_order(spark):
     # stable across re-computation
     again = {r["doc_id"]: (r["shard"], r["pos"]) for r in textops.corpus_shuffle(docs, 4).collect()}
     assert again == got
+
+
+def test_pii_scrub_counts_and_text(spark):
+    """Known-answer PII redaction: counts per category and the exact
+    scrubbed text (via pii_scrub_text), including multi-match, no-match,
+    end-of-string boundaries, and the 3-2-4 SSN vs 3-3-4 phone
+    disjointness."""
+    rows = [
+        (0, "mail a@b.io and c.d+x@e-f.org today"),
+        (1, "ssn 123-45-6789 phone 555-123-4567 both"),
+        (2, "nothing personal here"),
+        (3, "ip 10.0.255.1"),
+        (4, "trailing z9@q.co"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in textops.pii_scrub(docs).collect()}
+    assert (got[0]["n_email"], got[0]["n_ssn"], got[0]["n_phone"], got[0]["n_ipv4"]) == (2, 0, 0, 0)
+    assert (got[1]["n_email"], got[1]["n_ssn"], got[1]["n_phone"], got[1]["n_ipv4"]) == (0, 1, 1, 0)
+    assert (got[2]["n_email"], got[2]["n_ssn"], got[2]["n_phone"], got[2]["n_ipv4"]) == (0, 0, 0, 0)
+    assert (got[3]["n_email"], got[3]["n_ssn"], got[3]["n_phone"], got[3]["n_ipv4"]) == (0, 0, 0, 1)
+    assert (got[4]["n_email"], got[4]["n_ssn"], got[4]["n_phone"], got[4]["n_ipv4"]) == (1, 0, 0, 0)
+    scrubbed = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", textops.pii_scrub_text(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert scrubbed[0] == "mail <EMAIL> and <EMAIL> today"
+    assert scrubbed[1] == "ssn <SSN> phone <PHONE> both"
+    assert scrubbed[2] == "nothing personal here"
+    assert scrubbed[3] == "ip <IP>"
+    assert scrubbed[4] == "trailing <EMAIL>"
+
+
+def test_ngram_repetition_known_answers(spark):
+    """Hand-computed Gopher repetition metrics: alternating doc, constant
+    doc, and a doc too short for 5-grams (NULL dup metric, present row)."""
+    rows = [
+        (0, "a b a b a b"),   # 2g: {'a b':3,'b a':2} tot 5; 5g: 2 distinct
+        (1, "x x x x x x"),   # 2g: 'x x'*5; 5g: 'x x x x x'*2 (dup)
+        (2, "p q r"),         # 2g: 2 distinct; <5 words -> dup5 NULL
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in textops.ngram_repetition(docs).collect()}
+    assert got[0] == {"doc_id": 0, "n_2grams": 5, "top2_q": 600, "dup5_q": 0}
+    assert got[1] == {"doc_id": 1, "n_2grams": 5, "top2_q": 1000, "dup5_q": 1000}
+    assert got[2] == {"doc_id": 2, "n_2grams": 2, "top2_q": 500, "dup5_q": None}

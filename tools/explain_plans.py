@@ -464,6 +464,30 @@ def main():
         ],
     )
 
+    # PII scrub: four regexp_counts + chained replace, all row-local —
+    # map-only, no exchange, no Python
+    dump(
+        "text_pii_scrub",
+        em.q_text_pii_scrub(spark, sf),
+        [
+            ("map-only (no shuffle of any kind)", r"Exchange", False),
+            ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
+        ],
+    )
+
+    # repetition metrics: exploded grams feed two HASH aggregations with
+    # map-side partial combine — never SortAggregate, never a window/sort
+    dump(
+        "text_repetition",
+        em.q_text_repetition(spark, sf),
+        [
+            ("partial aggregation before the exchange", r"partial_count", True),
+            ("hash aggregation, never sort-based", r"SortAggregate", False),
+            ("no global sort / window funnel", r"SinglePartition", False),
+            ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
+        ],
+    )
+
     width = max(len(f"{n}: {d}") for n, d, _ in checks)
     fails = 0
     for n, d, ok in checks:

@@ -776,3 +776,118 @@ def corpus_shuffle(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select(id_col, "shard", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction & intra-document repetition (pre-training scrub/quality)
+# ---------------------------------------------------------------------------
+
+# Category patterns restricted to syntax valid AND identical in Java regex
+# (Spark) and RE2 (DuckDB oracle): character classes, bounded repetition,
+# \b word boundaries — no backreferences or lookaround. Order matters for
+# the sequential replace: emails first (they contain digits and dots that
+# the later numeric patterns must never see), then SSN before phone
+# (3-2-4 vs 3-3-4 groupings are disjoint, but keeping the more specific
+# first is the safe convention), IPv4 last.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction (the pre-training scrub every public-web corpus gets):
+    per-category match counts on the raw text plus an md5 digest of the
+    text after sequentially replacing each category with its placeholder
+    token. The reference flow stamps/filters records per policy
+    (nifi-tdf-processors ConvertToZTDF policy attributes); this is the
+    content-side analog a 100 TB ingest applies before tokenization.
+
+    Scale shape: pure Catalyst, MAP-ONLY — four codegen'd regexp_count +
+    a chained regexp_replace per row, zero exchanges, zero Python. The
+    digest (not the scrubbed body) is returned so the operator is cheap to
+    oracle; callers wanting the text select the same chain via
+    ``pii_scrub_text``."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *counts,
+        F.md5(pii_scrub_text(F.col(text_col))).alias("scrubbed_md5"),
+    )
+
+
+def pii_scrub_text(col):
+    """The scrubbed-text column expression: sequential per-category
+    regexp_replace (global, like DuckDB's 'g' flag) in PII_PATTERNS order."""
+    out = col
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def ngram_repetition(docs: DataFrame, top_n: int = 2, dup_n: int = 5) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1): per doc the fraction of
+    ``top_n``-gram occurrences taken by the single most frequent
+    ``top_n``-gram, and the fraction of ``dup_n``-gram occurrences that
+    belong to a gram appearing more than once. Both are integer-quantized
+    (x1000, like quality_scores) so the DuckDB oracle hash-matches exactly.
+
+    Docs with fewer than ``dup_n`` words yield NULL for that metric (no
+    grams to measure); docs with fewer than ``top_n`` words are absent.
+
+    Scale shape: explode -> two codegen hash aggregations, both with
+    map-side partial combine (grams of one doc start co-located, so the
+    per-(doc, gram) partial collapses nearly all duplicates before the
+    exchange); keys are per-document — no hot keys, no windows, no sorts.
+    Deliberately NOT the zero-shuffle higher-order-function form: HOF
+    lambdas run interpreted (no codegen), measurably slower per row than
+    this exploded codegen path at equal shuffle cost (per-doc keys)."""
+
+    def grams(n: int) -> DataFrame:
+        w = F.split(F.col("text"), " ")
+        arr = F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.lit(n).alias("n"),
+            F.explode(arr).alias("gram"),
+        )
+
+    c = (
+        grams(top_n)
+        .unionAll(grams(dup_n))
+        .groupBy("doc_id", "n", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    top, dup = F.col("n") == top_n, F.col("n") == dup_n
+    a = c.groupBy("doc_id").agg(
+        F.max(F.when(top, F.col("c"))).alias("mx"),
+        F.sum(F.when(top, F.col("c"))).alias("tot_top"),
+        F.sum(F.when(dup, F.col("c"))).alias("tot_dup"),
+        F.sum(F.when(dup & (F.col("c") > 1), F.col("c"))).alias("dup_occ"),
+    )
+    return a.select(
+        "doc_id",
+        F.col("tot_top").cast("long").alias(f"n_{top_n}grams"),
+        F.floor(F.lit(1000) * F.col("mx") / F.col("tot_top"))
+        .cast("long")
+        .alias(f"top{top_n}_q"),
+        F.floor(
+            F.lit(1000) * F.coalesce(F.col("dup_occ"), F.lit(0)) / F.col("tot_dup")
+        )
+        .cast("long")
+        .alias(f"dup{dup_n}_q"),
+    )
