@@ -1010,6 +1010,16 @@ def q_text_repetition(spark, sf_dir):
     return textops.ngram_repetition(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_lm_score(spark, sf_dir):
+    """CCNet-style LM quality scoring (textops.corpus_lm_score): bigram
+    stupid-backoff model trained on the even-doc_id half, every doc scored
+    by its avg per-bigram log2-probability — log2s quantized to integers
+    via binary-digit-count (exact in both engines) so the per-doc sum is
+    order-independent integer arithmetic. Held-out (odd) docs exercise the
+    backoff and unseen paths."""
+    return textops.corpus_lm_score(_t(spark, sf_dir, "documents"))
+
+
 def q_bpe_train(spark, sf_dir):
     """Distributed BPE vocabulary training (bpeops.bpe_train): one
     corpus-sized word-frequency shuffle, then per-merge-round aggregates
@@ -1503,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracles), inside the driver window for first-round green rows
         "text_pii_scrub": q_text_pii_scrub,
         "text_repetition": q_text_repetition,
+        "corpus_lm_score": q_corpus_lm_score,
         "bpe_train": q_bpe_train,  # pandas oracle (iterative training loop)
         "bpe_encode": q_bpe_encode,  # pandas oracle
         # CDC engine semantics (SURVEY.md §2.3 stages)
@@ -2223,6 +2234,40 @@ def oracle_sql() -> dict[str, str]:
               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))
             AS scrubbed_md5
         FROM planted
+        """
+    # bigram LM quality scoring: identical integer flog2 construction —
+    # floor(log2(c)) = length of the binary representation minus one, so
+    # no libm/ULP divergence exists anywhere in the score
+    d["corpus_lm_score"] = """
+        WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                   FROM documents),
+        pr AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+               FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)),
+        tok AS (SELECT unnest(ws) AS wd FROM w WHERE doc_id % 2 = 0),
+        c1 AS (SELECT wd, COUNT(*) AS c1 FROM tok GROUP BY wd),
+        c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM pr
+               WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+        t AS (SELECT COUNT(*) AS tt FROM tok),
+        q AS (SELECT pr.doc_id,
+                CASE
+                  WHEN c2.c2 IS NOT NULL THEN
+                    (length(format('{:b}', c2.c2)) - 1)
+                    - (length(format('{:b}', a.c1)) - 1)
+                  WHEN b.c1 IS NOT NULL THEN
+                    (length(format('{:b}', b.c1)) - 1)
+                    - (length(format('{:b}', t.tt)) - 1) - 2
+                  ELSE -(length(format('{:b}', t.tt)) - 1) - 4
+                END AS q
+              FROM pr
+              LEFT JOIN c2 ON pr.w1 = c2.w1 AND pr.w2 = c2.w2
+              LEFT JOIN c1 a ON pr.w1 = a.wd
+              LEFT JOIN c1 b ON pr.w2 = b.wd
+              CROSS JOIN t)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               CAST(SUM(q) AS BIGINT) AS score_q,
+               CAST(floor(1000 * SUM(q) / COUNT(*)) AS BIGINT) AS avg_q
+        FROM q GROUP BY doc_id
         """
     # Gopher repetition rules: unnest-then-group (the fast oracle shape),
     # identical integer-quantized divisions

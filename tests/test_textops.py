@@ -423,3 +423,24 @@ def test_ngram_repetition_known_answers(spark):
     assert got[0] == {"doc_id": 0, "n_2grams": 5, "top2_q": 600, "dup5_q": 0}
     assert got[1] == {"doc_id": 1, "n_2grams": 5, "top2_q": 1000, "dup5_q": 1000}
     assert got[2] == {"doc_id": 2, "n_2grams": 2, "top2_q": 500, "dup5_q": None}
+
+
+def test_corpus_lm_score_hand_computed(spark):
+    """Bigram stupid-backoff scoring, every path hand-computed: train docs
+    (even ids) 'a b a b' and 'b b' give C1={a:2,b:4}, T=6, C2={(a,b):2,
+    (b,a):1,(b,b):1}; flog2: 1->0, 2->1, 4->2, 6->2.  Seen-bigram, backoff
+    (unseen bigram, seen w2) and unseen-w2 paths all asserted."""
+    rows = [
+        (0, "a b a b"),  # train: (a,b)=0, (b,a)=-2, (a,b)=0
+        (1, "a b c"),    # held out: (a,b) seen=0; (b,c) unseen w2 = -2-4
+        (2, "b b"),      # train: (b,b): fl(1)-fl(4) = -2
+        (3, "c a"),      # held out: (c,a) backoff via w2=a: fl(2)-fl(6)-2
+        (4, "solo"),     # no bigrams -> absent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in textops.corpus_lm_score(docs).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0] == {"doc_id": 0, "n_bigrams": 3, "score_q": -2, "avg_q": -667}
+    assert got[1] == {"doc_id": 1, "n_bigrams": 2, "score_q": -6, "avg_q": -3000}
+    assert got[2] == {"doc_id": 2, "n_bigrams": 1, "score_q": -2, "avg_q": -2000}
+    assert got[3] == {"doc_id": 3, "n_bigrams": 1, "score_q": -3, "avg_q": -3000}

@@ -488,6 +488,20 @@ def main():
         ],
     )
 
+    # bigram LM scoring: model tables via partial-combine hash aggregates,
+    # token-stream scoring joins stay equi (the only nested-loop is the
+    # one-row broadcast of T), rollup is a hash aggregate
+    dump(
+        "corpus_lm_score",
+        em.q_corpus_lm_score(spark, sf),
+        [
+            ("partial aggregation before the exchange", r"partial_count", True),
+            ("no cartesian product", r"CartesianProduct", False),
+            ("hash aggregation, never sort-based", r"SortAggregate", False),
+            ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
+        ],
+    )
+
     width = max(len(f"{n}: {d}") for n, d, _ in checks)
     fails = 0
     for n, d, ok in checks:

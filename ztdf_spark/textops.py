@@ -891,3 +891,96 @@ def ngram_repetition(docs: DataFrame, top_n: int = 2, dup_n: int = 5) -> DataFra
         .cast("long")
         .alias(f"dup{dup_n}_q"),
     )
+
+
+def _flog2(c):
+    """floor(log2(c)) for a positive integer column, computed EXACTLY as
+    length(binary representation) - 1 — identical in Spark (bin) and the
+    DuckDB oracle (format('{:b}')), so no libm/ULP divergence can flip a
+    quantized value."""
+    return (F.length(F.bin(c)) - F.lit(1)).cast("long")
+
+
+def corpus_lm_score(
+    docs: DataFrame,
+    train_mod: int = 2,
+    backoff_shift: int = 2,
+    unseen_shift: int = 4,
+) -> DataFrame:
+    """CCNet-style n-gram language-model quality scoring (Wenzek et al.
+    2020 train a KenLM and keep the low-perplexity tercile; LLaMA's
+    pipeline does the same): a bigram LM with stupid backoff (Brants et
+    al. 2007) is trained on the ``doc_id % train_mod == 0`` half of the
+    corpus and every document is scored by its average per-bigram
+    log-probability. Held-out documents exercise the backoff paths.
+
+    Portability construction: per-bigram log2-probabilities are quantized
+    to INTEGERS via floor(log2) = binary-digit-count - 1 (exact in both
+    engines, see _flog2) BEFORE the per-doc sum, so the sum is
+    order-independent integer arithmetic — no float-summation-order or
+    libm-ULP hazard anywhere. Scores:
+
+    - seen bigram:            flog2(C2(w1,w2)) - flog2(C1(w1))
+    - backoff (w2 seen):      flog2(C1(w2)) - flog2(T) - backoff_shift
+      (i.e. alpha = 2^-backoff_shift, the stupid-backoff discount)
+    - unseen w2:              -flog2(T) - unseen_shift
+
+    Scale shape: model build = two token-scale hash aggregations with
+    map-side partial combine (bigram/unigram tables are vocabulary-bounded
+    outputs); scoring = two w-keyed equi-joins of the token-scale pair
+    stream against those tables (AQE skew-join handles hot function words;
+    broadcast them instead when the model fits, as any real deployment's
+    trained LM does) plus a one-row broadcast of T; final per-doc rollup
+    is a partial-combine integer sum. No windows, no sorts, no Python."""
+    d = F.col("doc_id").cast("long")
+    w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    prs = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(1)),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("w1"),
+                F.element_at(w, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = docs.select(d.alias("doc_id"), F.explode(prs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    toks = docs.filter(d % train_mod == 0).select(
+        F.explode(w).alias("w")
+    )
+    c1 = toks.groupBy("w").agg(F.count("*").alias("c1"))
+    c2 = (
+        pairs.filter(F.col("doc_id") % train_mod == 0)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    t = toks.agg(F.count("*").alias("tt"))
+    scored = (
+        pairs.join(c2, ["w1", "w2"], "left")
+        .join(c1.withColumnRenamed("w", "w1").withColumnRenamed("c1", "c1_w1"), "w1", "left")
+        .join(c1.withColumnRenamed("w", "w2").withColumnRenamed("c1", "c1_w2"), "w2", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "doc_id",
+            F.when(F.col("c2").isNotNull(), _flog2(F.col("c2")) - _flog2(F.col("c1_w1")))
+            .when(
+                F.col("c1_w2").isNotNull(),
+                _flog2(F.col("c1_w2")) - _flog2(F.col("tt")) - F.lit(backoff_shift),
+            )
+            .otherwise(-_flog2(F.col("tt")) - F.lit(unseen_shift))
+            .alias("q"),
+        )
+    )
+    a = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), F.sum("q").alias("score_q")
+    )
+    return a.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("score_q").cast("long").alias("score_q"),
+        F.floor(F.lit(1000) * F.col("score_q") / F.col("n_bigrams"))
+        .cast("long")
+        .alias("avg_q"),
+    )
