@@ -94,8 +94,14 @@ def test_extract_features_real_and_fake(spark):
 def test_resize_images(spark):
     media = mmops.synthetic_media(spark, n=12)
     out = mmops.resize_images(media, out_w=8, out_h=8).toPandas()
-    image_ids = {r["media_id"] for r in media.filter("media_type='image'").collect()}
-    assert set(out["media_id"]) == image_ids
+    # payload-sniffed: every image row PLUS animated-GIF video rows
+    # (poster-frame thumbnail)
+    expected_ids = {
+        r[0]
+        for r in mmops.synthetic_media_rows(12)
+        if r[1] == "image" or (r[1] == "video" and bytes(r[2])[:3] == b"GIF")
+    }
+    assert set(out["media_id"]) == expected_ids
     assert (out["out_w"] == 8).all() and (out["out_h"] == 8).all()
     # deterministic across runs
     again = mmops.resize_images(media, out_w=8, out_h=8).toPandas()
@@ -206,3 +212,45 @@ def test_y4m_truncated_falls_back_not_crashes(spark):
     )
     out = mmops.sample_frames(media, every_ms=1000).toPandas()
     assert list(out["frame_idx"]) == [0, 1]  # duration-driven stand-in
+
+
+def test_gif_sampling_stride_and_poster(spark):
+    """Animated GIF through the real paths: sample_frames' stride derives
+    from the stream's own per-frame delay, frame_hash fingerprints the
+    COMPOSITED canvas (changing one sampled frame changes only its hash),
+    and decode_media recovers geometry from the first composited frame."""
+    import hashlib
+
+    from ztdf_spark.gif import encode_gif
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    frames = [rng.integers(0, 8, size=(5, 7), dtype=np.uint8) for _ in range(6)]
+    # 50 cs per frame -> 2 fps -> at every_ms=1000 the stride is 2
+    blob = encode_gif(frames, pal, delays_cs=[50] * 6)
+    gframes, fps = mmops._gif_frames(blob)
+    assert fps == 2.0 and len(gframes) == 6
+    feat = mmops.decode_media(blob, "video")
+    assert feat[0] == 7.0 and feat[1] == 5.0 and feat[15] == 6.0  # w, h, tag
+
+    media = spark.createDataFrame(
+        [(0, "video", bytearray(blob), (7, 5, 3000, "gif"))], mmops.MEDIA_SCHEMA
+    )
+    out = mmops.sample_frames(media, every_ms=1000).toPandas().sort_values("frame_idx")
+    assert list(out["frame_idx"]) == [0, 2, 4]
+    expect = [
+        hashlib.blake2b(gframes[i].tobytes(), digest_size=8).hexdigest()
+        for i in (0, 2, 4)
+    ]
+    assert list(out["frame_hash"]) == expect
+
+    # perturb frame 2 only: its composited hash changes, frame 0's doesn't
+    frames2 = [f.copy() for f in frames]
+    frames2[2] = (frames2[2] + 1) % 8
+    g2, _ = mmops._gif_frames(encode_gif(frames2, pal, delays_cs=[50] * 6))
+    assert (
+        hashlib.blake2b(g2[2].tobytes(), digest_size=8).hexdigest() != expect[1]
+    )
+    assert (
+        hashlib.blake2b(g2[0].tobytes(), digest_size=8).hexdigest() == expect[0]
+    )

@@ -306,10 +306,12 @@ def test_fixture_variants_cross_check_independent_oracle():
 
     from ztdf_spark import mmops
 
-    rows = mmops.synthetic_media_rows(36)
+    rows = mmops.synthetic_media_rows(42)
     n_png = 0
     for _, mtype, payload, meta in rows:
         if mtype == "image" and bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
             n_png += 1
             assert np.array_equal(decode_png(bytes(payload)), _oracle_png_pixels(bytes(payload)))
-    assert n_png >= 8  # all four PNG variants appeared (12 images / 6 variants x 4 cycles)
+    # 14 images over the 7-variant rotation (gif joined in round 6) = two
+    # full cycles -> each of the four PNG variants appears twice
+    assert n_png >= 8

@@ -478,6 +478,133 @@ def _oracle_png_pixels(b: bytes):
     return np.array(px, dtype=np.uint8)
 
 
+def _oracle_gif(b: bytes):
+    """INDEPENDENT GIF parse (frames, delays_cs): classic dict-of-bytes
+    LZW with a generator bit reader, python-list sub-block walk, and
+    list-based canvas composition — none of gif.py's prefix-array /
+    numpy-region structure."""
+    import numpy as np
+
+    assert b[:6] in (b"GIF87a", b"GIF89a")
+    w = int.from_bytes(b[6:8], "little")
+    h = int.from_bytes(b[8:10], "little")
+    packed, bg = b[10], b[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = [tuple(b[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+    bg_rgb = gct[bg] if gct and bg < len(gct) else (0, 0, 0)
+    canvas = [[bg_rgb] * w for _ in range(h)]
+    frames, delays = [], []
+    delay, transp, disp = 0, None, 0
+
+    def subblocks(p):
+        chunks = []
+        while b[p]:
+            n = b[p]
+            chunks.append(b[p + 1 : p + 1 + n])
+            p += 1 + n
+        return b"".join(chunks), p + 1
+
+    def lzw(stream, mcs, npx):
+        def bits():
+            for byte in stream:
+                for k in range(8):
+                    yield (byte >> k) & 1
+
+        g = bits()
+
+        def read(width):
+            v = 0
+            for k in range(width):
+                v |= next(g) << k
+            return v
+
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        table = None
+        width = mcs + 1
+        prev = None
+        out = bytearray()
+        while len(out) < npx:
+            code = read(width)
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = mcs + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                seq = table[code]
+            elif code < len(table):
+                seq = table[code]
+                if len(table) < 4096:
+                    table.append(prev + seq[:1])
+            else:
+                seq = prev + prev[:1]
+                table.append(seq)
+            out += seq
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            prev = seq
+        return bytes(out[:npx])
+
+    while True:
+        blk = b[pos]
+        pos += 1
+        if blk == 0x3B:
+            break
+        if blk == 0x21:
+            label = b[pos]
+            payload, pos = subblocks(pos + 1)
+            if label == 0xF9:
+                delay = int.from_bytes(payload[1:3], "little")
+                disp = (payload[0] >> 2) & 7
+                transp = payload[3] if payload[0] & 1 else None
+            continue
+        assert blk == 0x2C
+        left = int.from_bytes(b[pos : pos + 2], "little")
+        top = int.from_bytes(b[pos + 2 : pos + 4], "little")
+        iw = int.from_bytes(b[pos + 4 : pos + 6], "little")
+        ih = int.from_bytes(b[pos + 6 : pos + 8], "little")
+        ip = b[pos + 8]
+        pos += 9
+        table = gct
+        if ip & 0x80:
+            n = 2 << (ip & 7)
+            table = [tuple(b[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+            pos += 3 * n
+        mcs = b[pos]
+        stream, pos = subblocks(pos + 1)
+        idx = lzw(stream, mcs, iw * ih)
+        rows = [list(idx[r * iw : (r + 1) * iw]) for r in range(ih)]
+        if ip & 0x40:  # deinterlace by scattering pass rows
+            order = [r for s, st in ((0, 8), (4, 8), (2, 4), (1, 2)) for r in range(s, ih, st)]
+            scat = [None] * ih
+            for src, dst in enumerate(order):
+                scat[dst] = rows[src]
+            rows = scat
+        saved = [row[:] for row in canvas] if disp == 3 else None
+        for r in range(ih):
+            for c in range(iw):
+                v = rows[r][c]
+                if transp is not None and v == transp:
+                    continue
+                canvas[top + r][left + c] = table[v]
+        frames.append(np.array(canvas, dtype=np.uint8))
+        delays.append(delay)
+        if disp == 2:
+            for r in range(ih):
+                for c in range(iw):
+                    canvas[top + r][left + c] = bg_rgb
+        elif disp == 3:
+            canvas = saved
+        delay, transp, disp = 0, None, 0
+    return frames, delays
+
+
 def _oracle_decode(payload: bytes, mtype: str):
     import hashlib
     import re
@@ -521,6 +648,9 @@ def _oracle_decode(payload: bytes, mtype: str):
     elif b[:8] == b"\x89PNG\r\n\x1a\n":
         px = _oracle_png_pixels(b)
         fmt_tag = 5.0
+    elif b[:6] in (b"GIF87a", b"GIF89a"):
+        px = _oracle_gif(b)[0][0]
+        fmt_tag = 6.0
     if px is not None:
         f = px.astype(np.float64)
         mean, std = f.mean(axis=(0, 1)), f.std(axis=(0, 1))
@@ -611,6 +741,14 @@ def _pandas_mm_frames(sf_dir, n=30, seed=42, every_ms=1000):
                 ).hexdigest()
                 recs.append((mid, fi, hh))
             continue
+        if b[:6] in (b"GIF87a", b"GIF89a"):  # real animated-GIF decode
+            gframes, gdelays = _oracle_gif(b)
+            dcs = gdelays[0] if gdelays and gdelays[0] > 0 else 10
+            step = max(1, round((100.0 / dcs) * every_ms / 1000.0))
+            for fi in range(0, len(gframes), step):
+                hh = hashlib.blake2b(gframes[fi].tobytes(), digest_size=8).hexdigest()
+                recs.append((mid, fi, hh))
+            continue
         dur = int(meta[2] or 0)
         for fi in range(max(1, dur // every_ms)):
             h = hashlib.blake2b(b + fi.to_bytes(4, "little"), digest_size=8).hexdigest()
@@ -642,6 +780,8 @@ def _pandas_mm_resize(sf_dir, n=30, seed=42, out_w=8, out_h=8):
             px = arr[:, : w * 3].reshape(h, w, 3)[..., ::-1][::-1]
         elif b[:8] == b"\x89PNG\r\n\x1a\n":
             px = _oracle_png_pixels(b)
+        elif b[:6] in (b"GIF87a", b"GIF89a"):
+            px = _oracle_gif(b)[0][0]  # poster frame (video rows too)
         else:
             continue
         small = px[np.ix_((np.arange(out_h) * px.shape[0]) // out_h,

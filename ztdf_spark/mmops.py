@@ -4,10 +4,12 @@ columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 Decode status (round 6): REAL pure-Python decoders for at least one
 container per modality — WAV/PCM-16 audio (stdlib ``wave``), PPM (P6),
 BMP (24-bit uncompressed), JPEG (baseline SOF0 AND progressive SOF2,
-``ztdf_spark/jpeg.py``) and PNG (every spec-legal static profile:
+``ztdf_spark/jpeg.py``), PNG (every spec-legal static profile:
 depths 1/2/4/8/16, gray/RGB/palette/gray-alpha/RGBA, plain + Adam7
-interlaced, ``ztdf_spark/png.py``) images, Y4M (YUV4MPEG2, C444 +
-C420*) video — no external media libraries needed. Formats this
+interlaced, ``ztdf_spark/png.py``) and GIF (87a/89a LZW, interlace,
+transparency/disposal composition incl. ANIMATED multi-frame,
+``ztdf_spark/gif.py``) images, Y4M (YUV4MPEG2, C444 + C420*) and
+animated-GIF video — no external media libraries needed. Formats this
 container cannot decode
 (h264, opus, arithmetic-coded jpeg) still fall back to the
 disclosed deterministic fake (content-hash-derived vector) when
@@ -123,6 +125,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "jpeg"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -171,6 +175,25 @@ def _jpeg_rgb(payload: bytes) -> np.ndarray:
 
     px = decode_jpeg(payload)
     return np.stack([px] * 3, axis=-1) if px.ndim == 2 else px
+
+
+def _gif_rgb(payload: bytes) -> np.ndarray:
+    """REAL GIF decode (ztdf_spark/gif.py — LZW, interlace, palettes),
+    first composited frame; malformed streams raise ValueError."""
+    from .gif import decode_gif
+
+    return decode_gif(bytes(payload))[0][0]
+
+
+def _gif_frames(payload: bytes):
+    """(composited RGB frames, fps) for a (possibly animated) GIF: fps
+    from the first frame's delay (centiseconds; GIF's conventional 10 cs
+    default when absent/zero)."""
+    from .gif import decode_gif
+
+    frames, delays = decode_gif(bytes(payload))
+    delay_cs = delays[0] if delays and delays[0] > 0 else 10
+    return frames, 100.0 / delay_cs
 
 
 def _rgb_features(px: np.ndarray, fmt_tag: float) -> np.ndarray:
@@ -326,6 +349,10 @@ def decode_media(payload: bytes, media_type: str, *, deterministic_fake: bool = 
             # REAL PNG decode (ztdf_spark/png.py, round 5; Adam7 interlace +
             # every spec-legal depth/color round 6); malformed → fall through
             return _rgb_features(_png_rgb(bytes(payload)), fmt_tag=5.0)
+        if fmt == "gif":
+            # REAL GIF decode (ztdf_spark/gif.py, round 6): first composited
+            # frame; animation is sample_frames' concern
+            return _rgb_features(_gif_rgb(bytes(payload)), fmt_tag=6.0)
     except ValueError:
         pass  # sniffed but malformed/unsupported variant → fall through
     if not deterministic_fake:
@@ -366,11 +393,12 @@ def extract_features(media: DataFrame, *, deterministic_fake: bool = True) -> Da
 
 
 def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
-    """Nearest-neighbor resize of REAL decodable images (ppm/bmp/jpeg
-    rows) to (out_w, out_h); emits an md5 of the resized RGB bytes — a
-    deterministic, engine-independent fingerprint of the resample.
-    Non-image / undecodable rows are skipped (map-only; at scale this is
-    the thumbnail stage)."""
+    """Nearest-neighbor resize of REAL decodable images (ppm/bmp/jpeg/
+    png/gif payloads — format-sniffed, so animated-GIF VIDEO rows yield a
+    poster-frame thumbnail too) to (out_w, out_h); emits an md5 of the
+    resized RGB bytes — a deterministic, engine-independent fingerprint
+    of the resample. Undecodable rows are skipped (map-only; at scale
+    this is the thumbnail stage)."""
 
     def _resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -387,6 +415,8 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
                         px = _jpeg_rgb(b)
                     elif fmt == "png":
                         px = _png_rgb(b)
+                    elif fmt == "gif":
+                        px = _gif_rgb(b)
                     else:
                         continue
                 except ValueError:
@@ -449,6 +479,26 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, *, deterministic_fake:
                                 ).hexdigest()
                             )
                         continue
+                if sniff_format(b) == "gif":
+                    # REAL animated-GIF decode (round 6): sampling stride
+                    # from the stream's own frame delay, frame_hash over the
+                    # COMPOSITED RGB canvas (so disposal/transparency bugs
+                    # change the output)
+                    try:
+                        gframes, gfps = _gif_frames(b)
+                    except ValueError:
+                        gframes = None
+                    if gframes is not None:
+                        step = max(1, round(gfps * every_ms / 1000.0))
+                        for fi in range(0, len(gframes), step):
+                            ids.append(mid)
+                            idxs.append(fi)
+                            hashes.append(
+                                hashlib.blake2b(
+                                    gframes[fi].tobytes(), digest_size=8
+                                ).hexdigest()
+                            )
+                        continue
                 if not deterministic_fake:
                     raise NotImplementedError("compressed video frame decode requires ffmpeg")
                 if meta is None:
@@ -476,6 +526,7 @@ def synthetic_media_rows(n: int = 20, seed: int = 42) -> list:
     palette) for images, opaque bytes for video (h264 stand-in). Shared
     by the Spark fixture below and the independent pandas oracle (the
     fixture is test INPUT; the decode path under test is not shared)."""
+    from .gif import encode_gif
     from .png import encode_png, encode_png_ex
 
     rng = np.random.default_rng(seed)
@@ -485,7 +536,7 @@ def synthetic_media_rows(n: int = 20, seed: int = 42) -> list:
         if mtype == "image":
             w, h = int(rng.integers(4, 32)), int(rng.integers(4, 32))
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            variant = (i // 3) % 6
+            variant = (i // 3) % 7
             if variant == 0:
                 payload, codec = make_ppm(px), "ppm"
             elif variant == 1:
@@ -501,13 +552,21 @@ def synthetic_media_rows(n: int = 20, seed: int = 42) -> list:
                 # to exactly px via the high byte), Sub-filtered at bpp=6
                 payload = encode_png_ex(px.astype(np.uint16) * 257, 2, 16, filter_type=1)
                 codec = "png"
-            else:
+            elif variant == 5:
                 # 4-bit palette PNG: quantize px onto a 16-color palette
                 pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
                 idx = rng.integers(0, 16, size=(h, w), dtype=np.uint8)
                 px = pal[idx]  # meta/oracle see the palette-resolved pixels
                 payload = encode_png_ex(idx, 3, 4, filter_type=3, palette=pal)
                 codec = "png"
+            else:
+                # real LZW GIF (round 6), interlace alternating; 32-color
+                # global palette
+                pal = rng.integers(0, 256, size=(32, 3), dtype=np.uint8)
+                idx = rng.integers(0, 32, size=(h, w), dtype=np.uint8)
+                px = pal[idx]
+                payload = encode_gif([idx], pal, interlace=bool(i % 2))
+                codec = "gif"
             meta = (w, h, 0, codec)
         elif mtype == "audio":
             sr = (8000, 16000)[(i // 3) % 2]
@@ -516,7 +575,20 @@ def synthetic_media_rows(n: int = 20, seed: int = 42) -> list:
             samples = rng.integers(-32768, 32768, size=nsamp * nch, dtype=np.int16)
             payload = make_wav(samples, sr, nch)
             meta = (0, 0, int(nsamp * 1000 / sr), "pcm_s16le")
-        elif (i // 3) % 2 == 0:
+        elif (i // 3) % 3 == 1:
+            # REAL animated GIF video: per-frame delays drive the sampling
+            # stride; composited RGB frames drive the hashes
+            w, h = int(rng.integers(4, 17)), int(rng.integers(4, 17))
+            n_frames = int(rng.integers(2, 9))
+            delay_cs = int(rng.integers(4, 21))
+            pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+            gframes = [
+                rng.integers(0, 16, size=(h, w), dtype=np.uint8)
+                for _ in range(n_frames)
+            ]
+            payload = encode_gif(gframes, pal, delays_cs=[delay_cs] * n_frames)
+            meta = (w, h, n_frames * delay_cs * 10, "gif")
+        elif (i // 3) % 3 == 0:
             # REAL video: uncompressed Y4M, alternating full and subsampled
             # chroma; duration derives from the stream's own frame count/rate
             w, h = int(rng.integers(2, 9)) * 2, int(rng.integers(2, 9)) * 2
