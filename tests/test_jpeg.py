@@ -4,9 +4,10 @@ its mmops integration. The independent check for the decoder is the PRE-ENCODE
 source pixels: with flat quantization the loss is DCT + color-convert
 rounding, so decode(encode(px)) must match px within a small fixed bound — an
 encoder/decoder pair that merely mirrored each other's bugs could not
-land back on the source values. The driver's mm fixture stays ppm/bmp
-(exact-checksum oracle; lossy decode can't hash-match) — jpeg is pinned
-here instead, as docs/ROUND5.md discloses."""
+land back on the source values. Since round 6 the driver's mm fixture
+ALSO hash-checks jpeg decode end to end (AVI/MJPEG rows vs the
+independent bit-exact decoder in tools/check_oracles.py); this file
+remains the source-pixel pin for the bare-jpeg paths."""
 
 import numpy as np
 import pytest

