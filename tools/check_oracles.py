@@ -823,16 +823,75 @@ def _oracle_decode(payload: bytes, mtype: str):
 
     b = bytes(payload)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-        pos, nch, sr, data = 12, None, None, None
+        pos, tag, nch, sr, data, fmt_raw, n_samp = 12, 1, None, None, None, None, None
         while pos + 8 <= len(b):
             cid = b[pos : pos + 4]
             sz = int.from_bytes(b[pos + 4 : pos + 8], "little")
             if cid == b"fmt ":
-                _, nch, sr = struct.unpack_from("<HHI", b, pos + 8)
+                fmt_raw = b[pos + 8 : pos + 8 + sz]
+                tag, nch, sr = struct.unpack_from("<HHI", fmt_raw, 0)
+            elif cid == b"fact":
+                (n_samp,) = struct.unpack_from("<I", b, pos + 8)
             elif cid == b"data":
                 data = b[pos + 8 : pos + 8 + sz]
             pos += 8 + sz + (sz & 1)
-        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        if tag == 1:
+            s = np.frombuffer(data, dtype="<i2")
+        elif tag in (6, 7):
+            # INDEPENDENT G.711 expansion: 256-entry tables built by
+            # scalar loops from the segment definitions (audio.py is
+            # vectorized formula-style numpy)
+            table = []
+            for code in range(256):
+                if tag == 7:  # µ-law
+                    u = ~code & 0xFF
+                    t = ((((u & 0xF) << 3) + 0x84) << ((u >> 4) & 7))
+                    table.append(0x84 - t if u & 0x80 else t - 0x84)
+                else:  # A-law
+                    a = code ^ 0x55
+                    t = (a & 0xF) << 4
+                    seg = (a >> 4) & 7
+                    if seg == 0:
+                        t += 8
+                    elif seg == 1:
+                        t += 0x108
+                    else:
+                        t = (t + 0x108) << (seg - 1)
+                    table.append(t if a & 0x80 else -t)
+            s = np.array([table[c] for c in data], dtype=np.int16)
+        elif tag == 0x11:
+            # INDEPENDENT IMA ADPCM decode: bitmask-product diff form
+            # (audio.py accumulates via if-chains), explicit block walk
+            steps = [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+                     37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+                     157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+                     544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+                     1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+                     4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+                     12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+                     29794, 32767]
+            idx_adj = [-1, -1, -1, -1, 2, 4, 6, 8]
+            (spb,) = struct.unpack_from("<H", fmt_raw, 18)
+            block_bytes = 4 + (spb - 1) // 2
+            out = []
+            for b0 in range(0, len(data), block_bytes):
+                pred, index, _r = struct.unpack_from("<hBB", data, b0)
+                index = min(max(index, 0), 88)
+                out.append(pred)
+                for byte in data[b0 + 4 : b0 + block_bytes]:
+                    for nib in (byte & 0xF, byte >> 4):
+                        st = steps[index]
+                        diff = (st >> 3) + (nib & 1) * (st >> 2) + ((nib >> 1) & 1) * (st >> 1) + ((nib >> 2) & 1) * st
+                        pred = pred - diff if nib & 8 else pred + diff
+                        pred = min(32767, max(-32768, pred))
+                        index = min(88, max(0, index + idx_adj[nib & 7]))
+                        out.append(pred)
+            s = np.array(out, dtype=np.int16)
+        else:
+            raise ValueError(f"oracle wav: unsupported tag {tag}")
+        if n_samp is not None:
+            s = s[: n_samp * nch]
+        x = s.astype(np.float64) / 32768.0
         n = max(1, len(x))
         zc = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))) / n
         seg_rms = [float(np.sqrt(np.mean(p * p))) if len(p) else 0.0 for p in np.array_split(x, 8)]

@@ -52,9 +52,11 @@ SimpleOpenTDFControllerService), re-expressed Spark-first:
 - ``stream_ops`` — watermarked windowed aggregation (batch ≡ stream),
                    applyInPandasWithState sessionizer, one-shuffle as-of join
 - ``mmops``      — multimodal binary columns: real pure-Python decoders
-                   (WAV, PPM, BMP, baseline+progressive JPEG via ``jpeg``,
-                   plain+Adam7-interlaced PNG via ``png``, Y4M video),
-                   features / resize / frame sampling over mapInPandas
+                   (WAV incl. G.711/ADPCM via ``audio``, PPM, BMP,
+                   baseline+progressive JPEG via ``jpeg``, plain+Adam7
+                   PNG via ``png``, GIF via ``gif``, Y4M and AVI/MJPEG
+                   via ``avi`` video), features / resize / frame
+                   sampling over mapInPandas
 - ``nano``       — spec-shaped NanoTDF binary container (L1L, real ECDH +
                    HKDF payload key, GMAC or deterministic-ECDSA binding)
 - ``bloom``      — opt-in per-delta-file key Bloom filters for point-lookup

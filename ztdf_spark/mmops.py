@@ -2,7 +2,9 @@
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 Decode status (round 6): REAL pure-Python decoders for at least one
-container per modality — WAV/PCM-16 audio (stdlib ``wave``), PPM (P6),
+container per modality — WAV audio in PCM-16 (stdlib ``wave``) plus the
+G.711 µ-law/A-law and IMA-ADPCM compressed codecs
+(``ztdf_spark/audio.py``), PPM (P6),
 BMP (24-bit uncompressed), JPEG (baseline SOF0 AND progressive SOF2,
 ``ztdf_spark/jpeg.py``), PNG (every spec-legal static profile:
 depths 1/2/4/8/16, gray/RGB/palette/gray-alpha/RGBA, plain + Adam7
@@ -133,14 +135,89 @@ def sniff_format(payload: bytes) -> str | None:
     return None
 
 
+def make_wav_ex(samples: np.ndarray, sample_rate: int, n_channels: int, codec: str = "pcm") -> bytes:
+    """WAV container around int16 samples under a chosen codec: ``pcm``
+    (format tag 1, the make_wav path), ``ulaw``/``alaw`` (G.711, tags
+    7/6, one byte per sample) or ``adpcm`` (IMA ADPCM, tag 0x11, mono,
+    4-bit nibbles in 505-sample blocks). Non-PCM codecs carry the
+    spec-required extended fmt (cbSize) and a fact chunk with the true
+    sample count (needed to trim ADPCM block padding on decode)."""
+    from . import audio as _audio
+
+    s = np.asarray(samples, dtype="<i2")
+    if codec == "pcm":
+        return make_wav(s, sample_rate, n_channels)
+    if codec in ("ulaw", "alaw"):
+        enc = _audio.mulaw_encode(s) if codec == "ulaw" else _audio.alaw_encode(s)
+        data = enc.tobytes()
+        tag, block_align, bits, extra = (7 if codec == "ulaw" else 6), n_channels, 8, b"\x00\x00"
+        spb = None
+    elif codec == "adpcm":
+        if n_channels != 1:
+            raise ValueError("adpcm wav: mono only")
+        spb = 505
+        data = _audio.adpcm_ima_encode(s, samples_per_block=spb)
+        tag, block_align, bits = 0x11, 4 + (spb - 1) // 2, 4
+        extra = struct.pack("<HH", 2, spb)  # cbSize=2, samplesPerBlock
+    else:
+        raise ValueError(f"unknown wav codec {codec!r}")
+    avg_bps = sample_rate * block_align // spb if spb else sample_rate * n_channels
+    fmt = struct.pack("<HHIIHH", tag, n_channels, sample_rate, avg_bps, block_align, bits) + extra
+    fact = struct.pack("<I", len(s) // n_channels)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _wav_pcm(payload: bytes) -> tuple[np.ndarray, int, int]:
-    """(interleaved int16 samples, sample_rate, n_channels) via stdlib wave."""
-    with wave.open(io.BytesIO(payload)) as wf:
-        if wf.getsampwidth() != 2:
-            raise ValueError("only PCM-16 wav supported")
-        sr, nch = wf.getframerate(), wf.getnchannels()
-        raw = wf.readframes(wf.getnframes())
-    return np.frombuffer(raw, dtype="<i2"), sr, nch
+    """(interleaved int16 samples, sample_rate, n_channels). PCM-16 goes
+    through stdlib wave; compressed tags (G.711 µ-law/A-law, IMA ADPCM)
+    take a manual RIFF walk + the REAL pure-numpy expanders in
+    ztdf_spark/audio.py."""
+    try:
+        with wave.open(io.BytesIO(payload)) as wf:
+            if wf.getsampwidth() != 2:
+                raise ValueError("only PCM-16 wav supported")
+            sr, nch = wf.getframerate(), wf.getnchannels()
+            raw = wf.readframes(wf.getnframes())
+        return np.frombuffer(raw, dtype="<i2"), sr, nch
+    except wave.Error:
+        pass  # non-PCM format tag: decode below
+    from . import audio as _audio
+
+    b = bytes(payload)
+    pos, fmt_raw, data, n_samp = 12, None, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", b, pos + 4)
+        if cid == b"fmt ":
+            fmt_raw = b[pos + 8 : pos + 8 + sz]
+        elif cid == b"fact":
+            (n_samp,) = struct.unpack_from("<I", b, pos + 8)
+        elif cid == b"data":
+            data = b[pos + 8 : pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)
+    if fmt_raw is None or data is None:
+        raise ValueError("wav: missing fmt/data chunk")
+    tag, nch, sr = struct.unpack_from("<HHI", fmt_raw, 0)
+    if tag == 7:
+        s = _audio.mulaw_decode(np.frombuffer(data, np.uint8))
+    elif tag == 6:
+        s = _audio.alaw_decode(np.frombuffer(data, np.uint8))
+    elif tag == 0x11:
+        if nch != 1:
+            raise ValueError("adpcm wav: mono only")
+        (spb,) = struct.unpack_from("<H", fmt_raw, 18)
+        s = _audio.adpcm_ima_decode(data, samples_per_block=spb, n_samples=n_samp)
+    else:
+        raise ValueError(f"wav: unsupported format tag {tag}")
+    if n_samp is not None:
+        s = s[: n_samp * nch]
+    return s, sr, nch
 
 
 def _wav_features(payload: bytes) -> np.ndarray:
@@ -368,7 +445,8 @@ def _avi_frames(payload: bytes) -> tuple[list[np.ndarray], float]:
 def decode_media(payload: bytes, media_type: str, *, deterministic_fake: bool = False) -> np.ndarray:
     """Decode a media blob into a FEAT_DIM-dim float32 feature vector.
 
-    Real decode for WAV/PCM-16 (audio), PPM-P6 and 24-bit BMP (image) —
+    Real decode for WAV (PCM-16, G.711 µ-law/A-law, IMA ADPCM audio),
+    PPM-P6 and 24-bit BMP (image) —
     pure Python/numpy, no external libs. Unrecognized or compressed
     formats: the deterministic fake (content-hash-derived vector, stable
     across runs/executors/parallelism) when ``deterministic_fake=True``,
@@ -643,9 +721,17 @@ def synthetic_media_rows(n: int = 20, seed: int = 42) -> list:
             sr = (8000, 16000)[(i // 3) % 2]
             nch = 1 + (i // 3) % 2
             nsamp = int(rng.integers(256, 2048))
+            # rotate REAL audio codecs: PCM-16, G.711 µ-law/A-law, IMA
+            # ADPCM (round 6; adpcm is mono per the WAV 0x11 layout)
+            wcodec = ("pcm", "ulaw", "alaw", "adpcm")[(i // 3) % 4]
+            if wcodec == "adpcm":
+                nch = 1
             samples = rng.integers(-32768, 32768, size=nsamp * nch, dtype=np.int16)
-            payload = make_wav(samples, sr, nch)
-            meta = (0, 0, int(nsamp * 1000 / sr), "pcm_s16le")
+            payload = make_wav_ex(samples, sr, nch, codec=wcodec)
+            meta = (
+                0, 0, int(nsamp * 1000 / sr),
+                {"pcm": "pcm_s16le", "ulaw": "g711_ulaw", "alaw": "g711_alaw", "adpcm": "adpcm_ima"}[wcodec],
+            )
         elif (i // 3) % 4 == 1:
             # REAL animated GIF video: per-frame delays drive the sampling
             # stride; composited RGB frames drive the hashes
