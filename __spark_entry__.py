@@ -832,6 +832,31 @@ def q_events_hopping(spark, sf_dir):
     return stream_ops.hopping_event_counts(_t(spark, sf_dir, "events"))
 
 
+def q_events_dedup(spark, sf_dir):
+    """Exactly-once event dedup — the BATCH twin of
+    stream_ops.dedup_exactly_once (streaming uses withWatermark +
+    dropDuplicatesWithinWatermark; batch≡stream pinned in tests). The
+    at-least-once transport is simulated deterministically: every event
+    whose md5 starts with 'a' is redelivered 1 minute later; dedup must
+    keep exactly the FIRST arrival of every event_id. One hash shuffle
+    with partial min_by aggregation — no window, no sort. Oracle: the
+    same union + row_number()=1 in DuckDB."""
+    from ztdf_spark import stream_ops
+
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    redelivered = e.filter(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) == "a"
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE"))
+    deduped = stream_ops.dedup_exactly_once(e.unionByName(redelivered))
+    return deduped.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_m"),
+    )
+
+
 def q_events_interval_join(spark, sf_dir):
     """Stream-stream INTERVAL join, batch twin (stream_ops.interval_join):
     every (purchase, signup-of-same-user within the 24 h before it) pair —
@@ -1550,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "events_hopping": q_events_hopping,
         "events_interval_join": q_events_interval_join,
+        "events_dedup": q_events_dedup,  # r6: exactly-once dedup, batch twin
         "tpch_q1_quantized": q_tpch_q1_quantized,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q5_region_volume": q_tpch_q5_region_volume,
@@ -1796,6 +1822,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT w_start, w_start + 3600 AS w_end, event_type,
                COUNT(*) AS n_events, MIN(event_id) AS min_event_id
         FROM m GROUP BY 1, 2, 3
+        """,
+        "events_dedup": """
+        WITH base AS (
+          SELECT event_id, ts, user_id, event_type, value FROM events),
+        redelivered AS (
+          SELECT event_id, ts + INTERVAL 1 MINUTE AS ts, user_id, event_type, value
+          FROM base WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) = 'a'),
+        unioned AS (
+          SELECT * FROM base UNION ALL SELECT * FROM redelivered),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+          FROM unioned)
+        SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, user_id,
+               event_type, CAST(floor(value * 1000) AS BIGINT) AS value_m
+        FROM ranked WHERE rn = 1
         """,
         "events_interval_join": """
         WITH p AS (SELECT user_id, ts, event_id AS purchase_id FROM events

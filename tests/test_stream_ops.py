@@ -297,3 +297,66 @@ def test_interval_join_batch_equals_stream(spark, tmp_path):
     q.awaitTermination()
     got = sorted(map(tuple, spark.sql("select * from ij_out").collect()))
     assert got == expected
+
+
+def _mk_dup_events(spark, tmp_path):
+    """Events with in-horizon redeliveries split across 3 files: each
+    duplicate carries a LATER ts (the retry), some landing in a later
+    micro-batch than the original — the cross-batch state case."""
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def ev(eid, minutes, value=1.0):
+        return (eid, eid % 3, "view", (base + pd.Timedelta(minutes=minutes)).to_pydatetime(), value)
+
+    f0 = [ev(1, 0), ev(2, 1), ev(1, 2, 9.0), ev(3, 3)]          # same-batch dup of 1
+    f1 = [ev(2, 10, 9.0), ev(4, 11), ev(5, 12)]                 # cross-batch dup of 2
+    f2 = [ev(4, 20, 9.0), ev(6, 21), ev(3, 22, 9.0)]            # cross-batch dups of 4, 3
+    d = str(tmp_path / "dup_events")
+    os.makedirs(d, exist_ok=True)
+    for i, chunk in enumerate((f0, f1, f2)):
+        spark.createDataFrame(chunk, EVENTS_DDL).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, f"f{i}")
+        )
+    return d
+
+
+def test_dedup_exactly_once_batch_equals_stream(spark, tmp_path):
+    """Batch twin keeps the deterministic first arrival; the streaming
+    path (dropDuplicatesWithinWatermark) must emit the same event_id SET
+    with one row each, and every kept row must be one of that id's
+    arrivals. First-arrival VALUES also match here because every
+    original lands no later than its retry."""
+    d = _mk_dup_events(spark, tmp_path)
+    batch_df = spark.read.schema(EVENTS_DDL).parquet(os.path.join(d, "f*"))
+    expected = {r.event_id: tuple(r) for r in stream_ops.dedup_exactly_once(batch_df).collect()}
+    assert sorted(expected) == [1, 2, 3, 4, 5, 6]
+    assert all(expected[i][4] == 1.0 for i in expected)  # originals won, not retries
+
+    q = (
+        stream_ops.dedup_exactly_once(_read_stream(spark, d))
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from dedup_stream").collect()
+    assert sorted(r.event_id for r in got) == [1, 2, 3, 4, 5, 6]
+    # maxFilesPerTrigger=1 processes files in order, so the first arrival
+    # is what the stream keeps too: exact parity with the batch twin
+    assert {r.event_id: tuple(r) for r in got} == expected
+
+
+def test_dedup_exactly_once_plan_shape(spark):
+    """Batch plan: ONE exchange on the key with map-side partial min_by
+    combine (duplicates pre-reduce per map task — the same shape as the
+    CDC latest-wins winner agg), and never a Window over the full row
+    stream."""
+    df = spark.createDataFrame(
+        [(1, 1, "view", pd.Timestamp("2026-01-01").to_pydatetime(), 1.0)], EVENTS_DDL
+    )
+    plan = stream_ops.dedup_exactly_once(df)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min_by" in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1

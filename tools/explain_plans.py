@@ -89,6 +89,17 @@ def main():
         ],
     )
 
+    edd = em.q_events_dedup(spark, sf)
+    dump(
+        "events_dedup",
+        edd,
+        [
+            ("duplicates pre-reduce map-side (partial min_by)", r"partial_min_by", True),
+            ("single shuffle on the event key", r"hashpartitioning\(event_id", True),
+            ("no window over the full row stream", r"Window", False),
+        ],
+    )
+
     elq = em.q_cdc_el_properties(spark, sf)
     dump(
         "cdc_el_properties",

@@ -131,6 +131,42 @@ def sessionize_stateful(events: DataFrame, *, gap_ms: int = SESSION_GAP_MS, wate
 _ASOF_TAG = "__asof_is_left"
 
 
+def dedup_exactly_once(
+    events: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once event dedup: ONE row per key from an at-least-once
+    transport (redeliveries, producer retries).
+
+    Streaming: ``withWatermark`` + ``dropDuplicatesWithinWatermark`` —
+    Spark keeps per-key state only inside the watermark horizon, so
+    state is bounded no matter how long the stream runs; a duplicate
+    arriving beyond the horizon is the transport's SLA violation, the
+    same contract as Spark's built-in operator (and Kafka's
+    idempotent-producer window).
+
+    Batch twin (the driver/DuckDB-oracled path): deterministic
+    FIRST-ARRIVAL — ``min_by`` of the full row over the event time per
+    key. One hash shuffle on the key with map-side partial aggregation
+    (MaxMinBy is partial-aggregable), never a global sort or window, so
+    the plan is the same shape as a plain groupBy at 100 TB. Streaming
+    keeps whichever duplicate lands first (arrival order); batch makes
+    that reproducible by electing the smallest event time.
+    """
+    e = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if e.isStreaming:
+        e = e.withWatermark(ts_col, watermark)
+        return e.dropDuplicatesWithinWatermark(list(key_cols))
+    others = [c for c in e.columns if c not in key_cols]
+    picked = e.groupBy(*key_cols).agg(
+        F.min_by(F.struct(*others), F.col(ts_col)).alias("_first")
+    )
+    return picked.select(*key_cols, *[F.col(f"_first.{c}").alias(c) for c in others])
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
