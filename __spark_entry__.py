@@ -1275,6 +1275,32 @@ def q_emb_near_dup_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (simops.semdedup): spherical-k-means clustering +
+    within-cluster cosine pruning over the embedding column. The natural
+    embeddings hold no near-duplicates (max pairwise cos ≈ 0.51), so an
+    at-scale semantic-dup population is simulated deterministically:
+    ~25% of vectors (md5-selected) are re-ingested as vec_id+10^7 with a
+    rolled-vector perturbation (v + 0.05·roll(v,1), cosine ≈ 0.999 to
+    the original — the \"same document, re-encoded\" case). The operator
+    must keep exactly one member per semantic group (the one farthest
+    from its centroid) and name the keeper that shadowed each drop.
+    Oracle: independent numpy recompute of the whole pipeline (training
+    sample, k-means, assignment, greedy prune) — value-exact."""
+    d = F.col("embedding").cast("array<double>")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", d.alias("embedding"))
+    sz = F.size("embedding")
+    rolled = F.transform(
+        F.col("embedding"),
+        lambda x, i: x + F.lit(0.05) * F.element_at(F.col("embedding"), ((i - 1 + sz) % sz) + 1),
+    )
+    dups = (
+        emb.filter(F.substring(F.md5(F.concat(F.lit("dup-"), F.col("vec_id").cast("string"))), 1, 1).isin("0", "1", "2", "3"))
+        .select((F.col("vec_id") + 10_000_000).alias("vec_id"), rolled.alias("embedding"))
+    )
+    return simops.semdedup(emb.unionByName(dups))
+
+
 def q_mm_features(spark, sf_dir):
     """Multimodal feature plumbing, surfaced as HASHABLE scalars: the raw
     ``feature array<float>`` crashes the driver's canonicalizer (round-1
@@ -1541,6 +1567,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_lm_score": q_corpus_lm_score,
         "bpe_train": q_bpe_train,  # pandas oracle (iterative training loop)
         "bpe_encode": q_bpe_encode,  # pandas oracle
+        # r6 additions (this session): exactly-once event dedup (DuckDB
+        # oracle) and SemDeDup semantic dedup (pandas oracle) — inside the
+        # driver window for first-round green rows
+        "events_dedup": q_events_dedup,
+        "dedup_semantic": q_dedup_semantic,
         # CDC engine semantics (SURVEY.md §2.3 stages)
         "cdc_latest_wins": q_cdc_latest_wins,
         "cdc_merge_state_agg": q_cdc_merge_state_agg,
@@ -1575,7 +1606,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "events_hopping": q_events_hopping,
         "events_interval_join": q_events_interval_join,
-        "events_dedup": q_events_dedup,  # r6: exactly-once dedup, batch twin
         "tpch_q1_quantized": q_tpch_q1_quantized,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q5_region_volume": q_tpch_q5_region_volume,

@@ -203,3 +203,73 @@ def test_pq_recall_and_determinism_on_planted_neighbors(spark, planted):
     # m must divide the dimension
     with pytest.raises(ValueError):
         simops.ann_pq_topk(planted, m=7)
+
+
+@pytest.fixture(scope="module")
+def planted_sem(spark):
+    """10 well-separated anchors; anchors 0-4 each get 2 extra near-copies
+    (a 3-member semantic-duplicate group), anchors 5-9 stay singletons.
+    Tests run at n_cells=5 — coarse enough that k-means cannot seed two
+    centroids INSIDE one duplicate group and split it across cells
+    (SemDeDup only prunes within a cluster, so over-sharding trades
+    recall for scale by design; n_cells=10 here demonstrably splits a
+    group and keeps two members — cluster granularity is a real knob,
+    not a free parameter)."""
+    rng = np.random.default_rng(17)
+    rows = []
+    vid = 0
+    groups = {}
+    for a in range(10):
+        base = rng.standard_normal(32)
+        base /= np.linalg.norm(base)
+        members = [vid]
+        rows.append((vid, base.astype(np.float32).tolist(), a))
+        vid += 1
+        if a < 5:
+            for _ in range(2):
+                v = base + 0.02 * rng.standard_normal(32)
+                members.append(vid)
+                rows.append((vid, v.astype(np.float32).tolist(), a))
+                vid += 1
+        groups[a] = members
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    return df, groups
+
+
+def test_semdedup_keeps_one_per_group(spark, planted_sem):
+    df, groups = planted_sem
+    out = simops.semdedup(df, n_cells=5, threshold=0.95, train_sample=100).toPandas()
+    assert len(out) == sum(len(m) for m in groups.values())
+    by_id = out.set_index("vec_id")
+    for a, members in groups.items():
+        kept = [m for m in members if by_id.loc[m, "keep"]]
+        assert len(kept) == 1, f"group {a}: expected one keeper, got {kept}"
+        # the keeper is the member FARTHEST from the centroid (lowest
+        # centroid similarity) — the paper's selection rule
+        sims = {m: by_id.loc[m, "centroid_sim_q"] for m in members}
+        assert sims[kept[0]] == min(sims.values())
+        for m in members:
+            if m != kept[0]:
+                # shadowed by a member of its own group
+                assert by_id.loc[m, "dup_of"] in members
+    # dup groups landed in one cell each (they're near-identical vectors)
+    for a, members in groups.items():
+        assert len(set(by_id.loc[m, "cell"] for m in members)) == 1
+
+
+def test_semdedup_no_false_positives_on_separated_vectors(spark, planted_sem):
+    df, groups = planted_sem
+    singles = df.filter(F.col("vec_id").isin([m[0] for m in groups.values()]))
+    out = simops.semdedup(singles, n_cells=4, threshold=0.95, train_sample=100).toPandas()
+    assert bool(out["keep"].all())
+    assert (out["dup_of"] == -1).all()
+
+
+def test_semdedup_layout_invariant(spark, planted_sem):
+    """Same rows, different partitioning → identical output (the index
+    and the prune must not depend on file splits / parallelism)."""
+    df, _ = planted_sem
+    a = simops.semdedup(df.repartition(1), n_cells=5, threshold=0.95, train_sample=100).toPandas()
+    b = simops.semdedup(df.repartition(7, "label"), n_cells=5, threshold=0.95, train_sample=100).toPandas()
+    key = ["vec_id", "cell", "centroid_sim_q", "keep", "dup_of"]
+    assert sorted(map(tuple, a[key].to_numpy().tolist())) == sorted(map(tuple, b[key].to_numpy().tolist()))

@@ -278,6 +278,64 @@ def _pandas_ann_ivf(sf_dir, n_queries=10, k=5, n_cells=16, n_probe=3, seed=42,
     return _ann_frame(_topk_cos(qids, qm, cand, M, ids_index, k))
 
 
+def _pandas_semdedup(sf_dir, n_cells=16, threshold=0.95, seed=42, train_sample=10_000, iters=5):
+    """Oracle for q_dedup_semantic: rebuild the duplicated population
+    (md5-selected rolled copies at vec_id+10^7), seeded spherical
+    k-means on the md5-sample, nearest-cell assignment, per-cell greedy
+    prune in ascending centroid-similarity order — all in flat numpy,
+    structured nothing like the engine's Arrow-batch UDF + applyInPandas
+    split (values must still agree exactly)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    ids, M = _emb_matrix(sf_dir)
+    sel = [
+        i for i, v in enumerate(ids)
+        if hashlib.md5(f"dup-{int(v)}".encode()).hexdigest()[0] in "0123"
+    ]
+    all_ids = np.concatenate([ids, ids[sel] + 10_000_000]).astype(np.int64)
+    A = np.vstack([M, M[sel] + 0.05 * np.roll(M[sel], 1, axis=1)])
+    sample = _md5_sample(all_ids, A, f"sem{seed}-", train_sample)
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(iters):
+        cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(sample @ cn.T, axis=1)
+        for j in range(len(cent)):
+            m = sample[assign == j]
+            if len(m):
+                cent[j] = m.mean(axis=0)
+    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    cells = np.argmax(A @ cent.T, axis=1)
+    recs = []
+    for cell in np.unique(cells):
+        mask = cells == cell
+        cids = all_ids[mask]
+        Mn = A[mask]
+        Mn = Mn / np.maximum(np.linalg.norm(Mn, axis=1, keepdims=True), 1e-12)
+        sim_c = Mn @ cent[cell]
+        S = Mn @ Mn.T
+        order = np.lexsort((cids, sim_c))
+        keep = np.zeros(len(cids), dtype=bool)
+        dup_of = np.full(len(cids), -1, dtype=np.int64)
+        kept: list = []
+        for idx in order:
+            if kept:
+                sims = S[idx, kept]
+                j = int(np.argmax(sims))
+                if sims[j] >= threshold:
+                    dup_of[idx] = cids[kept[j]]
+                    continue
+            keep[idx] = True
+            kept.append(int(idx))
+        for i2 in range(len(cids)):
+            recs.append((int(cids[i2]), int(cell), int(np.floor(sim_c[i2] * 1_000_000)),
+                         bool(keep[i2]), int(dup_of[i2])))
+    return pd.DataFrame(recs, columns=["vec_id", "cell", "centroid_sim_q", "keep", "dup_of"])
+
+
 def _pandas_ann_pq(sf_dir, n_queries=10, k=5, m=8, n_codes=16, seed=42,
                    train_sample=10_000, iters=8, rerank_factor=3):
     """Oracle for q_ann_pq: per-subspace k-means codebooks on the
@@ -1090,6 +1148,7 @@ PANDAS_ORACLES = {
     "ann_ivf": _pandas_ann_ivf,
     "ann_pq": _pandas_ann_pq,
     "emb_near_dup_lsh": _pandas_emb_near_dup_lsh,
+    "dedup_semantic": _pandas_semdedup,
     "mm_features": _pandas_mm_features,
     "mm_frames": _pandas_mm_frames,
     "mm_resize": _pandas_mm_resize,

@@ -263,6 +263,19 @@ def main():
         ],
     )
 
+    sdd = em.q_dedup_semantic(spark, sf)
+    dump(
+        "dedup_semantic",
+        sdd,
+        [
+            ("the ONLY exchange is the hash shuffle on cell id", r"hashpartitioning\(cell", True),
+            ("centroid assignment is Arrow-vectorized", r"ArrowEvalPython", True),
+            ("within-cluster prune runs as grouped pandas", r"FlatMapGroupsInPandas", True),
+            ("NO cartesian anywhere", r"CartesianProduct", False),
+            ("no window over the full vector stream", r"\bWindow\b", False),
+        ],
+    )
+
     # delta-pruned MOR read (VERDICT r4 next-round #1): a mostly-compacted
     # table with one small delta commit must NOT winner-aggregate the
     # whole table — untouched base rows flow scan → broadcast anti-join

@@ -582,3 +582,114 @@ def ann_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    *,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    train_sample: int = 10_000,
+    iters: int = 5,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over the embedding column — cluster with spherical
+    k-means, then prune near-duplicates WITHIN each cluster only.
+
+    Stages, Spark-shaped:
+
+    1. centroids train on a bounded, partition-layout-INVARIANT
+       md5-threshold sample (same discipline as ``ann_ivf_topk`` — the
+       index must not depend on file splits or cluster size);
+    2. every vector is assigned its nearest centroid in one map-only
+       Arrow pass;
+    3. per cluster (``applyInPandas``, the ONLY exchange — a hash
+       shuffle on cell id) a greedy scan in ascending
+       centroid-similarity order keeps a vector unless its cosine to an
+       already-kept cluster member reaches ``threshold``; per the
+       paper, each duplicate group therefore retains its member
+       FARTHEST from the centroid (lowest centroid similarity).
+
+    Returns one row per input vector: (vec_id, cell, centroid_sim_q
+    [cosine to own centroid, ×10^6 floored], keep, dup_of [vec_id of
+    the most-similar already-kept member that shadowed it, -1 for
+    keepers]). Fully deterministic given the seed, so the driver oracle
+    recomputes it value-exactly in independent numpy.
+
+    At 100 TB: training stays O(train_sample·dim); assignment is
+    map-only; the within-cluster stage is O(Σ c_i²) dot products —
+    n_cells must scale with N so cells stay bounded (the paper's own
+    regime; SemDeDup's point is that cross-cluster pairs are never
+    scored). The in-cell GEMM here materializes c_i×c_i similarities;
+    for big cells chunk the scan (same blocked pattern as
+    ``embedding_near_dup_pairs``).
+    """
+    d = F.col("embedding").cast("array<double>")
+    n_all = emb.count()
+    frac = min(1.0, (train_sample * 1.5) / max(1, n_all))
+    h = F.substring(F.md5(F.concat(F.lit(f"sem{seed}-"), F.col("vec_id").cast("string"))), 1, 8)
+    thr = "g" if frac >= 1.0 else format(int(frac * (1 << 32)), "08x")
+    sample = np.stack(
+        emb.select("embedding", h.alias("h"), "vec_id")
+        .filter(F.col("h") < thr)
+        .orderBy("h", "vec_id")
+        .limit(train_sample)
+        .toPandas()["embedding"]
+        .to_numpy()
+    ).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(iters):  # spherical k-means, seeded + deterministic
+        cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(sample @ cn.T, axis=1)
+        for j in range(len(cent)):
+            m = sample[assign == j]
+            if len(m):
+                cent[j] = m.mean(axis=0)
+    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf(T.IntegerType())
+    def _cell1(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for embs in it:
+            m = np.stack(embs.to_numpy()).astype(np.float64)
+            yield pd.Series(np.argmax(m @ cent.T, axis=1).astype(np.int32))
+
+    assigned = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"), d.alias("embedding"),
+        _cell1("embedding").alias("cell"),
+    )
+
+    out_schema = "vec_id long, cell int, centroid_sim_q long, keep boolean, dup_of long"
+
+    def _prune(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(key[0])
+        ids = pdf["vec_id"].to_numpy().astype(np.int64)
+        M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sim_c = M @ cent[cell]
+        S = M @ M.T  # one dgemm; chunk this for big cells (see docstring)
+        order = np.lexsort((ids, sim_c))  # ascending centroid sim, id tiebreak
+        keep = np.zeros(len(ids), dtype=bool)
+        dup_of = np.full(len(ids), -1, dtype=np.int64)
+        kept: list[int] = []
+        for idx in order:
+            if kept:
+                sims = S[idx, kept]
+                j = int(np.argmax(sims))
+                if sims[j] >= threshold:
+                    dup_of[idx] = ids[kept[j]]
+                    continue
+            keep[idx] = True
+            kept.append(int(idx))
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": np.int32(cell),
+                "centroid_sim_q": np.floor(sim_c * 1_000_000).astype(np.int64),
+                "keep": keep,
+                "dup_of": dup_of,
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(_prune, out_schema)
