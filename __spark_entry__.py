@@ -1275,6 +1275,20 @@ def q_emb_near_dup_lsh(spark, sf_dir):
     )
 
 
+def q_text_chunks(spark, sf_dir):
+    """Overlapping word-window chunking (textops.chunk_overlap) — the
+    embedder-passage stage of a RAG/embedding pipeline (64-word windows,
+    48-word stride, partial tail kept). chunk_text is md5-fingerprinted
+    for the hash compare (raw passages bloat the canonicalizer). Oracle:
+    the same windows via generate_series + list slicing in DuckDB — a
+    boundary off-by-one, a lost partial tail, or a wrong overlap breaks
+    the hash."""
+    out = textops.chunk_overlap(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "chunk_idx", "n_words", F.md5("chunk_text").alias("chunk_md5")
+    )
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup (simops.semdedup): spherical-k-means clustering +
     within-cluster cosine pruning over the embedding column. The natural
@@ -1572,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver window for first-round green rows
         "events_dedup": q_events_dedup,
         "dedup_semantic": q_dedup_semantic,
+        "text_chunks": q_text_chunks,
         # CDC engine semantics (SURVEY.md §2.3 stages)
         "cdc_latest_wins": q_cdc_latest_wins,
         "cdc_merge_state_agg": q_cdc_merge_state_agg,
@@ -2193,6 +2208,21 @@ def oracle_sql() -> dict[str, str]:
         FROM keep k JOIN q USING (doc_id) JOIN lid USING (doc_id)
         WHERE pred_lang = 'en' AND n_words >= 5
           AND punct_ratio_q <= 200 AND stop_ratio_q >= 10
+        """,
+        "text_chunks": r"""
+        WITH w AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 regexp_split_to_array(text, '\s+') AS ws
+          FROM documents),
+        ex AS (
+          SELECT doc_id,
+                 CAST((s - 1) / 48 AS BIGINT) AS chunk_idx,
+                 CAST(LEAST(64, len(ws) - s + 1) AS BIGINT) AS n_words,
+                 array_to_string(ws[s : s + 63], ' ') AS chunk_text
+          FROM (SELECT doc_id, ws,
+                       unnest(generate_series(1, greatest(len(ws), 1), 48)) AS s
+                FROM w))
+        SELECT doc_id, chunk_idx, n_words, md5(chunk_text) AS chunk_md5 FROM ex
         """,
         "text_token_counts": r"""
         SELECT CAST(doc_id AS BIGINT) AS doc_id,

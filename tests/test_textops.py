@@ -444,3 +444,39 @@ def test_corpus_lm_score_hand_computed(spark):
     assert got[1] == {"doc_id": 1, "n_bigrams": 2, "score_q": -6, "avg_q": -3000}
     assert got[2] == {"doc_id": 2, "n_bigrams": 1, "score_q": -2, "avg_q": -2000}
     assert got[3] == {"doc_id": 3, "n_bigrams": 1, "score_q": -3, "avg_q": -3000}
+
+
+def test_chunk_overlap_windows_and_tail(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "solo"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = textops.chunk_overlap(docs, window=4, stride=3).toPandas()
+    d1 = out[out.doc_id == 1].sort_values("chunk_idx")
+    # starts 0,3,6,9 over 10 words: windows of 4,4,4 and a 1-word tail
+    assert list(d1.chunk_idx) == [0, 1, 2, 3]
+    assert list(d1.n_words) == [4, 4, 4, 1]
+    assert list(d1.chunk_text) == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9", "w9",
+    ]
+    # overlap property: consecutive chunks share window-stride words
+    for a, b in zip(d1.chunk_text, d1.chunk_text[1:]):
+        assert a.split()[-1] == b.split()[0]
+    assert list(out[out.doc_id == 2].chunk_text) == ["solo"]
+    # empty text still yields one (empty-word) chunk — split('') == ['']
+    assert list(out[out.doc_id == 3].n_words) == [1]
+
+
+def test_chunk_overlap_exact_multiple_no_phantom_tail(spark):
+    docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    out = textops.chunk_overlap(docs, window=3, stride=3).toPandas()
+    # 6 words, starts 0,3 — no start at 6 (nothing new to cover)
+    assert list(out.sort_values("chunk_idx").chunk_text) == ["a b c", "d e f"]
+
+
+def test_chunk_overlap_validates_params(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        textops.chunk_overlap(docs, window=2, stride=3)
+    with pytest.raises(ValueError):
+        textops.chunk_overlap(docs, window=2, stride=0)

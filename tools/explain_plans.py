@@ -263,6 +263,18 @@ def main():
         ],
     )
 
+    tch = em.q_text_chunks(spark, sf)
+    dump(
+        "text_chunks",
+        tch,
+        [
+            ("map-only: ZERO exchanges", r"Exchange", False),
+            ("row explosion via Generate (posexplode), scan-side", r"Generate", True),
+            ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
+            ("scan prunes to (doc_id, text)", r"ReadSchema: struct<doc_id:bigint,text:string>", True),
+        ],
+    )
+
     sdd = em.q_dedup_semantic(spark, sf)
     dump(
         "dedup_semantic",

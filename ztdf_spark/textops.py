@@ -385,6 +385,46 @@ def corpus_filter(
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def chunk_overlap(docs: DataFrame, *, window: int = 64, stride: int = 48) -> DataFrame:
+    """Overlapping word-window chunking — the stage that turns documents
+    into embedder-sized passages (RAG / embedding pipelines chunk with
+    overlap so no span is split across a boundary without context).
+
+    Each document's whitespace words are windowed into chunks of
+    ``window`` words advancing by ``stride`` (overlap = window−stride);
+    the final partial window is kept (every start position < n_words
+    contributes words no earlier chunk ends with). Output: one row per
+    chunk with (doc_id, chunk_idx, n_words, chunk_text).
+
+    Pure Catalyst: split + sequence + transform(slice) + posexplode —
+    map-only, ZERO shuffles at any scale (the 100 TB shape: chunking is
+    a scan-side row explosion that feeds the embedder; output rows are
+    narrow and the explosion factor is len/stride, known per row).
+    """
+    if stride < 1 or window < stride:
+        raise ValueError("chunk_overlap: need 1 <= stride <= window")
+    w = F.split(F.col("text"), r"\s+")
+    n = F.size(w)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.array_join(F.slice(w, s + 1, window), " ").alias("t"),
+            F.least(F.lit(window), n - s).alias("nw"),
+        ),
+    )
+    ex = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(chunks).alias("chunk_idx", "c"),
+    )
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.nw").cast("long").alias("n_words"),
+        F.col("c.t").alias("chunk_text"),
+    )
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace tokens + BPE-ish regex tokens per document."""
     return docs.select(
