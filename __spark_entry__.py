@@ -1275,6 +1275,33 @@ def q_emb_near_dup_lsh(spark, sf_dir):
     )
 
 
+def q_events_cms_topk(spark, sf_dir):
+    """Count-min-sketch heavy hitters (ztdf_spark/sketch.py): build a
+    4×64 CM sketch over user_id (construction collapses map-side to
+    ≤ d·w groups — frequency estimation without shuffling keys), then
+    probe the exact top-20 users and report estimate vs truth. With 150+
+    users in 64 columns collisions are guaranteed, so overcount > 0 rows
+    prove the values come from the sketch, and overcount ≥ 0 everywhere
+    is the CM one-sided-error law. Oracle: the same md5-prefix hashing,
+    cell table, and min-probe in DuckDB — exact integer parity."""
+    from ztdf_spark import sketch as sk
+
+    e = _t(spark, sf_dir, "events")
+    exact = e.groupBy("user_id").agg(F.count("*").alias("n_exact"))
+    top = exact.orderBy(F.desc("n_exact"), F.asc("user_id")).limit(20)
+    cms = sk.cms_build(e, "user_id", d=4, w=64, seed=42)
+    est = sk.cms_estimate(cms, top.select("user_id"), "user_id", d=4, w=64, seed=42)
+    return (
+        top.join(est, "user_id")
+        .select(
+            "user_id",
+            "n_exact",
+            "n_est",
+            (F.col("n_est") - F.col("n_exact")).alias("overcount"),
+        )
+    )
+
+
 def q_text_chunks(spark, sf_dir):
     """Overlapping word-window chunking (textops.chunk_overlap) — the
     embedder-passage stage of a RAG/embedding pipeline (64-word windows,
@@ -1587,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dedup": q_events_dedup,
         "dedup_semantic": q_dedup_semantic,
         "text_chunks": q_text_chunks,
+        "events_cms_topk": q_events_cms_topk,
         # CDC engine semantics (SURVEY.md §2.3 stages)
         "cdc_latest_wins": q_cdc_latest_wins,
         "cdc_merge_state_agg": q_cdc_merge_state_agg,
@@ -2208,6 +2236,33 @@ def oracle_sql() -> dict[str, str]:
         FROM keep k JOIN q USING (doc_id) JOIN lid USING (doc_id)
         WHERE pred_lang = 'en' AND n_words >= 5
           AND punct_ratio_q <= 200 AND stop_ratio_q >= 10
+        """,
+        "events_cms_topk": """
+        WITH exact AS (
+          SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY user_id),
+        top AS (
+          SELECT user_id, n_exact FROM exact
+          ORDER BY n_exact DESC, user_id LIMIT 20),
+        cells AS (
+          SELECT g.r,
+                 ('0x' || substr(md5('cms42-' || CAST(g.r AS VARCHAR) || '-'
+                                 || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS c,
+                 COUNT(*) AS n
+          FROM events, generate_series(0, 3) AS g(r)
+          GROUP BY 1, 2),
+        probe AS (
+          SELECT t.user_id, g.r,
+                 ('0x' || substr(md5('cms42-' || CAST(g.r AS VARCHAR) || '-'
+                                 || CAST(t.user_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS c
+          FROM top t, generate_series(0, 3) AS g(r)),
+        est AS (
+          SELECT p.user_id, MIN(COALESCE(cells.n, 0)) AS n_est
+          FROM probe p LEFT JOIN cells ON cells.r = p.r AND cells.c = p.c
+          GROUP BY p.user_id)
+        SELECT t.user_id, CAST(t.n_exact AS BIGINT) AS n_exact,
+               CAST(e.n_est AS BIGINT) AS n_est,
+               CAST(e.n_est - t.n_exact AS BIGINT) AS overcount
+        FROM top t JOIN est e USING (user_id)
         """,
         "text_chunks": r"""
         WITH w AS (

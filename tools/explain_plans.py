@@ -263,6 +263,18 @@ def main():
         ],
     )
 
+    cms = em.q_events_cms_topk(spark, sf)
+    dump(
+        "events_cms_topk",
+        cms,
+        [
+            ("sketch cells pre-reduce map-side (partial count, <= d*w groups)", r"partial_count", True),
+            ("exact top-k is TakeOrderedAndProject, never a full sort", r"TakeOrderedAndProject", True),
+            ("probe side broadcasts", r"BroadcastHashJoin", True),
+            ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
+        ],
+    )
+
     tch = em.q_text_chunks(spark, sf)
     dump(
         "text_chunks",
