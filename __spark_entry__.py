@@ -1302,6 +1302,19 @@ def q_events_cms_topk(spark, sf_dir):
     )
 
 
+def q_events_hll_registers(spark, sf_dir):
+    """HyperLogLog distinct-count registers over user_id
+    (ztdf_spark/sketch.py): ONE groupBy bounded at m=64 groups — distinct
+    cardinality estimation without shuffling keys. rho uses the repo's
+    exact integer/string primitives (instr(lpad(bin(w)))), never float
+    log2, so the DuckDB oracle reproduces every register bit-for-bit;
+    the estimate itself (float harmonic mean) is accuracy-pinned in
+    pytest instead."""
+    from ztdf_spark import sketch as sk
+
+    return sk.hll_registers(_t(spark, sf_dir, "events"), "user_id", m=64, seed=42)
+
+
 def q_text_chunks(spark, sf_dir):
     """Overlapping word-window chunking (textops.chunk_overlap) — the
     embedder-passage stage of a RAG/embedding pipeline (64-word windows,
@@ -1615,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "text_chunks": q_text_chunks,
         "events_cms_topk": q_events_cms_topk,
+        "events_hll_registers": q_events_hll_registers,
         # CDC engine semantics (SURVEY.md §2.3 stages)
         "cdc_latest_wins": q_cdc_latest_wins,
         "cdc_merge_state_agg": q_cdc_merge_state_agg,
@@ -2236,6 +2250,18 @@ def oracle_sql() -> dict[str, str]:
         FROM keep k JOIN q USING (doc_id) JOIN lid USING (doc_id)
         WHERE pred_lang = 'en' AND n_words >= 5
           AND punct_ratio_q <= 200 AND stop_ratio_q >= 10
+        """,
+        "events_hll_registers": """
+        WITH h AS (
+          SELECT ('0x' || substr(md5('hll42-' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS v
+          FROM events),
+        r AS (
+          SELECT v % 64 AS bucket,
+                 CASE WHEN v // 64 = 0 THEN 27
+                      ELSE instr(lpad(bin(v // 64), 26, '0'), '1') END AS rho
+          FROM h)
+        SELECT CAST(bucket AS BIGINT) AS bucket, CAST(MAX(rho) AS BIGINT) AS max_rho
+        FROM r GROUP BY bucket
         """,
         "events_cms_topk": """
         WITH exact AS (

@@ -66,3 +66,41 @@ def test_cms_build_plan_bounded_groups(spark, keyed):
     assert "partial_count" in plan or "partial_count(1)" in plan or "count" in plan
     assert plan.count("Exchange") == 1
     assert "Python" not in plan  # pure Catalyst
+
+
+def test_hll_registers_merge_by_max(spark, keyed):
+    a = keyed.filter("user_id % 2 = 0")
+    b = keyed.filter("user_id % 2 = 1")
+    merged = (
+        sk.hll_registers(a, "user_id")
+        .unionByName(sk.hll_registers(b, "user_id"))
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    whole = sk.hll_registers(keyed, "user_id")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_hll_estimate_accuracy_across_cardinalities(spark):
+    """HLL(m=64) standard error is 1.04/sqrt(64) ≈ 13%; pin estimates
+    within 3 sigma at several true cardinalities (deterministic hash →
+    deterministic estimate, so these bounds can never flake)."""
+    for n in (100, 1000, 20000):
+        df = spark.range(n).selectExpr("id as user_id")
+        regs = [r.max_rho for r in sk.hll_registers(df, "user_id").collect()]
+        est = sk.hll_estimate(regs, m=64)
+        assert abs(est - n) / n < 0.39, (n, est)
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    ids = spark.range(500).selectExpr("id as user_id")
+    dup = ids.unionByName(ids).unionByName(ids)
+    a = sorted(map(tuple, sk.hll_registers(ids, "user_id").collect()))
+    b = sorted(map(tuple, sk.hll_registers(dup, "user_id").collect()))
+    assert a == b
+
+
+def test_hll_validates_m(spark):
+    df = spark.createDataFrame([(1,)], "user_id long")
+    with pytest.raises(ValueError):
+        sk.hll_registers(df, "user_id", m=48)

@@ -275,6 +275,18 @@ def main():
         ],
     )
 
+    hll = em.q_events_hll_registers(spark, sf)
+    dump(
+        "events_hll_registers",
+        hll,
+        [
+            ("registers pre-reduce map-side (partial max, <= m groups)", r"partial_max", True),
+            ("single exchange on the bucket", r"hashpartitioning\(bucket", True),
+            ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
+            ("scan prunes to user_id only", r"ReadSchema: struct<user_id:bigint>", True),
+        ],
+    )
+
     tch = em.q_text_chunks(spark, sf)
     dump(
         "text_chunks",

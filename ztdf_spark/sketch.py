@@ -78,3 +78,54 @@ def cms_estimate(
     ).select(key_col, F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
     joined = sketch.join(F.broadcast(probes), ["r", "c"], "right")
     return joined.groupBy(key_col).agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("n_est"))
+
+
+def hll_registers(df: DataFrame, key_col: str, *, m: int = 64, seed: int = 42) -> DataFrame:
+    """HyperLogLog register table over ``df[key_col]`` → (bucket, max_rho).
+
+    The distinct-count sketch (Flajolet et al. 2007), same Spark shape
+    as the count-min build: ONE groupBy bounded at ``m`` groups, so
+    map-side partial ``max`` collapses any key cardinality before the
+    single exchange — cardinality estimation without shuffling keys.
+    Registers merge by cell-wise max (union + re-agg), so per-shard
+    sketches compose.
+
+    rho (the leading-zero rank) is computed with the repo's exact
+    cross-engine integer/string primitives — ``instr(lpad(bin(w)))`` —
+    not float log2, so the DuckDB oracle reproduces every register
+    bit-for-bit. ``m`` must be a power of two (bucket = low bits of the
+    32-bit md5-prefix hash; w = the remaining high bits).
+    """
+    if m & (m - 1) or m < 2:
+        raise ValueError("hll: m must be a power of two >= 2")
+    shift = m.bit_length() - 1
+    wbits = 32 - shift
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"hll{seed}-"), F.col(key_col).cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    w = F.shiftright(h, shift)
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.instr(F.lpad(F.bin(w), wbits, "0"), "1")
+    )
+    return (
+        df.select((h % m).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("long").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: list[int], m: int = 64) -> float:
+    """Driver-side estimate from a COLLECTED register list (the register
+    table is tiny — m rows — by construction; this is index math, not a
+    data-plane collect). Standard bias-corrected harmonic mean with the
+    small-range (linear counting) correction."""
+    import math
+
+    regs = list(registers) + [0] * (m - len(registers))
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m / sum(2.0 ** -r for r in regs)
+    zeros = sum(1 for r in regs if r == 0)
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return est
