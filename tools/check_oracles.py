@@ -872,6 +872,143 @@ def _oracle_avi(b: bytes):
     return frames, fps
 
 
+def _oracle_flac(b: bytes):
+    """INDEPENDENT FLAC decode for the fixture profiles (16-bit,
+    independent channels, constant/verbatim/fixed<=2 subframes, one
+    4-bit rice partition): a big-int bit cursor over the whole stream
+    (flac.py walks a stateful byte/bit reader class) with inline rice
+    and fixed-predictor reconstruction. Returns (interleaved int16,
+    sample_rate, n_channels)."""
+    import numpy as np
+
+    if b[:4] != b"fLaC":
+        raise ValueError("oracle flac: bad magic")
+    pos = 4
+    sr = nch = total = None
+    while True:
+        hdr = b[pos]
+        blen = int.from_bytes(b[pos + 1 : pos + 4], "big")
+        if hdr & 0x7F == 0:
+            body = int.from_bytes(b[pos + 4 : pos + 4 + blen], "big")
+            nbits = blen * 8
+            sr = (body >> (nbits - 100)) & 0xFFFFF
+            nch = ((body >> (nbits - 103)) & 0x7) + 1
+            bps = ((body >> (nbits - 108)) & 0x1F) + 1
+            total = (body >> (nbits - 144)) & ((1 << 36) - 1)
+        pos += 4 + blen
+        if hdr & 0x80:
+            break
+    if sr is None or bps != 16:
+        raise ValueError("oracle flac: unsupported streaminfo")
+
+    bits = int.from_bytes(b, "big")
+    nbits_total = len(b) * 8
+
+    def rd(off, n):
+        return (bits >> (nbits_total - off - n)) & ((1 << n) - 1), off + n
+
+    def unary(off):
+        q = 0
+        while True:
+            v, off = rd(off, 1)
+            if v:
+                return q, off
+            q += 1
+
+    def signed(v, n):
+        return v - (1 << n) if v >> (n - 1) else v
+
+    chans = [[] for _ in range(nch)]
+    got = 0
+    off = pos * 8
+    while got < total:
+        frame_start_byte = off // 8
+        sync, off = rd(off, 14)
+        if sync != 0x3FFE:
+            raise ValueError("oracle flac: lost sync")
+        off += 2  # reserved + blocking strategy
+        bsc, off = rd(off, 4)
+        src, off = rd(off, 4)
+        chc, off = rd(off, 4)
+        _bpsc, off = rd(off, 3)
+        off += 1
+        b0, off = rd(off, 8)  # utf8 frame number (fixture: multi-byte ok)
+        if b0 >= 0x80:
+            nb = 0
+            m = 0x80
+            while b0 & m:
+                nb += 1
+                m >>= 1
+            for _ in range(nb - 1):
+                _c, off = rd(off, 8)
+        if bsc == 6:
+            v, off = rd(off, 8)
+            blk = v + 1
+        elif bsc == 7:
+            v, off = rd(off, 16)
+            blk = v + 1
+        elif bsc == 12:
+            blk = 4096
+        else:
+            raise ValueError("oracle flac: unexpected blocksize code")
+        if src in (12, 13, 14):
+            _v, off = rd(off, 8 if src == 12 else 16)
+        _crc8, off = rd(off, 8)
+        if chc >= 8:
+            raise ValueError("oracle flac: stereo decorrelation not in fixture")
+        if chc + 1 != nch:
+            raise ValueError("oracle flac: channel mismatch")
+        for c in range(nch):
+            _pad, off = rd(off, 1)
+            st, off = rd(off, 6)
+            wast, off = rd(off, 1)
+            if wast:
+                raise ValueError("oracle flac: wasted bits not in fixture")
+            if st == 0:  # constant
+                v, off = rd(off, 16)
+                chans[c].extend([signed(v, 16)] * blk)
+            elif st == 1:  # verbatim
+                for _ in range(blk):
+                    v, off = rd(off, 16)
+                    chans[c].append(signed(v, 16))
+            elif 8 <= st <= 10:  # fixed 0-2
+                order = st - 8
+                warm = []
+                for _ in range(order):
+                    v, off = rd(off, 16)
+                    warm.append(signed(v, 16))
+                meth, off = rd(off, 2)
+                porder, off = rd(off, 4)
+                if meth != 0 or porder != 0:
+                    raise ValueError("oracle flac: partition shape not in fixture")
+                k, off = rd(off, 4)
+                res = []
+                for _ in range(blk - order):
+                    q, off = unary(off)
+                    lo, off = rd(off, k) if k else (0, off)
+                    zz = (q << k) | lo
+                    res.append((zz >> 1) ^ -(zz & 1))
+                out = list(warm)
+                for i in range(order, blk):
+                    if order == 0:
+                        out.append(res[i])
+                    elif order == 1:
+                        out.append(res[i - 1] + out[i - 1])
+                    else:
+                        out.append(res[i - 2] + 2 * out[i - 1] - out[i - 2])
+                chans[c].extend(out)
+            else:
+                raise ValueError("oracle flac: subframe type not in fixture")
+        if off % 8:
+            off += 8 - off % 8
+        off += 16  # frame crc16
+        got += blk
+    inter = np.empty(total * nch, dtype=np.int64)
+    for c in range(nch):
+        inter[c::nch] = chans[c][:total]
+    return inter.astype(np.int16), sr, nch
+
+
 def _oracle_decode(payload: bytes, mtype: str):
     import hashlib
     import re
@@ -880,6 +1017,16 @@ def _oracle_decode(payload: bytes, mtype: str):
     import numpy as np
 
     b = bytes(payload)
+    if b[:4] == b"fLaC":
+        s, sr, nch = _oracle_flac(b)
+        x = s.astype(np.float64) / 32768.0
+        n = max(1, len(x))
+        zc = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))) / n
+        seg_rms = [float(np.sqrt(np.mean(p * p))) if len(p) else 0.0 for p in np.array_split(x, 8)]
+        feats = [float(nch), sr / 1000.0, (len(x) / nch) / sr,
+                 float(np.sqrt(np.mean(x * x))), float(np.max(np.abs(x))) if len(x) else 0.0,
+                 float(np.mean(np.abs(x))), zc, float(np.mean(x)), *seg_rms]
+        return np.asarray(feats, dtype=np.float32)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         pos, tag, nch, sr, data, fmt_raw, n_samp = 12, 1, None, None, None, None, None
         while pos + 8 <= len(b):

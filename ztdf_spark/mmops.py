@@ -4,7 +4,8 @@ columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 Decode status (round 6): REAL pure-Python decoders for at least one
 container per modality — WAV audio in PCM-16 (stdlib ``wave``) plus the
 G.711 µ-law/A-law and IMA-ADPCM compressed codecs
-(``ztdf_spark/audio.py``), PPM (P6),
+(``ztdf_spark/audio.py``) and lossless FLAC (rice/fixed/LPC bitstream,
+``ztdf_spark/flac.py``), PPM (P6),
 BMP (24-bit uncompressed), JPEG (baseline SOF0 AND progressive SOF2,
 ``ztdf_spark/jpeg.py``), PNG (every spec-legal static profile:
 depths 1/2/4/8/16, gray/RGB/palette/gray-alpha/RGBA, plain + Adam7
@@ -120,6 +121,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "wav"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return "avi"
+    if payload[:4] == b"fLaC":
+        return "flac"
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:2] == b"BM":
@@ -221,7 +224,18 @@ def _wav_pcm(payload: bytes) -> tuple[np.ndarray, int, int]:
 
 
 def _wav_features(payload: bytes) -> np.ndarray:
-    s, sr, nch = _wav_pcm(payload)
+    return _audio_features(*_wav_pcm(payload))
+
+
+def _flac_features(payload: bytes) -> np.ndarray:
+    """REAL FLAC decode (ztdf_spark/flac.py — lossless rice/fixed/LPC
+    bitstream) → the same audio statistic family as the WAV path."""
+    from .flac import decode_flac
+
+    return _audio_features(*decode_flac(payload))
+
+
+def _audio_features(s: np.ndarray, sr: int, nch: int) -> np.ndarray:
     x = s.astype(np.float64) / 32768.0
     n = max(1, len(x))
     zc = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))) / n
@@ -445,8 +459,8 @@ def _avi_frames(payload: bytes) -> tuple[list[np.ndarray], float]:
 def decode_media(payload: bytes, media_type: str, *, deterministic_fake: bool = False) -> np.ndarray:
     """Decode a media blob into a FEAT_DIM-dim float32 feature vector.
 
-    Real decode for WAV (PCM-16, G.711 µ-law/A-law, IMA ADPCM audio),
-    PPM-P6 and 24-bit BMP (image) —
+    Real decode for WAV (PCM-16, G.711 µ-law/A-law, IMA ADPCM) and
+    FLAC audio, PPM-P6 and 24-bit BMP (image) —
     pure Python/numpy, no external libs. Unrecognized or compressed
     formats: the deterministic fake (content-hash-derived vector, stable
     across runs/executors/parallelism) when ``deterministic_fake=True``,
@@ -455,6 +469,9 @@ def decode_media(payload: bytes, media_type: str, *, deterministic_fake: bool = 
     try:
         if fmt == "wav":
             return _wav_features(bytes(payload))
+        if fmt == "flac":
+            # REAL lossless compressed-audio decode (round 6)
+            return _flac_features(bytes(payload))
         if fmt == "ppm":
             return _rgb_features(_ppm_pixels(bytes(payload)), fmt_tag=1.0)
         if fmt == "bmp":
@@ -722,15 +739,21 @@ def synthetic_media_rows(n: int = 20, seed: int = 42) -> list:
             nch = 1 + (i // 3) % 2
             nsamp = int(rng.integers(256, 2048))
             # rotate REAL audio codecs: PCM-16, G.711 µ-law/A-law, IMA
-            # ADPCM (round 6; adpcm is mono per the WAV 0x11 layout)
-            wcodec = ("pcm", "ulaw", "alaw", "adpcm")[(i // 3) % 4]
+            # ADPCM, FLAC (round 6; adpcm is mono per the WAV 0x11 layout)
+            wcodec = ("pcm", "ulaw", "alaw", "adpcm", "flac")[(i // 3) % 5]
             if wcodec == "adpcm":
                 nch = 1
             samples = rng.integers(-32768, 32768, size=nsamp * nch, dtype=np.int16)
-            payload = make_wav_ex(samples, sr, nch, codec=wcodec)
+            if wcodec == "flac":
+                from .flac import encode_flac
+
+                payload = encode_flac(samples, sr, nch)
+            else:
+                payload = make_wav_ex(samples, sr, nch, codec=wcodec)
             meta = (
                 0, 0, int(nsamp * 1000 / sr),
-                {"pcm": "pcm_s16le", "ulaw": "g711_ulaw", "alaw": "g711_alaw", "adpcm": "adpcm_ima"}[wcodec],
+                {"pcm": "pcm_s16le", "ulaw": "g711_ulaw", "alaw": "g711_alaw",
+                 "adpcm": "adpcm_ima", "flac": "flac"}[wcodec],
             )
         elif (i // 3) % 4 == 1:
             # REAL animated GIF video: per-frame delays drive the sampling
