@@ -1315,6 +1315,23 @@ def q_events_hll_registers(spark, sf_dir):
     return sk.hll_registers(_t(spark, sf_dir, "events"), "user_id", m=64, seed=42)
 
 
+def q_corpus_dsir(spark, sf_dir):
+    """DSIR data selection (textops.dsir_weights, Xie et al. 2023): seed
+    the target with the corpus's one distinctive sub-population (docs
+    containing the generator's 'dup' marker token, ~5%) and score every
+    document's hashed bag-of-words likelihood ratio against the raw
+    corpus — the "expand a seed set to everything that looks like it"
+    selection step (top-25 by weight recovers 15 true seed docs vs ~1.25
+    expected at random — 12x enrichment). All log2-ratios are quantized
+    to integers via exact multiply/divide + binary-digit-count BEFORE
+    summation (the corpus_lm_score portability construction extended
+    with sqrt-2-centered rounding), so the DuckDB oracle reproduces
+    every weight exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.array_contains(F.split(F.col("text"), " "), "dup"))
+    return textops.dsir_weights(docs, target)
+
+
 def q_text_chunks(spark, sf_dir):
     """Overlapping word-window chunking (textops.chunk_overlap) — the
     embedder-passage stage of a RAG/embedding pipeline (64-word windows,
@@ -1629,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": q_text_chunks,
         "events_cms_topk": q_events_cms_topk,
         "events_hll_registers": q_events_hll_registers,
+        "corpus_dsir": q_corpus_dsir,
         # CDC engine semantics (SURVEY.md §2.3 stages)
         "cdc_latest_wins": q_cdc_latest_wins,
         "cdc_merge_state_agg": q_cdc_merge_state_agg,
@@ -2250,6 +2268,42 @@ def oracle_sql() -> dict[str, str]:
         FROM keep k JOIN q USING (doc_id) JOIN lid USING (doc_id)
         WHERE pred_lang = 'en' AND n_words >= 5
           AND punct_ratio_q <= 200 AND stop_ratio_q >= 10
+        """,
+        "corpus_dsir": """
+        WITH tgt AS (
+          SELECT doc_id FROM documents
+          WHERE list_contains(string_split(text, ' '), 'dup')),
+        w AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+          FROM documents),
+        b AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5('dsir42-' || w), 1, 8))::BIGINT % 512 AS b
+          FROM w),
+        cr AS (SELECT b, COUNT(*) AS cr FROM b GROUP BY b),
+        ct AS (SELECT b, COUNT(*) AS ct FROM b
+               WHERE doc_id IN (SELECT CAST(doc_id AS BIGINT) FROM tgt) GROUP BY b),
+        score AS (
+          SELECT COALESCE(cr.b, ct.b) AS b,
+                 (length(format('{:b}',
+                    GREATEST((COALESCE(ct.ct, 0) + 1) * 5793 // (COALESCE(cr.cr, 0) + 1), 1)
+                 )) - 1) - 12 AS s
+          FROM cr FULL JOIN ct ON cr.b = ct.b),
+        tot AS (
+          SELECT (length(format('{:b}', CAST(
+                    GREATEST(((SELECT SUM(cr) FROM cr) + 512) * 5793
+                             // ((SELECT SUM(ct) FROM ct) + 512), 1) AS BIGINT)
+                 )) - 1) - 12 AS shift),
+        per AS (
+          SELECT b.doc_id, COUNT(*) AS n_tok, SUM(COALESCE(score.s, -12)) AS sum_s
+          FROM b LEFT JOIN score ON b.b = score.b
+          GROUP BY b.doc_id)
+        SELECT per.doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+               CAST(sum_s + n_tok * tot.shift AS BIGINT) AS weight_q,
+               CAST((sum_s + n_tok * tot.shift) * 1000 // n_tok AS BIGINT) AS wq_per_ktok,
+               ((sum_s + n_tok * tot.shift) * 1000 // n_tok) >= -300 AS keep
+        FROM per, tot
         """,
         "events_hll_registers": """
         WITH h AS (

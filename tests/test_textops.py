@@ -480,3 +480,40 @@ def test_chunk_overlap_validates_params(spark):
         textops.chunk_overlap(docs, window=2, stride=3)
     with pytest.raises(ValueError):
         textops.chunk_overlap(docs, window=2, stride=0)
+
+
+def test_dsir_expands_seed_to_lookalikes(spark):
+    """Two vocabularies: 40 'code' docs, 260 'prose' docs. Seeding DSIR
+    with 10 code docs must rank the OTHER 30 code docs above every prose
+    doc (the paper's property: importance weights transfer from the seed
+    to distribution-mates the seed never saw)."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    code_vocab = [f"fn{i}" for i in range(30)] + ["def", "return", "loop"]
+    prose_vocab = [f"word{i}" for i in range(30)] + ["the", "and", "said"]
+    rows = []
+    for d in range(300):
+        vocab = code_vocab if d < 40 else prose_vocab
+        n = int(rng.integers(40, 120))
+        rows.append((d, " ".join(rng.choice(vocab, size=n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter("doc_id < 10")  # 10 seed code docs
+    out = textops.dsir_weights(docs, target).toPandas().set_index("doc_id").sort_index()
+    held_out_code = out.loc[10:39, "wq_per_ktok"]
+    prose = out.loc[40:, "wq_per_ktok"]
+    assert held_out_code.min() > prose.max()
+    # the default threshold separates them in this construction
+    assert out.loc[10:39, "keep"].all() and not out.loc[40:, "keep"].any()
+
+
+def test_dsir_layout_invariant(spark):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} common") for i in range(60)],
+        "doc_id long, text string",
+    )
+    target = docs.filter("doc_id % 5 = 0")
+    a = textops.dsir_weights(docs.repartition(1), target).toPandas()
+    b = textops.dsir_weights(docs.repartition(9, "doc_id"), target.repartition(3), ).toPandas()
+    key = ["doc_id", "n_tok", "weight_q", "wq_per_ktok", "keep"]
+    assert sorted(map(tuple, a[key].to_numpy().tolist())) == sorted(map(tuple, b[key].to_numpy().tolist()))

@@ -287,6 +287,19 @@ def main():
         ],
     )
 
+    dsr = em.q_corpus_dsir(spark, sf)
+    dump(
+        "corpus_dsir",
+        dsr,
+        [
+            ("bucket counts pre-reduce map-side (bounded at n_buckets groups)", r"partial_count", True),
+            ("score table and totals broadcast to the doc stream", r"BroadcastHashJoin|BroadcastNestedLoopJoin", True),
+            ("per-doc rollup is a partial-combine integer sum", r"partial_sum", True),
+            ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
+            ("no window over the token stream", r"\bWindow\b", False),
+        ],
+    )
+
     tch = em.q_text_chunks(spark, sf)
     dump(
         "text_chunks",

@@ -933,6 +933,104 @@ def ngram_repetition(docs: DataFrame, top_n: int = 2, dup_n: int = 5) -> DataFra
     )
 
 
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    *,
+    n_buckets: int = 512,
+    seed: int = 42,
+    threshold: int = -300,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by how much more likely
+    its hashed bag-of-words is under the TARGET distribution (a seed set
+    of wanted documents) than under the raw-corpus distribution, then
+    keep documents whose per-token weight clears ``threshold`` — the
+    deterministic thresholded variant of the paper's importance
+    resampling, the "expand a trusted seed set to everything that looks
+    like it" selection step.
+
+    log importance weight of a doc = Σ_tokens [log p_t(b) − log p_r(b)]
+    with add-one-smoothed unigram models over ``n_buckets`` md5-hashed
+    buckets. Portability construction (extends corpus_lm_score's flog2):
+    each per-token log2-ratio is quantized to an INTEGER as
+
+      s(b) = flog2(max((c_t(b)+1)·5793 div (c_r(b)+1), 1)) − 12
+
+    — the ratio is formed by EXACT integer multiply/divide before the
+    binary-digit-count floor (5793/4096 ≈ √2 centers the floor, i.e.
+    round-to-nearest-log2), so the per-doc sum is order-independent
+    integer arithmetic with no float or libm anywhere, and the DuckDB
+    oracle reproduces every weight exactly (both engines' integer
+    division truncates toward zero — verified). The per-doc weight is
+    normalized per kilotoken (weights otherwise scale with length and
+    selection would just prefer short documents):
+
+      wq_per_ktok = (Σ s + n_tok·shift)·1000 div n_tok,
+      shift = flog2(max((T_r+B)·5793 div (T_t+B), 1)) − 12.
+
+    Scale shape: both count tables are token-scale hash aggregations
+    BOUNDED at ``n_buckets`` groups (map-side partial combine collapses
+    any token volume — the count-min construction); the ≤B-row score
+    table and the 1-row totals broadcast; the per-doc rollup is a
+    partial-combine integer sum. No windows, no sorts, no Python.
+    Output: (doc_id, n_tok, weight_q, wq_per_ktok, keep).
+    """
+    w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"dsir{seed}-"), F.col("w"))), 1, 8), 16, 10)
+        .cast("long") % n_buckets
+    ).alias("b")
+
+    raw_toks = docs.select(F.explode(w).alias("w")).select(bucket)
+    tgt_toks = target.select(F.explode(w).alias("w")).select(bucket)
+    cr = raw_toks.groupBy("b").agg(F.count("*").alias("cr"))
+    ct = tgt_toks.groupBy("b").agg(F.count("*").alias("ct"))
+    score = cr.join(ct, "b", "full").select(
+        "b",
+        (
+            _flog2(
+                F.greatest(
+                    F.expr("(coalesce(ct, 0) + 1) * 5793 div (coalesce(cr, 0) + 1)"),
+                    F.lit(1),
+                )
+            )
+            - F.lit(12)
+        ).alias("s"),
+    )
+    totals = cr.agg(F.sum("cr").alias("tr")).crossJoin(ct.agg(F.sum("ct").alias("tt"))).select(
+        (
+            _flog2(
+                F.greatest(
+                    F.expr(f"(tr + {n_buckets}) * 5793 div (tt + {n_buckets})"), F.lit(1)
+                )
+            )
+            - F.lit(12)
+        ).alias("shift")
+    )
+
+    doc_toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.explode(w).alias("w")
+    ).select("doc_id", bucket)
+    per_doc = (
+        doc_toks.join(F.broadcast(score), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tok"),
+            F.sum(F.coalesce(F.col("s"), F.lit(-12))).cast("long").alias("sum_s"),
+        )
+    )
+    wq = F.col("sum_s") + F.col("n_tok") * F.col("shift")
+    per_k = F.expr("(sum_s + n_tok * shift) * 1000 div n_tok")
+    return per_doc.crossJoin(F.broadcast(totals)).select(
+        "doc_id",
+        "n_tok",
+        wq.alias("weight_q"),
+        per_k.alias("wq_per_ktok"),
+        (per_k >= threshold).alias("keep"),
+    )
+
+
 def _flog2(c):
     """floor(log2(c)) for a positive integer column, computed EXACTLY as
     length(binary representation) - 1 — identical in Spark (bin) and the
