@@ -212,3 +212,27 @@ def test_progressive_through_decode_media(spark):
         encode_jpeg_progressive(px), "image", deterministic_fake=False
     )
     assert feat[15] == 4.0 and feat[0] == 26.0 and feat[1] == 14.0
+
+
+def test_restart_markers_roundtrip_identical():
+    """DRI/RSTn streams (the error-resilience structure real MJPEG
+    cameras emit) must decode to EXACTLY the same pixels as the
+    restart-free encoding: 1-padded byte alignment consumed, DC
+    predictors reset on the MCU cadence, marker sequence skipped."""
+    rng = np.random.default_rng(31)
+    for w, h, sub, ri in ((9, 7, "444", 1), (33, 18, "420", 2), (16, 16, "444", 3), (40, 8, "420", 7)):
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for lossy in (False, True):
+            base = decode_jpeg(encode_jpeg(px, subsampling=sub, lossy=lossy))
+            rst = decode_jpeg(encode_jpeg(px, subsampling=sub, lossy=lossy, restart_interval=ri))
+            assert np.array_equal(base, rst)
+    g = rng.integers(0, 256, size=(17, 23), dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(g)), decode_jpeg(encode_jpeg(g, restart_interval=2)))
+
+
+def test_restart_stream_contains_dri_and_rst_markers():
+    rng = np.random.default_rng(32)
+    px = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    blob = encode_jpeg(px, restart_interval=1)
+    assert b"\xff\xdd" in blob  # DRI segment present
+    assert any(bytes([0xFF, 0xD0 + i]) in blob for i in range(8))  # RSTn

@@ -254,17 +254,28 @@ def _emit_headers(out, comps, qt_l, qt_c, h, w, gray, sof_marker):
     return seg, dc_tab, ac_tab
 
 
-def encode_jpeg(pixels: np.ndarray, *, subsampling: str = "444", lossy: bool = False) -> bytes:
+def encode_jpeg(
+    pixels: np.ndarray,
+    *,
+    subsampling: str = "444",
+    lossy: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
     """Encode HxW (grayscale) or HxWx3 (RGB) uint8 pixels as baseline
     JPEG. ``lossy=False`` uses flat quant tables (DCT rounding is then
     the only loss — decoded pixels match within ±2/sample in the coded
     YCbCr/grayscale domain, ±3 for RGB after the color-convert rounding;
-    the round-trip property the tests pin)."""
+    the round-trip property the tests pin). ``restart_interval`` > 0
+    emits a DRI segment and an RST0-7 marker every that-many MCUs
+    (1-padded byte alignment, DC predictors reset — spec B.2.4.4/E.2.4),
+    the error-resilience structure real MJPEG cameras emit."""
     comps, coefs, qt_l, qt_c, h, w, mcus_x, mcus_y, gray = _prep_components(
         pixels, subsampling, lossy
     )
     out = bytearray(b"\xff\xd8")  # SOI
     seg, dc_tab, ac_tab = _emit_headers(out, comps, qt_l, qt_c, h, w, gray, 0xC0)
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))  # DRI
     sos = bytes([len(comps)])
     for cid, *_rest in comps:
         sos += bytes([cid, 0x00])  # DC table 0, AC table 0 for all
@@ -273,13 +284,22 @@ def encode_jpeg(pixels: np.ndarray, *, subsampling: str = "444", lossy: bool = F
 
     bw = _BitWriter()
     preds = [0] * len(comps)
+    mcu_idx = 0
+    rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                out.extend(bw.flush())  # 1-padded byte alignment
+                bw = _BitWriter()
+                out.extend(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) & 7
+                preds = [0] * len(comps)
             for ci, (cid, hs, vs, tq) in enumerate(comps):
                 for by in range(vs):
                     for bx in range(hs):
                         blk = coefs[ci][my * vs + by, mx * hs + bx]
                         preds[ci] = _encode_block(bw, blk, preds[ci], dc_tab, ac_tab)
+            mcu_idx += 1
     out.extend(bw.flush())
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)
@@ -594,6 +614,7 @@ def _decode_impl(data: bytes) -> np.ndarray:
     coefs: list[np.ndarray] = []  # per comp: (by, bx, 64) int32, zigzag order
     hmax = vmax = mcus_x = mcus_y = 0
     saw_scan = False
+    ri = 0  # DRI restart interval (MCUs / blocks), 0 = none
     while i < len(d):
         if d[i] != 0xFF:
             raise ValueError("jpeg: expected marker")
@@ -620,6 +641,8 @@ def _decode_impl(data: bytes) -> np.ndarray:
                 for idx, (r, c) in enumerate(ZIGZAG):
                     qt[r, c] = vals[idx]
                 qts[tq] = qt
+        elif m == 0xDD:
+            (ri,) = struct.unpack(">H", payload[:2])
         elif m == 0xC4:
             j = 0
             while j < len(payload):
@@ -681,8 +704,18 @@ def _decode_impl(data: bytes) -> np.ndarray:
                 # DC scans — AC progressive scans are single-component)
                 if progressive and se != 0:
                     raise ValueError("jpeg: interleaved AC scan is not legal")
+                mcu_idx = 0
                 for my in range(mcus_y):
                     for mx in range(mcus_x):
+                        if ri and mcu_idx and mcu_idx % ri == 0:
+                            # restart boundary (spec E.2.4): drop the 1-bit
+                            # padding to realign on the byte, reset DC
+                            # predictors and the EOB run; the RSTn marker
+                            # itself is consumed by the bit reader's fill
+                            br.acc, br.n = 0, 0
+                            preds = [0] * len(comps)
+                            eobrun = 0
+                        mcu_idx += 1
                         for ci, _td, _ta in scan:
                             _cid, hs, vs, _tq = comps[ci]
                             for by in range(vs):
@@ -700,8 +733,17 @@ def _decode_impl(data: bytes) -> np.ndarray:
                 ci = scan[0][0]
                 _cid, hs, vs, _tq = comps[ci]
                 bw_c, bh_c = _comp_block_dims(w, h, hs, vs, hmax, vmax)
+                blk_idx = 0
                 for by in range(bh_c):
                     for bx in range(bw_c):
+                        if ri and blk_idx and blk_idx % ri == 0:
+                            # non-interleaved scans restart on a BLOCK
+                            # cadence (spec E.2.4: the MCU of a
+                            # single-component scan is one block)
+                            br.acc, br.n = 0, 0
+                            preds = [0] * len(comps)
+                            eobrun = 0
+                        blk_idx += 1
                         zz = coefs[ci][by, bx]
                         if ss == 0:
                             _decode_dc_scan(br, None, [(ci, zz)], dc_tabs, preds, al, ah > 0)
