@@ -1332,6 +1332,35 @@ def q_corpus_dsir(spark, sf_dir):
     return textops.dsir_weights(docs, target)
 
 
+def q_dedup_substring(spark, sf_dir):
+    """Exact duplicated-span removal (textops.substring_dedup — the
+    distributed k-gram variant of Lee et al. 2021's ExactSubstr suffix-array
+    dedup): every word position covered by a 6-gram occurring >= 2 times
+    anywhere in the corpus is deleted and the document text rebuilt from
+    the survivors. Oracle: the identical md5-gram + coverage-set + ordered
+    string_agg construction in DuckDB — a drifted window boundary, a missed
+    self-repeat, or an off-by-one in the rebuild breaks the hash."""
+    return textops.substring_dedup(_t(spark, sf_dir, "documents"), k=6)
+
+
+BM25_QUERIES = [
+    (0, "hash join"),
+    (1, "window agg spark"),
+    (2, "slow scan"),
+    (3, "customer query value"),
+]
+
+
+def q_text_bm25(spark, sf_dir):
+    """BM25 retrieval (textops.bm25_topk): top-10 docs per query under
+    k1=1.2 / b=0.75 term-frequency saturation with the Robertson/Sparck-
+    Jones odds idf kept as an exact rational — all-BIGINT scoring, so the
+    DuckDB oracle reproduces every score and the full ranking (ties broken
+    on doc_id) bit-for-bit. The top-k runs as a partial WindowGroupLimit
+    (per-partition heap) below the exchange — plan-guarded."""
+    return textops.bm25_topk(_t(spark, sf_dir, "documents"), BM25_QUERIES, top_k=10)
+
+
 def q_text_chunks(spark, sf_dir):
     """Overlapping word-window chunking (textops.chunk_overlap) — the
     embedder-passage stage of a RAG/embedding pipeline (64-word windows,
@@ -1647,6 +1676,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cms_topk": q_events_cms_topk,
         "events_hll_registers": q_events_hll_registers,
         "corpus_dsir": q_corpus_dsir,
+        # r6 additions (this session): ExactSubstr-style span dedup and
+        # integer-exact BM25 retrieval, both with full DuckDB oracles —
+        # inside the driver window for first-round green rows
+        "dedup_substring": q_dedup_substring,
+        "text_bm25": q_text_bm25,
         # CDC engine semantics (SURVEY.md §2.3 stages)
         "cdc_latest_wins": q_cdc_latest_wins,
         "cdc_merge_state_agg": q_cdc_merge_state_agg,
@@ -2234,6 +2268,56 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(list_sum(list_transform(list_zip(piece, generate_series(1, CAST(len(piece) AS BIGINT))),
                                                 z -> z[1] * (chunk_off + z[2])))) AS BIGINT) AS checksum
         FROM pc GROUP BY chunk_id
+        """,
+        # ExactSubstr-style span dedup: identical md5 6-gram + coverage-set
+        # + ordered-string_agg rebuild construction
+        "dedup_substring": """
+        WITH base AS (SELECT CAST(doc_id AS BIGINT) doc_id, string_split(text,' ') w FROM documents),
+        grams AS (
+          SELECT doc_id, CAST(i-1 AS BIGINT) AS start, md5(array_to_string(w[i:i+5], ' ')) gh
+          FROM base, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-5, 0))) AS i) t),
+        dup AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2),
+        occ AS (SELECT doc_id, start FROM grams WHERE gh IN (SELECT gh FROM dup)),
+        covered AS (SELECT DISTINCT doc_id, unnest(generate_series(start, start+5)) AS pos FROM occ),
+        words AS (SELECT doc_id, CAST(i-1 AS BIGINT) pos, w[i] word
+                  FROM base, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t),
+        kept AS (SELECT w.doc_id, w.pos, w.word FROM words w
+                 ANTI JOIN covered c ON w.doc_id = c.doc_id AND w.pos = c.pos)
+        SELECT b.doc_id,
+               CAST(len(b.w) AS BIGINT) n_words,
+               COALESCE(cv.n_removed, 0) n_removed,
+               COALESCE(kt.kept_text, '') kept_text
+        FROM base b
+        LEFT JOIN (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_removed FROM covered GROUP BY doc_id) cv USING (doc_id)
+        LEFT JOIN (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) kept_text FROM kept GROUP BY doc_id) kt USING (doc_id)
+        """,
+        # BM25 with rational RSJ odds idf: every quantity BIGINT, // (DuckDB)
+        # and div (Spark) both truncate toward zero on these positives
+        "text_bm25": """
+        WITH q(query_id, qtext) AS (VALUES (0,'hash join'),(1,'window agg spark'),
+                                           (2,'slow scan'),(3,'customer query value')),
+        qterms AS (SELECT DISTINCT CAST(query_id AS BIGINT) query_id,
+                          unnest(string_split(qtext,' ')) term FROM q),
+        base AS (SELECT CAST(doc_id AS BIGINT) doc_id, string_split(text,' ') w FROM documents),
+        terms AS (SELECT doc_id, CAST(len(w) AS BIGINT) dl, unnest(w) term FROM base),
+        ft AS (SELECT t.* FROM terms t WHERE term IN (SELECT term FROM qterms)),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) tf, ANY_VALUE(dl) dl
+               FROM ft GROUP BY doc_id, term),
+        dfx AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) df FROM ft GROUP BY term),
+        sc AS (SELECT CAST(COUNT(*) AS BIGINT) n_docs,
+                      CAST(1000 AS BIGINT) * CAST(SUM(len(w)) AS BIGINT) // CAST(COUNT(*) AS BIGINT) ad
+               FROM base),
+        scored AS (
+          SELECT qt.query_id, tf.doc_id,
+                 SUM( (CAST(1000000 AS BIGINT)*44*tf.tf*sc.ad
+                         // (20*tf.tf*sc.ad + 6*sc.ad + 18000*tf.dl))
+                      * (2*(sc.n_docs - dfx.df) + 1) // (2*dfx.df + 1) ) AS score
+          FROM tf JOIN dfx USING (term) CROSS JOIN sc JOIN qterms qt USING (term)
+          GROUP BY qt.query_id, tf.doc_id)
+        SELECT query_id, doc_id, CAST(score AS BIGINT) score, CAST(rank AS BIGINT) rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) rank
+          FROM scored)
+        WHERE rank <= 10
         """,
         "corpus_filter": f"""
         WITH fps AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(lower(text)) AS f FROM documents),

@@ -517,3 +517,108 @@ def test_dsir_layout_invariant(spark):
     b = textops.dsir_weights(docs.repartition(9, "doc_id"), target.repartition(3), ).toPandas()
     key = ["doc_id", "n_tok", "weight_q", "wq_per_ktok", "keep"]
     assert sorted(map(tuple, a[key].to_numpy().tolist())) == sorted(map(tuple, b[key].to_numpy().tolist()))
+
+
+def test_substring_dedup_planted_spans(spark):
+    """A 6-gram planted in two docs (and once as a self-repeat) is removed
+    at EVERY occurrence; unique text survives verbatim. Checked against an
+    independent brute-force python oracle."""
+    phrase = "alpha beta gamma delta epsilon zeta"  # 6 words
+    rows = [
+        (1, f"one two {phrase} three four five six seven"),
+        (2, f"{phrase} completely different tail words here now"),
+        (3, f"self repeat {phrase} middle bit {phrase} end"),
+        (4, "nothing shared in this document at all whatsoever"),
+        (5, "short doc"),  # shorter than k → no grams, untouched
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r.asDict() for r in textops.substring_dedup(docs, k=6).collect()}
+
+    # brute-force oracle: count every 6-gram, cover positions of dup grams
+    k = 6
+    grams: dict[tuple, int] = {}
+    words = {i: t.split(" ") for i, t in rows}
+    for i, w in words.items():
+        for j in range(len(w) - k + 1):
+            g = tuple(w[j : j + k])
+            grams[g] = grams.get(g, 0) + 1
+    for i, w in words.items():
+        cov = set()
+        for j in range(len(w) - k + 1):
+            if grams[tuple(w[j : j + k])] >= 2:
+                cov.update(range(j, j + k))
+        kept = [x for p, x in enumerate(w) if p not in cov]
+        assert got[i]["n_words"] == len(w)
+        assert got[i]["n_removed"] == len(cov)
+        assert got[i]["kept_text"] == " ".join(kept)
+    # sanity on the planted structure: docs 1-3 lost the phrase, 4-5 intact
+    assert got[4]["n_removed"] == 0 and got[4]["kept_text"] == rows[3][1]
+    assert got[5]["n_removed"] == 0
+    for i in (1, 2, 3):
+        assert "alpha" not in got[i]["kept_text"]
+    # doc 3's SELF-repeat counts as duplication even if no other doc had it
+    assert got[3]["n_removed"] >= 12
+
+
+def test_bm25_integer_scores_hand_computed(spark):
+    """BM25 scores reproduce the documented all-BIGINT formula exactly;
+    ranking orders by (score desc, doc_id asc); docs without any query
+    term never appear."""
+    rows = [
+        (1, "hash join hash join hash"),          # tf(hash)=3 tf(join)=2, dl=5
+        (2, "hash probe build side output row"),  # tf(hash)=1, dl=6
+        (3, "join order join order join order"),  # tf(join)=3, dl=6
+        (4, "no relevant terms at all here"),     # dl=6, no query terms
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = [r.asDict() for r in textops.bm25_topk(docs, [(7, "hash join")], top_k=3)
+           .orderBy("rank").collect()]
+
+    # independent integer oracle
+    n_docs, total = 4, 5 + 6 + 6 + 6
+    ad = 1000 * total // n_docs
+    df = {"hash": 2, "join": 2}
+    tfs = {1: {"hash": 3, "join": 2}, 2: {"hash": 1}, 3: {"join": 3}}
+    dls = {1: 5, 2: 6, 3: 6}
+    exp = {}
+    for d, tmap in tfs.items():
+        s = 0
+        for t, tf in tmap.items():
+            tfnorm = 1_000_000 * 44 * tf * ad // (20 * tf * ad + 6 * ad + 18000 * dls[d])
+            s += tfnorm * (2 * (n_docs - df[t]) + 1) // (2 * df[t] + 1)
+        exp[d] = s
+    order = sorted(exp, key=lambda d: (-exp[d], d))
+    assert [r["doc_id"] for r in got] == order
+    assert [r["score"] for r in got] == [exp[d] for d in order]
+    assert all(r["query_id"] == 7 for r in got)
+    assert 4 not in {r["doc_id"] for r in got}
+
+
+def test_bm25_tf_saturation_and_rare_term_weight(spark):
+    """Doubling tf raises the score sublinearly (saturation), and a rarer
+    term outweighs a common one at equal tf — the two BM25 invariants the
+    integer construction must preserve."""
+    rows = [
+        (1, "cat " * 1 + "x " * 9),
+        (2, "cat " * 2 + "x " * 8),
+        (3, "cat " * 4 + "x " * 6),
+        (4, "dog y z z z z z z z z"),
+    ] + [(10 + i, "cat filler filler filler filler") for i in range(6)]
+    docs = spark.createDataFrame(
+        [(i, t.strip(), "en", "web", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = {x["doc_id"]: x["score"]
+         for x in textops.bm25_topk(docs, [(0, "cat"), (1, "dog")], top_k=20).collect()
+         if x["query_id"] == 0}
+    gain1, gain2 = r[2] - r[1], r[3] - r[2]
+    assert r[1] < r[2] < r[3] and gain2 < 2 * gain1  # saturating growth
+    d = {x["doc_id"]: x["score"]
+         for x in textops.bm25_topk(docs, [(1, "dog")], top_k=20).collect()}
+    assert d[4] > r[1]  # df(dog)=1 << df(cat)=9 → far heavier per-term weight

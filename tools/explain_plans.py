@@ -561,6 +561,35 @@ def main():
         ],
     )
 
+    # ExactSubstr span dedup: the duplicate decision is a partial-combine
+    # hash count on the gram md5; coverage applies map-side via an
+    # index-lambda filter after ONE equi-join on doc_id — no windows, no
+    # global sort, no Python
+    dump(
+        "dedup_substring",
+        em.q_dedup_substring(spark, sf),
+        [
+            ("gram counts pre-reduce map-side (partial_count)", r"partial_count", True),
+            ("no window funnel / global sort", r"Window|SinglePartition", False),
+            ("no cartesian product", r"CartesianProduct", False),
+            ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
+        ],
+    )
+
+    # BM25: query table broadcast; tf/df partial-combine; corpus scalars ride
+    # a one-row broadcast; final top-k is a partial WindowGroupLimit heap
+    # BELOW the exchange, so only k rows per partition per query move
+    dump(
+        "text_bm25",
+        em.q_text_bm25(spark, sf),
+        [
+            ("tf/df pre-reduce map-side (partial aggregation)", r"partial_count", True),
+            ("query terms + corpus scalars broadcast", r"BroadcastHashJoin", True),
+            ("per-partition top-k before the exchange", r"WindowGroupLimit .*row_number\(\), \d+, Partial", True),
+            ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
+        ],
+    )
+
     # bigram LM scoring: model tables via partial-combine hash aggregates,
     # token-stream scoring joins stay equi (the only nested-loop is the
     # one-row broadcast of T), rollup is a hash aggregate

@@ -60,11 +60,14 @@ def _words(col: str = "text"):
 
 
 def _shingle_array(k: int = 3):
-    """array<string> of the k-word shingles of ``text`` (duplicates kept)."""
+    """array<string> of the k-word shingles of ``text`` (duplicates kept).
+    A doc shorter than k words yields ONE shingle of all its words —
+    matching ``_shingle_expr`` (NB: the old element_at form crashed there:
+    Spark's sequence(1, 0) is DESCENDING [1, 0], not empty)."""
     w = _words()
     return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]),
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
     )
 
 
@@ -1121,4 +1124,150 @@ def corpus_lm_score(
         F.floor(F.lit(1000) * F.col("score_q") / F.col("n_bigrams"))
         .cast("long")
         .alias("avg_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span removal (ExactSubstr-style, k-gram construction)
+# ---------------------------------------------------------------------------
+
+
+def substring_dedup(docs: DataFrame, k: int = 6, text_col: str = "text") -> DataFrame:
+    """Exact duplicated-substring removal: delete every word position
+    covered by a ``k``-gram that occurs more than once ANYWHERE in the
+    corpus (including self-repeats inside one document).
+
+    The k-gram construction is the distributed-friendly variant of the
+    suffix-array ExactSubstr dedup of Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better", §4.1): a suffix array
+    needs a global sort of the whole corpus; k-gram occurrence counting is
+    one linear explode + one hash-shuffle on the gram hash, and removing
+    every occurrence of a duplicated k-gram deletes exactly the positions
+    that lie inside some length-``k`` repeat (the paper's aggressive
+    remove-all setting). Overlapping duplicated spans need no
+    gaps-and-islands merge: coverage is a per-doc position SET, built with
+    ``collect_set`` and applied map-side with an index-lambda
+    ``F.filter`` over the original word array — so the rebuild is one
+    groupBy(gram) + one groupBy(doc) + one equi-join, no windows, no
+    sorts, no Python.
+
+    100 TB shape: gram rows are O(total words); the duplicate decision is
+    a partial-combine hash count on the gram md5 (hot grams combine
+    map-side); coverage rows are O(k x duplicated occurrences); the final
+    join shuffles on doc_id only. Nothing is quadratic and nothing sorts
+    globally. Output is bit-exact cross-engine: md5 grams, integer
+    positions, and a space-joined rebuild."""
+    w = F.split(F.col(text_col), " ")
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), w.alias("w"))
+    # (doc_id, start, gram-md5) for every k-window; start is 0-based
+    # NB: Spark's sequence(1, 0) yields DESCENDING [1, 0], not empty — docs
+    # shorter than k must take the explicit empty-array branch
+    gram_arr = F.when(
+        F.size("w") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - (k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", *[F.element_at("w", i + j) for j in range(k)])),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select("doc_id", F.posexplode(gram_arr).alias("start", "gh"))
+    dup = grams.groupBy("gh").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    occ = grams.join(dup.select("gh"), "gh", "left_semi")
+    covered = occ.select(
+        "doc_id", F.explode(F.sequence(F.col("start"), F.col("start") + (k - 1))).alias("pos")
+    ).distinct()
+    cov = covered.groupBy("doc_id").agg(F.collect_set("pos").alias("cov"))
+    return (
+        base.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("w").cast("long").alias("n_words"),
+            F.coalesce(F.size("cov"), F.lit(0)).cast("long").alias("n_removed"),
+            F.array_join(
+                F.filter("w", lambda x, i: F.coalesce(~F.array_contains("cov", i), F.lit(True))),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25-style retrieval (integer-exact RSJ odds weighting)
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    top_k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top_k`` documents per query under BM25 term-frequency
+    saturation (k1=1.2, b=0.75) with the Robertson/Sparck-Jones odds idf
+    kept as an exact RATIONAL instead of its log: every quantity is
+    integer arithmetic, so scores are bit-identical across Spark, DuckDB,
+    executor counts, and retries (an ln()-based idf differs in the last
+    ulp between libm implementations and can flip a floor() at the hash
+    boundary). Production ranking would take the log; the ORDER of the
+    per-term weights is what the surrogate preserves exactly.
+
+    Construction (all BIGINT; div truncates toward zero in both engines,
+    every operand is positive):
+
+      AD      = (1000 * total_words) div N            -- avg doc len, milli-words
+      tfnorm  = 1e6 * 44*tf*AD div (20*tf*AD + 6*AD + 18000*dl)
+                -- == 1e6 * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)), k1=6/5 b=3/4
+      contrib = tfnorm * (2*(N-df)+1) div (2*df+1)    -- RSJ odds idf
+      score   = sum(contrib) over the query's terms
+
+    Overflow audit at 100 TB (N~1e9 docs, 1e13 words, dl<=1e5):
+    1e6*44*tf*AD <= 4.4e17 and tfnorm*idf_num <= 2.2e6*2e9 = 4.4e15,
+    both inside int64.
+
+    100 TB shape: the query table is a literal broadcast; tf/df/dl are
+    partial-combine hash aggregates over the exploded terms (filtered to
+    query terms BEFORE the shuffle, so the aggregated space is tiny); the
+    corpus-size scalars ride a one-row broadcast join; the final top-k is
+    a row_number window that Spark rewrites to a partial WindowGroupLimit
+    (per-partition heap) below the exchange — only k rows per partition
+    per query move."""
+    spark = docs.sparkSession
+    qterms = []
+    for qid, qtext in queries:
+        for t in qtext.split(" "):
+            qterms.append((int(qid), t))
+    qdf = F.broadcast(
+        spark.createDataFrame(qterms, "query_id long, term string").distinct()
+    )
+    w = F.split(F.col(text_col), " ")
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), w.alias("w"))
+    terms = base.select(
+        "doc_id", F.size("w").cast("long").alias("dl"), F.explode("w").alias("term")
+    ).join(qdf.select("term").distinct(), "term", "left_semi")
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf"), F.first("dl").alias("dl")
+    )
+    df_ = terms.groupBy("term").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    scalars = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size("w")).cast("long").alias("total_words"),
+    ).withColumn("ad", F.expr("1000 * total_words div n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(scalars))
+        .join(qdf, "term")
+        .withColumn(
+            "tfnorm",
+            F.expr("1000000 * 44 * tf * ad div (20 * tf * ad + 6 * ad + 18000 * dl)"),
+        )
+        .withColumn("contrib", F.expr("tfnorm * (2 * (n_docs - df) + 1) div (2 * df + 1)"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").cast("long").alias("score"))
+    )
+    from pyspark.sql import Window
+
+    rank_w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank"))
     )
