@@ -417,6 +417,24 @@ def q_cdc_range_scan(spark, sf_dir):
     )
 
 
+def q_cdc_zorder_scan(spark, sf_dir):
+    """Z-order clustered secondary-column scan (`compact(zorder_by=...)` +
+    `LakeTable.read_where` — the Delta OPTIMIZE ZORDER BY analog): the
+    fixture lake is rewritten into Morton-interleave-clustered files with
+    per-file (lsn, n_tok) ranges in the manifest, then an n_tok band is
+    scanned with file-level pruning on a NON-key column. The z-value
+    orders LAYOUT only, so results are bucket- and quantile-invariant:
+    the oracle is plain latest-wins WHERE n_tok BETWEEN — a pruned file
+    that actually held a matching winner, or a tombstone resurfacing
+    through the rewrite, breaks the hash."""
+    t, _v1, _v2 = _mor_lake_from_binlog(spark, sf_dir, "zorder", mutable=True)
+    r = t.compact(zorder_by=["lsn", "n_tok"])
+    assert not r.get("noop")
+    st = t.scan_stats("n_tok", 100, 400)
+    assert st["pruned"]
+    return t.read_where("n_tok", 100, 400).select("doc_id", "lsn", "n_tok", "source")
+
+
 def q_cdc_minor_compact(spark, sf_dir):
     """Minor (delta-only) compaction under the driver hash
     (`compact_deltas` — the Iceberg binpack-rewrite / Delta OPTIMIZE
@@ -1681,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inside the driver window for first-round green rows
         "dedup_substring": q_dedup_substring,
         "text_bm25": q_text_bm25,
+        "cdc_zorder_scan": q_cdc_zorder_scan,
         # CDC engine semantics (SURVEY.md §2.3 stages)
         "cdc_latest_wins": q_cdc_latest_wins,
         "cdc_merge_state_agg": q_cdc_merge_state_agg,
@@ -2844,6 +2863,17 @@ def oracle_sql() -> dict[str, str]:
     # incremental read (fold → extra batch → full state)
     d["cdc_minor_compact"] = d["cdc_incremental_read"]
     # key-range scan: latest-wins restricted to the inclusive band
+    # z-order scan: layout-invariant — plain latest-wins over the binlog
+    # with the secondary-column band; any pruning mistake surfaces as a
+    # missing/extra winner row
+    d["cdc_zorder_scan"] = _BINLOG_CTE + """
+        , last AS (
+          SELECT doc_id, lsn, n_tok, source, op,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+          FROM binlog)
+        SELECT doc_id, lsn, n_tok, source FROM last
+        WHERE rn = 1 AND op <> 'D' AND n_tok BETWEEN 100 AND 400
+        """
     d["cdc_range_scan"] = _BINLOG_CTE + """
         , last AS (
           SELECT doc_id, lsn, n_tok, source, op,

@@ -1871,3 +1871,107 @@ def test_changes_scratch_swept_by_next_call(spark, tmp_path, monkeypatch):
     assert got == _py_changes(b0, b0 + b1)  # result unaffected by the sweep
     now = glob.glob(os.path.join(t.path, "_staging", "changes-keys-*"))
     assert old[0] not in now and len(now) == 1
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering + secondary-column pruned scans
+# ---------------------------------------------------------------------------
+
+
+def _mk_zorder_table(spark, tmp_path, n=4000, name="tz"):
+    import random
+
+    t = LakeTable.create(
+        spark, str(tmp_path / name), schema=STATE_SCHEMA,
+        target_file_rows=250, merge_mode="mor",
+    )
+    rng = random.Random(11)
+    rows = [
+        ("U", f"doc-{i:05d}", rng.randrange(1_000_000), [1], rng.randrange(10_000), "web")
+        for i in range(n)
+    ]
+    t.merge(_changes(spark, rows), batch_id=0)
+    return t, rows
+
+
+def test_zorder_compact_prunes_secondary_columns(spark, tmp_path):
+    """compact(zorder_by=...) records per-file ranges for BOTH named
+    columns and a band scan on either one reads a strict file subset with
+    results identical to read()+filter."""
+    t, _rows = _mk_zorder_table(spark, tmp_path)
+    r = t.compact(zorder_by=["lsn", "n_tok"])
+    assert not r.get("noop") and r["zorder_by"] == ["lsn", "n_tok"]
+    for col, lo, hi in (("n_tok", 1000, 2000), ("lsn", 0, 150_000)):
+        st = t.scan_stats(col, lo, hi)
+        assert st["pruned"] and st["files_read"] < st["files_total"]
+        got = sorted(
+            (x["doc_id"], x["lsn"], x["n_tok"]) for x in t.read_where(col, lo, hi).collect()
+        )
+        want = sorted(
+            (x["doc_id"], x["lsn"], x["n_tok"])
+            for x in t.read().filter((F.col(col) >= lo) & (F.col(col) <= hi)).collect()
+        )
+        assert got == want and len(got) > 0
+
+
+def test_zorder_dirty_table_falls_back_soundly(spark, tmp_path):
+    """Any delta file disables secondary pruning (a pruned base file could
+    hide a key's winner from the latest-wins join) — but read_where stays
+    CORRECT: a delta update moving a row INTO the band and one moving a
+    row OUT of it are both honored."""
+    t, rows = _mk_zorder_table(spark, tmp_path, n=1000)
+    t.compact(zorder_by=["lsn", "n_tok"])
+    in_band = next(r for r in rows if 1000 <= r[4] <= 2000)
+    out_band = next(r for r in rows if r[4] > 5000)
+    t.merge(
+        _changes(spark, [
+            ("U", in_band[1], 2_000_000, [1], 9_999, "web"),   # leaves the band
+            ("U", out_band[1], 2_000_001, [1], 1_500, "web"),  # enters the band
+        ]),
+        batch_id=1,
+    )
+    st = t.scan_stats("n_tok", 1000, 2000)
+    assert not st["pruned"] and st["files_read"] == st["files_total"]
+    got = {x["doc_id"]: x["n_tok"] for x in t.read_where("n_tok", 1000, 2000).collect()}
+    assert in_band[1] not in got and got[out_band[1]] == 1500
+    want = {
+        x["doc_id"]: x["n_tok"]
+        for x in t.read().filter((F.col("n_tok") >= 1000) & (F.col("n_tok") <= 2000)).collect()
+    }
+    assert got == want
+    # re-compacting with zorder restores pruning and the same results
+    t.compact(zorder_by=["lsn", "n_tok"])
+    st2 = t.scan_stats("n_tok", 1000, 2000)
+    assert st2["pruned"] and st2["files_read"] < st2["files_total"]
+    assert {x["doc_id"]: x["n_tok"] for x in t.read_where("n_tok", 1000, 2000).collect()} == want
+
+
+def test_zorder_shadows_tombstones_and_stale_updates(spark, tmp_path):
+    """The z-order rewrite is still a WINNER rewrite: tombstone winners
+    shadow out-of-order stale updates exactly as a plain compact does."""
+    t = _mk_mor(spark, tmp_path, name="tzd")
+    t.merge(_changes(spark, [
+        ("I", "a", 1, [1], 100, "web"), ("I", "b", 2, [2], 200, "web"),
+    ]), batch_id=0)
+    t.merge(_changes(spark, [("D", "b", 10, None, None, None)]), batch_id=1)
+    t.compact(zorder_by=["n_tok"])
+    # stale update below the tombstone's lsn must NOT resurrect b
+    t.merge(_changes(spark, [("U", "b", 5, [5], 500, "web")]), batch_id=2)
+    assert {r["doc_id"] for r in t.read().collect()} == {"a"}
+    assert {r["doc_id"] for r in t.read_where("n_tok", 0, 10_000).collect()} == {"a"}
+
+
+def test_zorder_noop_rules_and_missing_stats(spark, tmp_path):
+    """Plain compact on a delta-free table stays a no-op; zorder compact of
+    the same table is a real rewrite; scanning a column with no recorded
+    stats reads everything (never pruned != never wrong)."""
+    t, _ = _mk_zorder_table(spark, tmp_path, n=600, name="tzn")
+    t.compact()
+    assert t.compact().get("noop")
+    r = t.compact(zorder_by=["n_tok"])
+    assert not r.get("noop")
+    st = t.scan_stats("lsn", 0, 1000)  # lsn stats were not recorded
+    assert st["pruned"] and st["files_read"] == st["files_total"]
+    got = t.read_where("lsn", 0, 1000).count()
+    want = t.read().filter(F.col("lsn") <= 1000).count()
+    assert got == want

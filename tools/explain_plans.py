@@ -561,6 +561,22 @@ def main():
         ],
     )
 
+    # z-order secondary-column scan: on the delta-free clustered snapshot
+    # the read is a STRAIGHT parquet scan of the pruned file subset — no
+    # winner join, no aggregate, and the band predicate reaches the scan
+    # (PushedFilters), so row groups inside surviving files skip too
+    zs = em.q_cdc_zorder_scan(spark, sf)
+    dump(
+        "cdc_zorder_scan",
+        zs,
+        [
+            ("band predicate pushed to parquet", r"PushedFilters: \[.*GreaterThanOrEqual\(n_tok", True),
+            ("no winner join on the clean snapshot", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", False),
+            ("no aggregate (straight scan)", r"HashAggregate|SortAggregate", False),
+            ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
+        ],
+    )
+
     # ExactSubstr span dedup: the duplicate decision is a partial-combine
     # hash count on the gram md5; coverage applies map-side via an
     # index-lambda filter after ONE equi-join on doc_id — no windows, no

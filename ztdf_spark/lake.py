@@ -143,6 +143,78 @@ def _file_key_stats(path: str, key_col: str):
     return lo, hi, md.num_rows
 
 
+def _file_col_stats(path: str, cols: list[str]) -> dict:
+    """Per-file [min, max] for each named column from parquet footer stats
+    (the ``_file_key_stats`` rule generalized to secondary columns): only
+    JSON-representable orderable types produce a range; any row group with
+    missing stats → None for that column = never prune on it. Min/max
+    ignore NULLs (parquet semantics) — sound for range pruning because a
+    NULL can never satisfy a BETWEEN predicate."""
+    md = pq.ParquetFile(path).metadata
+    out: dict = {}
+    for col in cols:
+        try:
+            idx = md.schema.names.index(col)
+        except ValueError:
+            out[col] = None
+            continue
+        lo, hi = None, None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    ok = False
+                    break
+            if not isinstance(mn, (str, int, float)) or isinstance(mn, bool):
+                ok = False
+                break
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        out[col] = [lo, hi] if ok and lo is not None else None
+    return out
+
+
+def _zvalue_column(df: DataFrame, cols: list[str], n_bits: int = 8):
+    """Morton (z-order) interleave of quantile-bucket ranks — the Delta
+    OPTIMIZE ZORDER BY construction: each column is mapped to a
+    2^n_bits-bucket rank via approx-quantile split points (one bounded
+    driver-side list per column, never a global sort), then the ranks'
+    bits are interleaved so files clustered on the z-value stay tight in
+    EVERY dimension at once. Returns (z Column, splits dict). Pure
+    Catalyst: the bucket rank is ``size(filter(splits, s -> s <= v))``
+    over a literal array; NULLs rank 0 (sound: range predicates can't
+    match NULL anyway). Numeric columns only — the z-value orders LAYOUT,
+    not results, so approx splits never affect correctness."""
+    n_buckets = 1 << n_bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    quantiles = df.stat.approxQuantile(cols, probs, 0.001)
+    splits: dict = {}
+    buckets = []
+    for col, qs in zip(cols, quantiles):
+        sp = sorted(set(qs))
+        splits[col] = sp
+        arr = F.array(*[F.lit(s) for s in sp])
+        buckets.append(F.size(F.filter(arr, lambda s: s <= F.col(col).cast("double"))))
+    m = len(cols)
+    terms = []
+    for b in range(n_bits):
+        for j, bucket in enumerate(buckets):
+            terms.append(
+                F.shiftleft(F.shiftright(bucket.cast("long"), b).bitwiseAND(F.lit(1)), b * m + j)
+            )
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z, splits
+
+
 def _entries_stats(entries: list[dict]) -> dict:
     """Aggregate manifest-list stats over per-file entries."""
     lo = hi = None
@@ -1106,6 +1178,66 @@ class LakeTable:
             snap,
         )
 
+    def _prune_files_by_col(self, snap: dict, col: str, lo, hi) -> tuple[list[dict], int, bool]:
+        """(surviving files, total files, pruned?) for a secondary-column
+        range scan. Secondary pruning is ONLY sound on a delta-free
+        snapshot: base files hold exactly one row per key (they come from a
+        compaction's winner rewrite), so dropping a base file whose
+        [min,max] misses the range can never hide a key's winner from the
+        latest-wins join — there IS no join. With any delta file present, a
+        key's winner may live in a pruned file while a STALE row for the
+        same key survives in an unpruned one and wrongly wins — so the scan
+        falls back to the full latest-wins read (pruned=False). Files
+        without recorded stats for ``col`` are always kept (never pruned ≠
+        never wrong)."""
+        files = self._files(snap)
+        if any(f.get("delta") for f in files):
+            return files, len(files), False
+        kept = []
+        for f in files:
+            r = (f.get("cols") or {}).get(col)
+            if r is None or not (r[1] < lo or r[0] > hi):
+                kept.append(f)
+        return kept, len(files), True
+
+    def read_where(self, col: str, lo, hi, version: int | None = None) -> DataFrame:
+        """Range scan on a SECONDARY column (inclusive bounds): latest-wins
+        rows with ``lo <= col <= hi``, tombstones filtered. On a delta-free
+        snapshot whose files carry per-file stats for ``col`` (a
+        ``compact(zorder_by=[col, ...])`` layout), files are pruned
+        driver-side by those ranges before the scan — the multi-dimensional
+        complement of ``read_range``'s key pruning. On any other snapshot
+        the same call is a full latest-wins read + filter: identical
+        results, no pruning (soundness argument in
+        ``_prune_files_by_col``) — clustering is a layout property that
+        ingest deltas degrade until the next compaction, exactly the
+        Delta/Iceberg OPTIMIZE contract."""
+        snap = self.snapshot(version)
+        if hi < lo:
+            raise ValueError(f"empty range: hi {hi!r} < lo {lo!r}")
+        files, _total, _pruned = self._prune_files_by_col(snap, col, lo, hi)
+        live = self._winners_df(snap, files).filter(
+            ~F.coalesce(F.col(_TOMBSTONE), F.lit(False))
+        )
+        return self._project_logical(
+            live.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))), snap
+        )
+
+    def scan_stats(self, col: str, lo, hi, version: int | None = None) -> dict:
+        """Driver-side pruning report for a ``read_where`` scan — what a
+        query planner (or a bench) wants to know without running the scan:
+        how many files the snapshot has, how many survive the
+        secondary-column range pruning, and whether pruning applied at
+        all."""
+        snap = self.snapshot(version)
+        files, total, pruned = self._prune_files_by_col(snap, col, lo, hi)
+        return {
+            "files_total": total,
+            "files_read": len(files),
+            "rows_scanned": sum(f["rows"] for f in files),
+            "pruned": pruned,
+        }
+
     def _interval_delta_entries(self, from_version: int, to_version: int) -> list[dict] | None:
         """Delta-file entries added by each CHANGE commit in
         ``(from, to]`` — per-commit attribution over the snapshot chain
@@ -1422,6 +1554,8 @@ class LakeTable:
         *,
         cluster: bool = True,
         delta: bool = False,
+        zorder_by: list[str] | None = None,
+        stat_cols: list[str] | None = None,
     ) -> list[dict]:
         """Write parquet data files; return per-file manifest entries.
 
@@ -1433,24 +1567,55 @@ class LakeTable:
         (parquet encode is CPU-bound; one-file-per-task would cap the write
         at #files tasks). ``cluster=False`` (MOR delta appends) writes the
         DataFrame as-is: NO shuffle at all — the wide encrypted rows go
-        scan → write, and read-time dedup doesn't need clustering."""
+        scan → write, and read-time dedup doesn't need clustering.
+
+        ``zorder_by``: cluster on the Morton interleave of the named
+        NUMERIC columns instead of the key — files become tight in every
+        named dimension at once, so ``read_where`` range scans on
+        secondary columns prune at the file level (the key-range manifest
+        pruning is given up for that rewrite: multi-dim locality and
+        1-dim key locality are exclusive layouts). Costs one extra pass
+        (approx-quantile split points) over the rewrite input."""
         staged = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
         if cluster:
             parallel_floor = min(
                 4 * self.spark.sparkContext.defaultParallelism, max(1, n_rows // 100_000)
             )
             n_files = max(1, -(-n_rows // target_rows), parallel_floor) if n_rows else 1
-            df = df.repartitionByRange(n_files, F.col(key_col))
+            if zorder_by:
+                z, _ = _zvalue_column(df, zorder_by)
+                df = (
+                    df.withColumn("_zv", z)
+                    .repartitionByRange(n_files, F.col("_zv"))
+                    .sortWithinPartitions("_zv")
+                    .drop("_zv")
+                )
+            else:
+                df = df.repartitionByRange(n_files, F.col(key_col))
         df.write.mode("overwrite").parquet(staged)
-        entries = self._adopt_staged(staged, version, key_col, delta=delta)
+        entries = self._adopt_staged(
+            staged, version, key_col, delta=delta,
+            stat_cols=list(zorder_by or stat_cols or ()),
+        )
         import shutil
 
         shutil.rmtree(staged, ignore_errors=True)
         return entries
 
-    def _adopt_staged(self, staged: str, version: int, key_col: str, *, delta: bool) -> list[dict]:
+    def _adopt_staged(
+        self,
+        staged: str,
+        version: int,
+        key_col: str,
+        *,
+        delta: bool,
+        stat_cols: list[str] | None = None,
+    ) -> list[dict]:
         """Move staged parquet files into the data dir + collect footer key
-        stats (driver-side, O(#files-added) metadata)."""
+        stats (driver-side, O(#files-added) metadata). ``stat_cols``:
+        additionally record per-file [min, max] for these secondary
+        columns (``cols`` manifest field) — the ``read_where`` pruning
+        metadata a z-order rewrite produces."""
         entries = []
         i = 0
         for name in sorted(os.listdir(staged)):
@@ -1464,6 +1629,10 @@ class LakeTable:
                 os.unlink(os.path.join(self._data_dir, dst_name))
                 continue
             entry = {"path": dst_name, "rows": rows, "min_key": lo, "max_key": hi}
+            if stat_cols:
+                entry["cols"] = _file_col_stats(
+                    os.path.join(self._data_dir, dst_name), stat_cols
+                )
             if delta:
                 entry["delta"] = True
             entries.append(entry)
@@ -1974,8 +2143,24 @@ class LakeTable:
             return sum(1 for f in snap["files"] if f.get("delta"))
         return sum(m["n_files"] for m in snap["manifests"] if m.get("delta_rows"))
 
-    def compact(self, retries: int = 2) -> dict:
-        """Fold MOR delta files into key-range-clustered base files.
+    def compact(
+        self,
+        retries: int = 2,
+        zorder_by: list[str] | None = None,
+        stat_cols: list[str] | None = None,
+    ) -> dict:
+        """Fold MOR delta files into key-range-clustered base files —
+        or, with ``zorder_by``, into Morton-interleave-clustered files
+        (the Delta ``OPTIMIZE ... ZORDER BY`` analog) whose per-file
+        secondary-column ranges are recorded in the manifest so
+        ``read_where`` scans on those columns prune at the file level.
+        With ``zorder_by`` the rewrite is NOT a no-op on a delta-free
+        table: re-clustering an already-compacted layout is the point.
+        ``stat_cols`` records per-file secondary-column ranges WITHOUT
+        changing the clustering (the Iceberg column-metrics analog) — on a
+        key-clustered layout those ranges are ~full-width per file, so
+        ``read_where`` keeps every file: recording stats is cheap, the
+        LAYOUT is what makes them selective.
 
         Runs the read-time latest-wins reconstruction ONCE and materializes
         the result — afterwards ``read()`` takes the no-dedup fast path,
@@ -1994,7 +2179,7 @@ class LakeTable:
         for _ in range(retries + 1):
             snap = self.snapshot()
             files = self._files(snap)
-            if not any(f.get("delta") for f in files):
+            if not any(f.get("delta") for f in files) and not zorder_by and not stat_cols:
                 return {"version": snap["version"], "noop": True, "reason": "no delta files"}
             schema = T.StructType.fromJson(snap["schema"])
             est_rows, _ = self._totals(snap)
@@ -2004,6 +2189,7 @@ class LakeTable:
             new_entries = self._write_files(
                 self._winners_df(snap), nv, snap["key_col"],
                 snap.get("target_file_rows", 500_000), est_rows,
+                zorder_by=zorder_by, stat_cols=stat_cols,
             )
             # added_at=None: compaction rewrites state, it doesn't change it
             manifests = (
@@ -2022,6 +2208,7 @@ class LakeTable:
                         "files_removed": len(files),
                         "files_added": len(new_entries),
                         "total_rows": sum(e["rows"] for e in new_entries),
+                        **({"zorder_by": list(zorder_by)} if zorder_by else {}),
                     },
                 )
             except CommitConflict as e:
