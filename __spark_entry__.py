@@ -1166,6 +1166,50 @@ def q_text_decontaminate(spark, sf_dir):
     return textops.decontaminate(train, bench, k=3)
 
 
+def q_text_decontaminate_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination (textops.decontaminate_bloom):
+    same eval-set split and the same contaminated-doc output as
+    text_decontaminate, but the benchmark ships as a BIT ARRAY probed
+    map-side in pure Catalyst, and only Bloom-surviving candidate shingles
+    enter the exact-confirm join — the shape for decontaminating against a
+    benchmark set too big to broadcast exactly. The Bloom filter has no
+    false negatives and the confirm join removes its false positives, so
+    the result is bit-identical to the exact operator (same DuckDB
+    oracle)."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return textops.decontaminate_bloom(train, bench, k=3)
+
+
+def q_corpus_quality_classifier(spark, sf_dir):
+    """Hashed linear quality/marker classifier (mlops.train_classifier +
+    score_classifier — the fastText/CCNet-style corpus filter): full-batch
+    logistic regression over hashed bag-of-words counts, INTEGER-EXACT at
+    every cross-partition boundary (int64 quantized weights/errors/
+    gradients), so the trained model and every score are bit-identical
+    under any partitioning — and under the independent-numpy oracle.
+    Fixture label: count('table') > count('key') per doc — balanced
+    (~38% positive) and margin-separable in count space, so the learned
+    model actually discriminates (0.98 acc at sf0.1; the planted-fixture
+    pytest pins optimizer quality separately). Returns
+    (doc_id, score_q, pred) for every doc. Cost note: ~12 train
+    iterations x 2 bounded Spark jobs — per-query wall here is iteration
+    SCHEDULING latency (fixed), not data volume; at 100 TB training runs
+    on the md5-rule sample while this same scoring plan sweeps the
+    corpus."""
+    from ztdf_spark import mlops
+
+    d = _t(spark, sf_dir, "documents")
+    marker = "size(filter(split(lower(text), ' '), w -> w = '{}'))"
+    model = mlops.train_classifier(
+        d,
+        label_expr=f"{marker.format('table')} > {marker.format('key')}",
+        dim=256, iters=12, lr=2.0,
+    )
+    return mlops.score_classifier(d, model)
+
+
 def q_corpus_mixture(spark, sf_dir):
     """Deterministic domain-mixture sampling (textops.mixture_sample): per-
     language target rates applied via the engine-portable md5-threshold
@@ -1700,6 +1744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": q_dedup_substring,
         "text_bm25": q_text_bm25,
         "cdc_zorder_scan": q_cdc_zorder_scan,
+        "text_decontaminate_bloom": q_text_decontaminate_bloom,
+        "corpus_quality_classifier": q_corpus_quality_classifier,
         # CDC engine semantics (SURVEY.md §2.3 stages)
         "cdc_latest_wins": q_cdc_latest_wins,
         "cdc_merge_state_agg": q_cdc_merge_state_agg,
@@ -2532,6 +2578,11 @@ def oracle_sql() -> dict[str, str]:
         FROM hits JOIN bench USING (shingle)
         GROUP BY doc_id
         """
+    # Bloom-prefiltered variant: bit-identical to the exact operator by
+    # construction (no false negatives + exact-confirm join), so the SAME
+    # exact-overlap SQL is its oracle — any Bloom bug that drops or invents
+    # a hit breaks the hash
+    d["text_decontaminate_bloom"] = d["text_decontaminate"]
     # PII scrub: same doc_id-derived planting, same Java/RE2-portable
     # patterns (see textops.PII_PATTERNS), counts on the raw text, md5 of
     # the sequentially-replaced text (DuckDB regexp_replace needs the 'g'

@@ -622,3 +622,42 @@ def test_bm25_tf_saturation_and_rare_term_weight(spark):
     d = {x["doc_id"]: x["score"]
          for x in textops.bm25_topk(docs, [(1, "dog")], top_k=20).collect()}
     assert d[4] > r[1]  # df(dog)=1 << df(cat)=9 → far heavier per-term weight
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_bloom_equals_exact(spark, docs):
+    bench = spark.createDataFrame(
+        [(100, "the lazy dog sat still"), (101, "la casa que ladra fuerte")],
+        "doc_id long, text string",
+    )
+    exact = sorted(map(tuple, textops.decontaminate(docs, bench, k=3).collect()))
+    bloom = sorted(map(tuple, textops.decontaminate_bloom(docs, bench, k=3).collect()))
+    assert bloom == exact and len(exact) == 3
+
+
+def test_decontaminate_bloom_exact_even_at_high_fpr(spark, docs):
+    """1 bit/item + 1 hash = a nearly-useless filter that passes lots of
+    false positives — the exact-confirm join must still remove every one."""
+    bench = spark.createDataFrame(
+        [(100, "the lazy dog sat still"), (101, "la casa que ladra fuerte")],
+        "doc_id long, text string",
+    )
+    exact = sorted(map(tuple, textops.decontaminate(docs, bench, k=3).collect()))
+    bloom = sorted(map(tuple, textops.decontaminate_bloom(
+        docs, bench, k=3, bits_per_item=1, n_hashes=1).collect()))
+    assert bloom == exact
+
+
+def test_decontaminate_bloom_probe_is_mapside_catalyst(spark, docs):
+    """The bit-test filter runs below any exchange/join on the corpus side
+    (map-side kill) and the whole probe is JVM-side — no Python workers."""
+    bench = spark.createDataFrame([(100, "the lazy dog sat still")],
+                                  "doc_id long, text string")
+    plan = (textops.decontaminate_bloom(docs, bench, k=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "xxhash64" in plan and "shiftright" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

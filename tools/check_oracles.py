@@ -1287,7 +1287,68 @@ def _pandas_mm_resize(sf_dir, n=30, seed=42, out_w=8, out_h=8):
     return pd.DataFrame(recs, columns=["media_id", "out_w", "out_h", "resized_md5"])
 
 
+def _pandas_quality_classifier(sf_dir, dim=256, iters=12, lr=2.0, l2=1e-3, salt="qc"):
+    """Oracle for q_corpus_quality_classifier: the full integer-exact
+    logistic-regression loop recomputed in plain numpy/hashlib — same md5
+    feature hashing, same 2^20 quantization of weights / per-doc errors /
+    gradients, same clip — then the exact int64 scores. Any deviation in
+    the Spark implementation (a float sum crossing partitions, a wrong
+    quantization point) breaks row equality."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq_
+
+    Q = 1 << 20
+    tbl = pq_.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    doc_ids = tbl.column("doc_id").to_pylist()
+    texts = [t.lower() for t in tbl.column("text").to_pylist()]
+
+    def widx(w):
+        return int(hashlib.md5((salt + w).encode()).hexdigest()[:8], 16) % dim
+
+    feats = []
+    y = []
+    for t in texts:
+        ws = t.split(" ")
+        v: dict = {}
+        for w in ws:
+            i = widx(w)
+            v[i] = v.get(i, 0) + 1
+        feats.append(v)
+        y.append(1.0 if ws.count("table") > ws.count("key") else 0.0)
+    y = np.array(y)
+    n = len(y)
+    w = np.zeros(dim)
+    b = 0.0
+    for _ in range(iters):
+        wq = np.rint(w * Q).astype(np.int64)
+        zq = np.array([sum(c * int(wq[i]) for i, c in v.items()) for v in feats],
+                      dtype=np.int64)
+        z = zq / Q + b
+        p = 1.0 / (1.0 + np.exp(-np.clip(z, -30.0, 30.0)))
+        eq = np.rint((p - y) * Q).astype(np.int64)
+        gq = np.zeros(dim, dtype=np.int64)
+        for v, e in zip(feats, eq):
+            for i, c in v.items():
+                gq[i] += c * int(e)
+        w -= lr * (gq / (Q * n) + l2 * w)
+        b -= lr * float(np.sum(eq)) / (Q * n)
+    wq = np.rint(w * Q).astype(np.int64)
+    bq = int(np.rint(b * Q))
+    score = np.array([sum(c * int(wq[i]) for i, c in v.items()) for v in feats],
+                     dtype=np.int64) + bq
+    return pd.DataFrame({
+        "doc_id": np.asarray(doc_ids, dtype=np.int64),
+        "score_q": score,
+        "pred": (score > 0).astype(np.int32),
+    })
+
+
 PANDAS_ORACLES = {
+    "corpus_quality_classifier": _pandas_quality_classifier,
     "bpe_train": _pandas_bpe_train,
     "bpe_encode": _pandas_bpe_encode,
     "ann_topk_cosine": _pandas_ann_cosine,

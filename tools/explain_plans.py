@@ -577,6 +577,36 @@ def main():
         ],
     )
 
+    # Bloom-prefiltered decontamination: the bit-test filter (xxhash64 →
+    # element_at/shiftright over ONE plan-literal long array) kills
+    # non-candidate corpus shingles MAP-SIDE, below any exchange; the
+    # whole probe stays JVM-side
+    dump(
+        "text_decontaminate_bloom",
+        em.q_text_decontaminate_bloom(spark, sf),
+        [
+            ("map-side Bloom bit-test on the corpus shingles", r"xxhash64", True),
+            ("bit extraction in Catalyst (shiftright)", r"shiftright", True),
+            ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
+            ("no cartesian product", r"CartesianProduct", False),
+        ],
+    )
+
+    # Quality-classifier scoring (the 100 TB path of the operator): final
+    # quantized weights ride as a plan literal probed via element_at — no
+    # weights join — and the per-doc dot product is a partial-combine
+    # int64 aggregate; nothing leaves the JVM
+    dump(
+        "corpus_quality_classifier",
+        em.q_corpus_quality_classifier(spark, sf),
+        [
+            ("partial (map-side) aggregation before exchange", r"partial", True),
+            ("weights probed from a literal (no weights join)", r"element_at", True),
+            ("pure Catalyst scoring (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
+            ("no cartesian product", r"CartesianProduct", False),
+        ],
+    )
+
     # ExactSubstr span dedup: the duplicate decision is a partial-combine
     # hash count on the gram md5; coverage applies map-side via an
     # index-lambda filter after ONE equi-join on doc_id — no windows, no

@@ -61,6 +61,11 @@ SimpleOpenTDFControllerService), re-expressed Spark-first:
                    HKDF payload key, GMAC or deterministic-ECDSA binding)
 - ``bloom``      — opt-in per-delta-file key Bloom filters for point-lookup
                    file skipping at the manifest layer
+- ``mlops``      — integer-exact hashed linear text classifier (the
+                   fastText/CCNet-style corpus quality filter): distributed
+                   full-batch logistic regression whose cross-partition math
+                   is all int64 (bit-identical under any layout), literal-
+                   weight pure-Catalyst scoring
 """
 
 __version__ = "0.1.0"

@@ -1,0 +1,187 @@
+"""Hashed linear text classifier — the fastText-style quality / language
+filter every LLM corpus pipeline trains (CCNet's wiki-vs-web classifier,
+the GPT-3 / LLaMA CommonCrawl quality filters) — as an INTEGER-EXACT
+distributed logistic regression.
+
+Why integer-exact: the driver contract hash-compares results against an
+independent oracle, and floating-point SUMS across partitions reorder
+under every layout change. So every cross-partition aggregate here is
+int64 (exact, associative, layout-invariant) and every float op happens
+either per-row (same input → same bits everywhere) or single-threaded on
+the driver with numpy — the same numpy the oracle runs. The trick is the
+repo's standard one (integer-exact BM25, blocked int64 GEMM): quantize at
+the row (weights → round(w·2^20), per-doc error → round((p−y)·2^20)),
+aggregate exactly, de-quantize on the driver.
+
+Distributed shape (the 100 TB story):
+- Feature extraction is one tokens→(doc,idx) partial-combine aggregate —
+  the only corpus-sized shuffle, and it is cached once for the whole
+  training loop.
+- Training runs on a DETERMINISTIC md5-rule sample (``train_frac``,
+  the mixture_sample/_hash8 rule) — classifier training is
+  sample-bounded by contract, exactly like the IVF/PQ train samples;
+  per iteration the executors compute int64 feature dot products
+  against a plan-literal quantized weight array (pure Catalyst,
+  ``element_at`` on a dim-sized literal) and int64 gradient sums with
+  map-side combine (shuffle = dim rows); only the per-doc logit column
+  (one int64 per TRAIN doc) ever reaches the driver, where numpy does
+  the sigmoid/update.
+- Scoring the full corpus is the cheap path: the final weights ride as a
+  literal, one partial-combine aggregate per doc, no joins, no Python.
+
+No counterpart in the reference (it has no ML surface) — this belongs to
+the training-data operator suite alongside dedup/dsir/lm-score.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Q_SCALE = 1 << 20  # weight / error quantization step = 2^-20
+
+
+def _word_idx(dim: int, salt: str):
+    """Feature index of a word: 32-bit md5 prefix mod dim — hashlib
+    reproduces it bit-for-bit in the oracle (and DuckDB could too)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col("w"))), 1, 8), 16, 10)
+        .cast("long")
+        % F.lit(dim)
+    ).alias("idx")
+
+
+def hashed_features(
+    docs: DataFrame, *, dim: int = 512, salt: str = "qc", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, idx, cnt): hashed bag-of-words term counts. One
+    partial-combine aggregate over the exploded tokens — the corpus-sized
+    shuffle of the classifier, paid once and cached across iterations."""
+    return (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+        )
+        .select("doc_id", _word_idx(dim, salt))
+        .groupBy("doc_id", "idx")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _dot_q(features: DataFrame, wq: list[int]) -> DataFrame:
+    """(doc_id, zq): exact int64 feature·weight dot against the quantized
+    weights as ONE plan literal — no join, partial-combine aggregate."""
+    lit_w = F.lit([int(x) for x in wq]).cast("array<long>")
+    return (
+        features.withColumn("_wq", lit_w)
+        .select(
+            "doc_id",
+            (F.col("cnt") * F.element_at("_wq", F.col("idx").cast("int") + 1)).alias("t"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("t").alias("zq"))
+    )
+
+
+def train_classifier(
+    docs: DataFrame,
+    *,
+    label_expr: str,
+    dim: int = 512,
+    iters: int = 30,
+    lr: float = 0.5,
+    l2: float = 1e-3,
+    train_frac: float = 1.0,
+    salt: str = "qc",
+    text_col: str = "text",
+) -> dict:
+    """Full-batch logistic regression; returns
+    ``{"wq": [dim ints], "bq": int, "dim", "salt", "n_train"}`` with
+    weights quantized at 2^-20. ``label_expr`` is a SQL boolean over the
+    doc row (e.g. ``"lang = 'en'"`` for the language filter,
+    ``"source = 'wiki'"`` for a CCNet-style quality filter).
+
+    Deterministic under ANY partitioning/cluster size: all cross-partition
+    math is int64; sigmoid/update run on collected per-doc logits (train
+    sample only) in driver numpy. ``train_frac`` applies the md5-threshold
+    document rule (engine-portable, layout-free) — at 100 TB you train on
+    the sample and score everything."""
+    spark = docs.sparkSession
+    train = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(text_col),
+        F.expr(label_expr).cast("int").alias("y"),
+    )
+    if train_frac < 1.0:
+        from .textops import _hash8, _rate_threshold
+
+        train = train.filter(
+            _hash8(F.col("doc_id"), salt + "-train") < F.lit(_rate_threshold(train_frac))
+        )
+    feats = hashed_features(train, dim=dim, salt=salt, text_col=text_col).cache()
+    labels = {
+        r["doc_id"]: r["y"] for r in train.select("doc_id", "y").collect()
+    }  # train-sample-bounded by contract
+    n = len(labels)
+    w = np.zeros(dim, dtype=np.float64)
+    b = 0.0
+    for _ in range(iters):
+        wq = np.rint(w * Q_SCALE).astype(np.int64)
+        zrows = _dot_q(feats, wq.tolist()).collect()
+        ids = np.array([r["doc_id"] for r in zrows], dtype=np.int64)
+        z = np.array([r["zq"] for r in zrows], dtype=np.float64) / Q_SCALE + b
+        y = np.array([labels[i] for i in ids], dtype=np.float64)
+        # clip keeps exp() in range; the oracle clips identically
+        p = 1.0 / (1.0 + np.exp(-np.clip(z, -30.0, 30.0)))
+        eq = np.rint((p - y) * Q_SCALE).astype(np.int64)
+        edf = F.broadcast(
+            spark.createDataFrame(
+                list(zip(ids.tolist(), eq.tolist())), "doc_id long, eq long"
+            )
+        )
+        grows = (
+            feats.join(edf, "doc_id")
+            .groupBy("idx")
+            .agg(F.sum(F.col("cnt") * F.col("eq")).alias("gq"))
+            .collect()
+        )
+        grad = np.zeros(dim, dtype=np.float64)
+        for r in grows:
+            grad[int(r["idx"])] = r["gq"]
+        grad /= Q_SCALE * n
+        # docs with zero train-set features contribute 0 to grad but must
+        # still pull the bias (their p comes from b alone)
+        w -= lr * (grad + l2 * w)
+        b -= lr * float(np.sum(eq)) / (Q_SCALE * n)
+    feats.unpersist()
+    return {
+        "wq": np.rint(w * Q_SCALE).astype(np.int64).tolist(),
+        "bq": int(np.rint(b * Q_SCALE)),
+        "dim": dim,
+        "salt": salt,
+        "n_train": n,
+    }
+
+
+def score_classifier(
+    docs: DataFrame, model: dict, *, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, score_q, pred) for EVERY doc — the 100 TB path: final
+    weights as a plan literal, one partial-combine aggregate, pure
+    Catalyst. ``score_q`` = round(2^20 · logit) exactly (int64);
+    ``pred`` = score_q > 0. Docs whose every token hashes to weight-0
+    lanes still score (bias)."""
+    feats = hashed_features(
+        docs, dim=model["dim"], salt=model["salt"], text_col=text_col
+    )
+    zq = _dot_q(feats, model["wq"])
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    return (
+        base.join(zq, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("zq"), F.lit(0)) + F.lit(model["bq"])).alias("score_q"),
+        )
+        .withColumn("pred", (F.col("score_q") > 0).cast("int"))
+    )

@@ -467,6 +467,75 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, k: int = 3) -> DataFram
     )
 
 
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    *,
+    bits_per_item: int = 16,
+    n_hashes: int = 8,
+) -> DataFrame:
+    """``decontaminate`` for a benchmark set TOO BIG TO BROADCAST exactly —
+    identical output (the Bloom prefilter has no false negatives and an
+    exact-confirm join removes its false positives), different 100 TB
+    shape. ``decontaminate`` broadcasts the benchmark's distinct shingle
+    SET; fine for eval suites, impossible when decontaminating against
+    another multi-TB corpus (held-out split, licensed set). Here only a
+    BIT ARRAY is shipped: m = 2^ceil(log2(16·n_shingles)) bits (~2 bits/
+    shingle of exact-set footprint per hash at 16 bits/item · 8 hashes →
+    FPR ≈ 6e-4), the corpus probes it MAP-SIDE in pure Catalyst
+    (xxhash64 → element_at/shiftright on one plan-literal long array), and
+    only surviving candidate rows — contaminated shingles plus the ~6e-4
+    false-positive trickle — enter the confirm join, which therefore
+    shuffles O(hits), not O(corpus shingles), and needs no broadcast of
+    the exact set at all.
+
+    Build cost is benchmark-side only: distinct shingles → n_hashes bit
+    positions each → DISTINCT positions collected driver-side (bounded by
+    m bits, NOT by benchmark size) → numpy bit-set. Deterministic:
+    xxhash64 is seed-fixed, the seed index rides as a hashed column.
+
+    Returns ``(doc_id, n_hits, first_hit)`` exactly as ``decontaminate``
+    (same DuckDB oracle)."""
+    bench_sh = shingles(benchmark, k).select("shingle").distinct()
+    n_sh = bench_sh.count()
+    m = 1 << max(10, int(max(n_sh, 1) * bits_per_item - 1).bit_length())
+    pos = bench_sh.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("shingle"), F.lit(s)), F.lit(m))
+                    for s in range(n_hashes)
+                ]
+            )
+        ).alias("p")
+    ).distinct()
+    words = np.zeros(m // 64, dtype=np.uint64)
+    idx = np.asarray([r[0] for r in pos.collect()], dtype=np.int64)
+    np.bitwise_or.at(words, idx // 64, np.uint64(1) << (idx % 64).astype(np.uint64))
+    # ONE plan literal (referenced by name below — embedding it per-hash
+    # would copy the array into the plan n_hashes times)
+    probe = shingles(docs, k).withColumn(
+        "_bw", F.lit([int(x) for x in words.view(np.int64)])
+    )
+    tests = [
+        F.expr(
+            f"(shiftright(element_at(_bw, cast(pmod(xxhash64(shingle, {s}), {m}) DIV 64"
+            f" AS int) + 1), cast(pmod(xxhash64(shingle, {s}), {m}) % 64 AS int)) & 1) = 1"
+        )
+        for s in range(n_hashes)
+    ]
+    cond = tests[0]
+    for t in tests[1:]:
+        cond = cond & t
+    candidates = probe.filter(cond).drop("_bw")
+    hits = candidates.join(bench_sh, "shingle")
+    return hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_hits"),
+        F.min("shingle").alias("first_hit"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic domain-mixture sampling
 # ---------------------------------------------------------------------------
