@@ -1082,6 +1082,39 @@ def q_bpe_encode(spark, sf_dir):
     return bpeops.bpe_encode(docs, merges)
 
 
+def q_tok_unigram_vocab(spark, sf_dir):
+    """Unigram-LM (SentencePiece-model) vocabulary training
+    (unigram.unigram_train — Kudo 2018, hard-EM variant): substring
+    seeding in pure Catalyst, per-round Viterbi E-step over the bounded
+    distinct-word table, int64 M-step counts, prune to vocab_size under
+    the (count desc, piece asc) total order. Viterbi compares path
+    probabilities EXACTLY (big-int cross-multiplication, no log-floats),
+    so the learned vocabulary is bit-identical under any layout and under
+    the independent Fraction-arithmetic oracle."""
+    from ztdf_spark import unigram
+
+    return unigram.unigram_vocab_df(
+        _t(spark, sf_dir, "documents"), vocab_size=48, seed_size=256, max_piece_len=6
+    )
+
+
+def q_tok_unigram_encode(spark, sf_dir):
+    """Viterbi tokenization with the learned unigram vocabulary
+    (unigram.unigram_encode): map-only Arrow-batched pass with the model
+    in the closure and per-batch word memoization — per doc the piece
+    count and an order-sensitive md5 digest of the piece sequence (the
+    bpe_encode output shape)."""
+    from ztdf_spark import unigram
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = unigram.unigram_train(docs, vocab_size=48, seed_size=256, max_piece_len=6)
+    return unigram.unigram_encode(docs, vocab).select(
+        "doc_id",
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+        F.md5(F.concat_ws(" ", "pieces")).alias("pieces_md5"),
+    )
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic train/val/test split (textops.corpus_split): one
     label per doc from a cumulative md5 threshold — a pure row-local
@@ -1746,6 +1779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_zorder_scan": q_cdc_zorder_scan,
         "text_decontaminate_bloom": q_text_decontaminate_bloom,
         "corpus_quality_classifier": q_corpus_quality_classifier,
+        "tok_unigram_vocab": q_tok_unigram_vocab,
+        "tok_unigram_encode": q_tok_unigram_encode,
         # CDC engine semantics (SURVEY.md §2.3 stages)
         "cdc_latest_wins": q_cdc_latest_wins,
         "cdc_merge_state_agg": q_cdc_merge_state_agg,

@@ -1287,6 +1287,200 @@ def _pandas_mm_resize(sf_dir, n=30, seed=42, out_w=8, out_h=8):
     return pd.DataFrame(recs, columns=["media_id", "out_w", "out_h", "resized_md5"])
 
 
+def _py_unigram_train(sf_dir, vocab_size=48, seed_size=256, max_piece_len=6,
+                      sample_docs=10_000, seed=42, shrink_num=3, shrink_den=4,
+                      max_rounds=16):
+    """Independent unigram-LM trainer: Counter word frequencies over the
+    same md5 doc-sample rule, substring seeding, hard-EM rounds with the
+    (count desc, piece asc) prune order, and Fraction-exact Viterbi (a
+    DIFFERENT exactness mechanism than unigram.py's big-int
+    cross-multiplication — same rational semantics, none of its code)."""
+    import hashlib
+    from collections import Counter
+    from fractions import Fraction
+
+    d = _docs_pdf(sf_dir)
+    n = len(d)
+    frac = min(1.0, (sample_docs * 1.5) / max(1, n))
+    thr = "g" if frac >= 1.0 else format(int(frac * (1 << 32)), "08x")
+    keyed = sorted(
+        (hashlib.md5(f"bpe{seed}-{int(i)}".encode()).hexdigest()[:8], int(i), t)
+        for i, t in zip(d["doc_id"], d["text"])
+    )
+    texts = [t for h, _i, t in keyed if h < thr][:sample_docs]
+    wf = Counter()
+    for t in texts:
+        for w in str(t).lower().split(" "):
+            if w:
+                wf[w] += 1
+
+    def viterbi(word, counts, total):
+        m = len(word)
+        best = [None] * (m + 1)
+        best[0] = (Fraction(1), 0, -1, "")
+        for j in range(1, m + 1):
+            inc = None
+            for i in range(max(0, j - max_piece_len), j):
+                if best[i] is None:
+                    continue
+                c = counts.get(word[i:j])
+                if not c:
+                    continue
+                sc = best[i][0] * Fraction(c, total)
+                k = best[i][1] + 1
+                if inc is None or sc > inc[0] or (sc == inc[0] and k < inc[1]):
+                    inc = (sc, k, i, word[i:j])
+            best[j] = inc
+        if best[m] is None:
+            return None
+        out = []
+        j = m
+        while j > 0:
+            _, _, i, piece = best[j]
+            out.append(piece)
+            j = i
+        return out[::-1]
+
+    def seg_or_unk(word, counts, total):
+        got = viterbi(word, counts, total)
+        if got is not None:
+            return got
+        out, run = [], ""
+        for ch in word:
+            if ch in counts:
+                run += ch
+            else:
+                if run:
+                    out.extend(viterbi(run, counts, total))
+                    run = ""
+                out.append("<unk>")
+        if run:
+            out.extend(viterbi(run, counts, total))
+        return out
+
+    def estep(vocab):
+        total = sum(vocab.values())
+        used = Counter()
+        for w, f in wf.items():
+            for p in seg_or_unk(w, vocab, total):
+                used[p] += f
+        used.pop("<unk>", None)
+        return dict(used)
+
+    # seed: occurrence-weighted substring mass, all chars + top multi
+    sub = Counter()
+    for w, f in wf.items():
+        for i in range(len(w)):
+            for l in range(1, min(max_piece_len, len(w) - i) + 1):
+                sub[w[i:i + l]] += f
+    vocab = {p: c for p, c in sub.items() if len(p) == 1}
+    multi = sorted(((p, c) for p, c in sub.items() if len(p) > 1),
+                   key=lambda pc: (-pc[1], pc[0]))[:seed_size]
+    vocab.update(dict(multi))
+
+    for _ in range(max_rounds):
+        used = estep(vocab)
+        chars = {p for p in vocab if len(p) == 1}
+        n_multi = max(0, len(vocab) - len(chars))
+        target_multi = max(max(0, vocab_size - len(chars)),
+                           n_multi * shrink_num // shrink_den)
+        keep = {p: used.get(p, 1) for p in chars}
+        kept_multi = sorted(((p, c) for p, c in used.items()
+                             if len(p) > 1 and p in vocab),
+                            key=lambda pc: (-pc[1], pc[0]))[:target_multi]
+        keep.update(dict(kept_multi))
+        done = len(keep) <= max(vocab_size, len(chars)) and n_multi == len(kept_multi)
+        vocab = keep
+        if done:
+            break
+    final = estep(vocab)
+    out = {p: (final.get(p, 1) if len(p) == 1 else final.get(p, 0)) for p in vocab}
+    out = {p: c for p, c in out.items() if c > 0 or len(p) == 1}
+    return sorted(out.items(), key=lambda pc: (-pc[1], pc[0]))
+
+
+def _pandas_unigram_vocab(sf_dir):
+    import pandas as pd
+
+    v = _py_unigram_train(sf_dir)
+    return pd.DataFrame(
+        [(i, p, c) for i, (p, c) in enumerate(v)], columns=["rank", "piece", "cnt"]
+    ).astype({"rank": "int32", "cnt": "int64"})
+
+
+def _pandas_unigram_encode(sf_dir):
+    import hashlib
+    from fractions import Fraction
+
+    import pandas as pd
+
+    vocab = dict(_py_unigram_train(sf_dir))
+    total = sum(vocab.values())
+    max_piece_len = 6
+
+    def viterbi(word):
+        m = len(word)
+        best = [None] * (m + 1)
+        best[0] = (Fraction(1), 0, -1, "")
+        for j in range(1, m + 1):
+            inc = None
+            for i in range(max(0, j - max_piece_len), j):
+                if best[i] is None:
+                    continue
+                c = vocab.get(word[i:j])
+                if not c:
+                    continue
+                sc = best[i][0] * Fraction(c, total)
+                k = best[i][1] + 1
+                if inc is None or sc > inc[0] or (sc == inc[0] and k < inc[1]):
+                    inc = (sc, k, i, word[i:j])
+            best[j] = inc
+        if best[m] is None:
+            return None
+        out = []
+        j = m
+        while j > 0:
+            _, _, i, piece = best[j]
+            out.append(piece)
+            j = i
+        return out[::-1]
+
+    memo: dict = {}
+
+    def seg(word):
+        got = memo.get(word)
+        if got is not None:
+            return got
+        got = viterbi(word)
+        if got is None:
+            got, run = [], ""
+            for ch in word:
+                if ch in vocab:
+                    run += ch
+                else:
+                    if run:
+                        got.extend(viterbi(run))
+                        run = ""
+                    got.append("<unk>")
+            if run:
+                got.extend(viterbi(run))
+        memo[word] = got
+        return got
+
+    d = _docs_pdf(sf_dir)
+    recs = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        pieces = []
+        for w in str(t).lower().split(" "):
+            if w:
+                pieces.extend(seg(w))
+        recs.append((int(i), len(pieces),
+                     hashlib.md5(" ".join(pieces).encode()).hexdigest()))
+    return pd.DataFrame(recs, columns=["doc_id", "n_pieces", "pieces_md5"]).astype(
+        {"doc_id": "int64", "n_pieces": "int64"}
+    )
+
+
 def _pandas_quality_classifier(sf_dir, dim=256, iters=12, lr=2.0, l2=1e-3, salt="qc"):
     """Oracle for q_corpus_quality_classifier: the full integer-exact
     logistic-regression loop recomputed in plain numpy/hashlib — same md5
@@ -1349,6 +1543,8 @@ def _pandas_quality_classifier(sf_dir, dim=256, iters=12, lr=2.0, l2=1e-3, salt=
 
 PANDAS_ORACLES = {
     "corpus_quality_classifier": _pandas_quality_classifier,
+    "tok_unigram_vocab": _pandas_unigram_vocab,
+    "tok_unigram_encode": _pandas_unigram_encode,
     "bpe_train": _pandas_bpe_train,
     "bpe_encode": _pandas_bpe_encode,
     "ann_topk_cosine": _pandas_ann_cosine,

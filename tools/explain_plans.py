@@ -607,6 +607,19 @@ def main():
         ],
     )
 
+    # Unigram-LM Viterbi tokenization (the 100 TB path after training):
+    # ONE Arrow-batched MapInPandas pass with the model in the closure —
+    # map-only, zero exchanges
+    dump(
+        "tok_unigram_encode",
+        em.q_tok_unigram_encode(spark, sf),
+        [
+            ("single Arrow-batched python stage", r"MapInPandas|ArrowEvalPython", True),
+            ("map-only: zero exchanges", r"Exchange", False),
+            ("no join, no aggregate", r"Join|HashAggregate|SortAggregate", False),
+        ],
+    )
+
     # ExactSubstr span dedup: the duplicate decision is a partial-combine
     # hash count on the gram md5; coverage applies map-side via an
     # index-lambda filter after ONE equi-join on doc_id — no windows, no

@@ -61,6 +61,10 @@ SimpleOpenTDFControllerService), re-expressed Spark-first:
                    HKDF payload key, GMAC or deterministic-ECDSA binding)
 - ``bloom``      — opt-in per-delta-file key Bloom filters for point-lookup
                    file skipping at the manifest layer
+- ``unigram``    — unigram-LM (SentencePiece-model) subword tokenizer,
+                   hard-EM over the distinct-word table with exact-rational
+                   Viterbi (big-int cross-multiplication, no log-floats) —
+                   the shrinking counterpart to ``bpeops``' growing vocab
 - ``mlops``      — integer-exact hashed linear text classifier (the
                    fastText/CCNet-style corpus quality filter): distributed
                    full-batch logistic regression whose cross-partition math
