@@ -1115,6 +1115,45 @@ def q_tok_unigram_encode(spark, sf_dir):
     )
 
 
+def q_tok_wordpiece_vocab(spark, sf_dir):
+    """WordPiece vocabulary training (wordpiece.wordpiece_train —
+    Schuster & Nakajima 2012, the BERT likelihood merge rule): per round
+    two partial-combine int64 aggregates over the bounded distinct-word
+    table, broadcast symbol counts onto the pair table, and an EXACT
+    argmax of count(l,r)/(count(l)*count(r)) via a float64 prefilter band
+    + driver-side big-int cross-multiplication — bit-identical under any
+    layout and under the independent Fraction-arithmetic oracle."""
+    from ztdf_spark import wordpiece
+
+    return wordpiece.wordpiece_vocab_df(_t(spark, sf_dir, "documents"), vocab_size=64)
+
+
+def q_tok_wordpiece_encode(spark, sf_dir):
+    """BERT MaxMatch tokenization with the learned WordPiece vocabulary
+    (wordpiece.wordpiece_encode): greedy longest-match-first with
+    whole-word [UNK], one map-only Arrow-batched pass with the vocab in
+    the closure and per-batch word memoization — per doc the token count,
+    [UNK] count, and an order-sensitive md5 of the token sequence."""
+    from ztdf_spark import wordpiece
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = wordpiece.wordpiece_train(docs, vocab_size=64)
+    return wordpiece.wordpiece_encode(docs, vocab)
+
+
+def q_tok_pack_bestfit(spark, sf_dir):
+    """Best-fit-decreasing whole-document packing (tokops.pack_bestfit):
+    md5-sharded (pure function of doc_id — layout-invariant), ONE hash
+    exchange, per-shard BFD in applyInPandas; (n_tok desc, doc_id asc)
+    order, tightest-fitting bin wins (ties → lowest index), oversize docs
+    routed to bin -1, never truncated. Independent pandas FFD oracle."""
+    base = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tok"),
+    )
+    return tokops.pack_bestfit(base, context_len=128, docs_per_shard=256)
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic train/val/test split (textops.corpus_split): one
     label per doc from a cumulative md5 threshold — a pure row-local
@@ -1781,6 +1820,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quality_classifier": q_corpus_quality_classifier,
         "tok_unigram_vocab": q_tok_unigram_vocab,
         "tok_unigram_encode": q_tok_unigram_encode,
+        "tok_wordpiece_vocab": q_tok_wordpiece_vocab,
+        "tok_wordpiece_encode": q_tok_wordpiece_encode,
+        "tok_pack_bestfit": q_tok_pack_bestfit,
         # CDC engine semantics (SURVEY.md §2.3 stages)
         "cdc_latest_wins": q_cdc_latest_wins,
         "cdc_merge_state_agg": q_cdc_merge_state_agg,

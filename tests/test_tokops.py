@@ -106,3 +106,64 @@ def test_no_single_partition_funnel(spark):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan
         assert "PythonUDF" not in plan  # pure Catalyst end to end
+
+
+# ---------------------------------------------------------------- bestfit
+
+
+def _ntok_docs(spark, lens):
+    return spark.createDataFrame(
+        [(i, int(n)) for i, n in enumerate(lens)], "doc_id long, n_tok long"
+    )
+
+
+def test_bestfit_single_shard_hand_checked(spark):
+    # BFD over lengths [9,7,5,4,3,2] into capacity 10 (one shard):
+    # 9 -> bin0; 7 -> bin1; 5 -> bin2; 4 -> bin2 would be 9<=10? 5+4=9 ok
+    # but best-fit picks the TIGHTEST bin that fits: fills 9,7,5 -> 4 fits
+    # only bin2(5); 3 fits bin1(7) (tightest with room); 2 fits bin2(9)?
+    # 9+2=11>10 -> bin1(7+3=10)? full -> bin0(9)? 11>10 -> new bin3.
+    df = _ntok_docs(spark, [9, 7, 5, 4, 3, 2])
+    out = {
+        r["doc_id"]: (r["bin"], r["bin_off"])
+        for r in tokops.pack_bestfit(
+            df, context_len=10, docs_per_shard=100
+        ).collect()
+    }
+    assert out[0] == (0, 0)  # 9
+    assert out[1] == (1, 0)  # 7
+    assert out[2] == (2, 0)  # 5
+    assert out[3] == (2, 5)  # 4 -> bin2 now 9
+    assert out[4] == (1, 7)  # 3 -> bin1 now 10 (tightest fit over bin2)
+    assert out[5] == (3, 0)  # 2 fits nowhere -> new bin
+
+
+def test_bestfit_oversize_routed_not_truncated(spark):
+    df = _ntok_docs(spark, [12, 4])
+    out = {r["doc_id"]: r for r in tokops.pack_bestfit(
+        df, context_len=10, docs_per_shard=100).collect()}
+    assert out[0]["bin"] == -1 and out[0]["bin_off"] == 0
+    assert out[1]["bin"] == 0
+
+
+def test_bestfit_capacity_and_offsets_hold(spark):
+    rng = np.random.default_rng(7)
+    df = _ntok_docs(spark, rng.integers(1, 40, size=300))
+    rows = tokops.pack_bestfit(df, context_len=64, docs_per_shard=64).collect()
+    fills: dict = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["bin"], r["bin_off"])):
+        assert r["bin"] >= 0  # nothing oversize here
+        key = (r["shard"], r["bin"])
+        assert r["bin_off"] == fills.get(key, 0)  # contiguous offsets
+        fills[key] = r["bin_off"] + r["n_tok"]
+    assert all(f <= 64 for f in fills.values())
+
+
+def test_bestfit_layout_invariant(spark):
+    rng = np.random.default_rng(11)
+    df = _ntok_docs(spark, rng.integers(1, 40, size=200))
+    a = sorted(map(tuple, tokops.pack_bestfit(
+        df.coalesce(1), context_len=64, docs_per_shard=50).collect()))
+    b = sorted(map(tuple, tokops.pack_bestfit(
+        df.repartition(13), context_len=64, docs_per_shard=50).collect()))
+    assert a == b

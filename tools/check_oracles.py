@@ -1541,10 +1541,176 @@ def _pandas_quality_classifier(sf_dir, dim=256, iters=12, lr=2.0, l2=1e-3, salt=
     })
 
 
+def _pandas_pack_bestfit(sf_dir, context_len=128, docs_per_shard=256, salt="bfd"):
+    """Oracle for q_tok_pack_bestfit: the md5 shard rule + per-shard
+    best-fit-decreasing recomputed in plain Python (no Spark semantics
+    shared)."""
+    import hashlib
+
+    import pandas as pd
+
+    d = _docs_pdf(sf_dir)
+    n = len(d)
+    n_shards = max(1, -(-n // docs_per_shard))
+    recs = []
+    shards: dict = {}
+    for i, t in zip(d["doc_id"], d["text"]):
+        ntok = len([w for w in str(t).split(" ")])
+        h = int(hashlib.md5(f"{salt}-{int(i)}".encode()).hexdigest()[:8], 16)
+        shards.setdefault(h % n_shards, []).append((int(ntok), int(i)))
+    for shard, docs in shards.items():
+        docs.sort(key=lambda p: (-p[0], p[1]))
+        fills: list = []
+        for ntok, did in docs:
+            if ntok > context_len:
+                recs.append((did, ntok, shard, -1, 0))
+                continue
+            best = -1
+            for bi, fl in enumerate(fills):
+                if fl + ntok <= context_len and (best < 0 or fl > fills[best]):
+                    best = bi
+            if best < 0:
+                best = len(fills)
+                fills.append(0)
+            recs.append((did, ntok, shard, best, fills[best]))
+            fills[best] += ntok
+    return pd.DataFrame(
+        recs, columns=["doc_id", "n_tok", "shard", "bin", "bin_off"]
+    ).astype({"doc_id": "int64", "n_tok": "int64", "shard": "int32",
+              "bin": "int64", "bin_off": "int64"})
+
+
+def _py_wordpiece_train(sf_dir, vocab_size=64, sample_docs=10_000, seed=42):
+    """Independent WordPiece trainer: collections.Counter over the same
+    md5 doc-sample rule, merge winner = max EXACT Fraction score
+    count(l,r)/(count(l)*count(r)) among pairs occurring >= 2, ties
+    (left asc, right asc) — a DIFFERENT exactness mechanism than
+    wordpiece.py's float-band prefilter + big-int cross-multiplication;
+    same rational semantics, none of its code."""
+    import hashlib
+    from collections import Counter
+    from fractions import Fraction
+
+    d = _docs_pdf(sf_dir)
+    n = len(d)
+    frac = min(1.0, (sample_docs * 1.5) / max(1, n))
+    thr = "g" if frac >= 1.0 else format(int(frac * (1 << 32)), "08x")
+    keyed = sorted(
+        (hashlib.md5(f"bpe{seed}-{int(i)}".encode()).hexdigest()[:8], int(i), t)
+        for i, t in zip(d["doc_id"], d["text"])
+    )
+    texts = [t for h, _i, t in keyed if h < thr][:sample_docs]
+    wf = Counter()
+    for t in texts:
+        for w in str(t).lower().split(" "):
+            if w:
+                wf[w] += 1
+    syms = {w: [w[0]] + ["##" + c for c in w[1:]] for w in wf}
+    vocab = sorted({s for w in wf for s in syms[w]})
+    have = set(vocab)
+    while len(vocab) < vocab_size:
+        pc, sc = Counter(), Counter()
+        for w, f in wf.items():
+            s = syms[w]
+            for sym in s:
+                sc[sym] += f
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        best = None
+        for (left, right), cnt in pc.items():
+            if cnt < 2:
+                continue
+            score = Fraction(cnt, sc[left] * sc[right])
+            key = (score, (left, right))
+            if best is None or score > best[0] or (
+                score == best[0] and (left, right) < best[1]
+            ):
+                best = key
+        if best is None:
+            break
+        left, right = best[1]
+        token = left + (right[2:] if right.startswith("##") else right)
+        if token not in have:
+            vocab.append(token)
+            have.add(token)
+        for w in syms:
+            out = []
+            for s in syms[w]:
+                if out and out[-1] == left and s == right:
+                    out[-1] = token
+                else:
+                    out.append(s)
+            syms[w] = out
+    return vocab
+
+
+def _pandas_wordpiece_vocab(sf_dir):
+    import pandas as pd
+
+    v = _py_wordpiece_train(sf_dir)
+    return pd.DataFrame(list(enumerate(v)), columns=["rank", "piece"]).astype(
+        {"rank": "int32"}
+    )
+
+
+def _pandas_wordpiece_encode(sf_dir):
+    """Oracle for q_tok_wordpiece_encode: greedy longest-match-first
+    (MaxMatch) with whole-word [UNK], reimplemented plainly."""
+    import hashlib
+
+    import pandas as pd
+
+    vocab = set(_py_wordpiece_train(sf_dir))
+    max_len = max((len(p) for p in vocab), default=1)
+    memo: dict = {}
+
+    def tok(word):
+        got = memo.get(word)
+        if got is not None:
+            return got
+        out, i, n = [], 0, len(word)
+        while i < n:
+            prefix = "" if i == 0 else "##"
+            piece = None
+            for j in range(min(n, i + max_len), i, -1):
+                cand = prefix + word[i:j]
+                if cand in vocab:
+                    piece, i = cand, j
+                    break
+            if piece is None:
+                out = ["[UNK]"]
+                break
+            out.append(piece)
+        memo[word] = out
+        return out
+
+    d = _docs_pdf(sf_dir)
+    recs = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        toks = []
+        for w in str(t).lower().split(" "):
+            if w:
+                toks.extend(tok(w))
+        recs.append(
+            (
+                int(i),
+                len(toks),
+                sum(1 for x in toks if x == "[UNK]"),
+                hashlib.md5(" ".join(toks).encode()).hexdigest(),
+            )
+        )
+    return pd.DataFrame(
+        recs, columns=["doc_id", "n_tokens", "n_unk", "tokens_md5"]
+    ).astype({"doc_id": "int64", "n_tokens": "int64", "n_unk": "int64"})
+
+
 PANDAS_ORACLES = {
     "corpus_quality_classifier": _pandas_quality_classifier,
     "tok_unigram_vocab": _pandas_unigram_vocab,
     "tok_unigram_encode": _pandas_unigram_encode,
+    "tok_wordpiece_vocab": _pandas_wordpiece_vocab,
+    "tok_wordpiece_encode": _pandas_wordpiece_encode,
+    "tok_pack_bestfit": _pandas_pack_bestfit,
     "bpe_train": _pandas_bpe_train,
     "bpe_encode": _pandas_bpe_encode,
     "ann_topk_cosine": _pandas_ann_cosine,

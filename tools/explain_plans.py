@@ -620,6 +620,32 @@ def main():
         ],
     )
 
+    # WordPiece MaxMatch tokenization (the 100 TB path after training):
+    # same contract as BPE/unigram encode — ONE Arrow-batched MapInPandas
+    # pass with the vocabulary in the closure, map-only, zero exchanges
+    dump(
+        "tok_wordpiece_encode",
+        em.q_tok_wordpiece_encode(spark, sf),
+        [
+            ("single Arrow-batched python stage", r"MapInPandas|ArrowEvalPython", True),
+            ("map-only: zero exchanges", r"Exchange", False),
+            ("no join, no aggregate", r"Join|HashAggregate|SortAggregate", False),
+        ],
+    )
+
+    # Best-fit-decreasing packing: ONE hash exchange on the md5 shard key,
+    # per-shard BFD in a grouped Arrow stage — never a global sort and
+    # never a single-partition funnel
+    dump(
+        "tok_pack_bestfit",
+        em.q_tok_pack_bestfit(spark, sf),
+        [
+            ("grouped Arrow python stage", r"FlatMapGroupsInPandas", True),
+            ("hash-partitioned on shard", r"hashpartitioning\(shard", True),
+            ("no single-partition funnel", r"SinglePartition", False),
+        ],
+    )
+
     # ExactSubstr span dedup: the duplicate decision is a partial-combine
     # hash count on the gram md5; coverage applies map-side via an
     # index-lambda filter after ONE equi-join on doc_id — no windows, no

@@ -65,6 +65,10 @@ SimpleOpenTDFControllerService), re-expressed Spark-first:
                    hard-EM over the distinct-word table with exact-rational
                    Viterbi (big-int cross-multiplication, no log-floats) —
                    the shrinking counterpart to ``bpeops``' growing vocab
+- ``wordpiece``  — WordPiece (BERT) subword tokenizer: likelihood-rule
+                   merges count(l,r)/(count(l)·count(r)) selected exactly
+                   (float-band prefilter + big-int cross-multiplication),
+                   map-only MaxMatch encode with whole-word [UNK]
 - ``mlops``      — integer-exact hashed linear text classifier (the
                    fastText/CCNet-style corpus quality filter): distributed
                    full-batch logistic regression whose cross-partition math

@@ -185,3 +185,92 @@ def pack_chunks(
             "_ps", lambda p: F.struct(p["doc_id"].alias("doc_id"), p["chunk_off"].alias("chunk_off"))
         ).alias("doc_bounds"),
     )
+
+
+def pack_bestfit(
+    docs: DataFrame,
+    *,
+    context_len: int,
+    n_tok_col: str = "n_tok",
+    id_col: str = "doc_id",
+    docs_per_shard: int = 4096,
+    salt: str = "bfd",
+) -> DataFrame:
+    """Best-fit-decreasing packing WITHOUT document splitting — the layout
+    for corpora whose examples must stay whole (SFT / instruction data),
+    where concat-and-chunk's mid-document cuts are unacceptable and the
+    cost lever is PADDING waste, not boundary resets.
+
+    Distributed shape (the 100 TB story): global FFD/BFD is inherently
+    sequential, so packing is sharded — each document is assigned to a
+    shard by a pure md5 function of its id (layout-invariant, reproducible
+    cross-engine), ONE hash exchange groups the shard, and best-fit-
+    decreasing runs per shard in an Arrow-batched ``applyInPandas`` over
+    the shard's (n_tok, id) list. Shard count grows with the corpus
+    (``ceil(n / docs_per_shard)``), so per-task state stays bounded; the
+    approximation cost vs a single global BFD is one partially-filled
+    tail bin per shard at worst (BFD itself is a 11/9·OPT+6/9
+    guarantee — Dosa 2007, public literature).
+
+    Deterministic rule (mirrored by the independent pandas oracle): per
+    shard, documents in (n_tok desc, id asc) order; each goes to the bin
+    with the SMALLEST remaining capacity that still fits (ties → lowest
+    bin index), else opens a new bin. Documents with ``n_tok >
+    context_len`` can never fit: they are routed to ``bin = -1``
+    (oversize — the caller's DLQ analog), never silently truncated.
+
+    Returns ``(doc_id, n_tok, shard, bin, bin_off)``: bin index within
+    the shard and the document's token offset inside its bin.
+    """
+    if context_len <= 0:
+        raise ValueError(f"context_len must be positive, got {context_len}")
+    n = docs.count()
+    n_shards = max(1, -(-n // docs_per_shard))
+    src = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(n_tok_col).cast("long").alias("n_tok"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt + "-"), F.col(id_col).cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_shards
+        ).cast("int").alias("shard"),
+    )
+    cap = int(context_len)
+
+    def _bfd(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["n_tok", "doc_id"], ascending=[False, True])
+        fills: list = []  # fills[i] = tokens already in bin i
+        bins, offs = [], []
+        for ntok in pdf["n_tok"]:
+            t = int(ntok)
+            if t > cap:
+                bins.append(-1)
+                offs.append(0)
+                continue
+            best = -1
+            for i, fl in enumerate(fills):
+                if fl + t <= cap and (best < 0 or fl > fills[best]):
+                    best = i
+            if best < 0:
+                best = len(fills)
+                fills.append(0)
+            bins.append(best)
+            offs.append(fills[best])
+            fills[best] += t
+        out = pdf.copy()
+        out["bin"] = pd.array(bins, dtype="int64")
+        out["bin_off"] = pd.array(offs, dtype="int64")
+        return out
+
+    return src.groupBy("shard").applyInPandas(
+        _bfd, "doc_id long, n_tok long, shard int, bin long, bin_off long"
+    )

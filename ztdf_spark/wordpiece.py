@@ -1,0 +1,264 @@
+"""WordPiece subword tokenizer (Schuster & Nakajima 2012; the BERT
+vocabulary builder — public literature), Spark-first, completing the
+trainable-tokenizer family next to ``bpeops`` (BPE: merge by raw pair
+count) and ``unigram`` (unigram-LM: prune by EM likelihood).
+
+WordPiece is BPE's skeleton with a LIKELIHOOD merge rule: each round
+merges the adjacent symbol pair maximizing
+
+    score(l, r) = count(l, r) / (count(l) * count(r))
+
+— the pair whose fusion most increases corpus likelihood under a unigram
+model, not the most frequent pair. Symbols use the BERT continuation
+convention: the first character of a word is bare, every later character
+is ``##``-prefixed, and merging ``(l, r)`` yields ``l + r[2:]``.
+Encoding is NOT merge replay (the BPE/WordPiece asymmetry): it is greedy
+longest-match-first (MaxMatch) against the finished vocabulary, with a
+whole-word ``[UNK]`` on any unmatchable position — exactly the published
+BERT tokenizer.
+
+Scale shape (same skeleton as bpeops, deliberately):
+
+- ONE corpus-sized shuffle: the word-frequency aggregate over the
+  layout-invariant md5-rule document sample. Every round after runs on
+  the DISTINCT-WORD table — bounded by natural-language vocabulary,
+  never corpus size — and stays distributed.
+- Each round: pair counts and symbol counts are two partial-combine
+  int64 aggregates over that table; symbol counts (≤ vocab-sized) are
+  BROADCAST onto the pair table for the score; the winner is found by a
+  two-stage EXACT argmax (below); the merge APPLICATION is the pure-
+  Catalyst ``aggregate`` fold shared with BPE, map-only. Per-round
+  lineage is truncated with ``localCheckpoint`` (swap to ``checkpoint()``
+  on real clusters).
+- ENCODING is one Arrow-batched ``mapInPandas`` with the vocabulary in
+  the closure and per-batch word memoization — map-only, zero exchanges
+  (the legitimately-Python stage: MaxMatch is data-dependent iteration).
+
+Exact winner selection (the repo's integer-exact discipline): the merge
+rule compares RATIONALS cnt/(cl*cr). A float64 score is computed only as
+a PREFILTER — one max aggregate, then every pair within a 1e-9 relative
+band of that max (float64's worst-case rank error is ~3 ulp ≈ 1e-15, so
+the band provably contains the exact argmax and all exact ties) is
+collected and the winner chosen driver-side by big-int CROSS-
+MULTIPLICATION (cnt_a*(cl_b*cr_b) > cnt_b*(cl_a*cr_a)), ties broken
+(left asc, right asc). The learned vocabulary is therefore bit-identical
+under any partitioning and under the independent Fraction-arithmetic
+oracle in tools/check_oracles.py.
+
+Reference scope note: the reference (opentdf/nifi) has no tokenizer;
+this extends the training-data surface (SURVEY.md §2.4) like
+bpeops/unigram.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bpeops import _merge_expr, _sampled_docs
+
+UNK = "[UNK]"
+CONT = "##"
+
+
+def _word_freq(docs: DataFrame) -> DataFrame:
+    """(word, freq, symbols) with BERT continuation symbols: first char
+    bare, later chars ##-prefixed. The ONLY corpus-sized shuffle."""
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    wf = words.groupBy("word").agg(F.count("*").alias("freq"))
+    sym = (
+        "transform(sequence(1, length(word)), i -> "
+        f"IF(i = 1, substring(word, i, 1), concat('{CONT}', substring(word, i, 1))))"
+    )
+    return wf.select("word", "freq", F.expr(sym).alias("symbols"))
+
+
+def _merge_token(left: str, right: str) -> str:
+    """Fuse a symbol pair under the continuation convention: the right
+    symbol's ## marker disappears into the join; the left keeps its own
+    prefix (bare = word-initial piece, ## = continuation piece)."""
+    return left + (right[len(CONT):] if right.startswith(CONT) else right)
+
+
+def _best_pair(wf: DataFrame) -> tuple[str, str, int] | None:
+    """The exact WordPiece argmax over adjacent pairs of the current
+    word-symbol table: (left, right, pair_count), or None if no pair
+    occurs at least twice. Two distributed int64 aggregates + a broadcast
+    score join + the float-band prefilter; the final exact comparison is
+    driver-side over the (tiny) band."""
+    pairs = (
+        wf.filter(F.size("symbols") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(symbols) - 1), i -> "
+                    "struct(element_at(symbols, i) AS left, "
+                    "element_at(symbols, i + 1) AS right))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.left", "p.right")
+        .agg(F.sum("freq").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+    )
+    syms = (
+        wf.select("freq", F.explode("symbols").alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("freq").alias("scnt"))
+    )
+    scored = (
+        pairs.join(F.broadcast(syms.withColumnsRenamed({"sym": "left", "scnt": "cl"})), "left")
+        .join(F.broadcast(syms.withColumnsRenamed({"sym": "right", "scnt": "cr"})), "right")
+        .withColumn(
+            "score",
+            F.col("cnt") / (F.col("cl").cast("double") * F.col("cr").cast("double")),
+        )
+    )
+    # ONE TakeOrderedAndProject job covers the common case: the float band
+    # around the max is almost always a handful of rows, so the top-64
+    # contains it. Only if the band fills the whole collected prefix (mass
+    # ties) does the exact filter re-run over the full pair table.
+    top = scored.orderBy(F.desc("score")).limit(64).collect()
+    if not top:
+        return None
+    m = top[0]["score"]
+    band = [r for r in top if r["score"] >= m * (1.0 - 1e-9)]
+    if len(band) == len(top):
+        band = scored.filter(F.col("score") >= F.lit(m * (1.0 - 1e-9))).collect()
+    best = None
+    for r in band:
+        cand = (int(r["cnt"]), int(r["cl"]) * int(r["cr"]), r["left"], r["right"])
+        if best is None:
+            best = cand
+            continue
+        lhs = cand[0] * best[1]
+        rhs = best[0] * cand[1]
+        if lhs > rhs or (lhs == rhs and (cand[2], cand[3]) < (best[2], best[3])):
+            best = cand
+    return (best[2], best[3], best[0]) if best else None
+
+
+def wordpiece_train(
+    docs: DataFrame,
+    vocab_size: int = 64,
+    *,
+    sample_docs: int = 10_000,
+    seed: int = 42,
+) -> list[str]:
+    """Learn the WordPiece vocabulary: the sample alphabet (every bare
+    and ## character symbol — full coverage) plus likelihood-rule merge
+    tokens in learned order, until ``vocab_size`` pieces or no pair
+    occurs twice. Returns the piece list — rank = position: alphabet
+    first (piece asc), merges after in learned order (a merge whose
+    string already exists is applied but adds no new piece). The list IS
+    the model: driver-side state, a few KB, like BPE's merge list."""
+    wf = _word_freq(_sampled_docs(docs, sample_docs, seed)).localCheckpoint(eager=True)
+    try:
+        alphabet = sorted(
+            r["sym"]
+            for r in wf.select(F.explode("symbols").alias("sym")).distinct().collect()
+        )
+        vocab: list[str] = list(alphabet)
+        have = set(vocab)
+        while len(vocab) < vocab_size:
+            got = _best_pair(wf)
+            if got is None:
+                break
+            left, right, _cnt = got
+            token = _merge_token(left, right)
+            if token not in have:
+                vocab.append(token)
+                have.add(token)
+            nxt = wf.withColumn(
+                "symbols", _merge_expr(left, right, token)
+            ).localCheckpoint(eager=True)
+            wf.unpersist()
+            wf = nxt
+    finally:
+        wf.unpersist()
+    return vocab
+
+
+def wordpiece_vocab_df(docs: DataFrame, vocab_size: int = 64, **kw) -> DataFrame:
+    """The learned vocabulary as a DataFrame (rank, piece) — the
+    driver-checkable surface of wordpiece_train."""
+    vocab = wordpiece_train(docs, vocab_size, **kw)
+    spark = docs.sparkSession
+    return spark.createDataFrame(list(enumerate(vocab)), "rank int, piece string")
+
+
+def maxmatch(word: str, vocab: set[str], max_piece_len: int) -> list[str]:
+    """BERT greedy longest-match-first tokenization of one word: at each
+    position take the LONGEST vocab piece (##-prefixed after the first);
+    any unmatchable position makes the WHOLE word [UNK] (the published
+    WordPiece rule, not a per-character fallback)."""
+    out: list[str] = []
+    i, n = 0, len(word)
+    while i < n:
+        prefix = "" if i == 0 else CONT
+        piece = None
+        for j in range(min(n, i + max_piece_len), i, -1):
+            cand = prefix + word[i:j]
+            if cand in vocab:
+                piece = cand
+                i = j
+                break
+        if piece is None:
+            return [UNK]
+        out.append(piece)
+    return out
+
+
+def wordpiece_encode(
+    docs: DataFrame, vocab: list[str], text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, n_unk, tokens_md5): per-doc WordPiece MaxMatch
+    token count, [UNK]-word count, and an order-sensitive md5 of the
+    token sequence. One Arrow-batched mapInPandas with the vocabulary in
+    the closure and a per-batch word memo — map-only, zero exchanges
+    (the 100 TB path after training)."""
+    vset = set(vocab)
+    max_len = max((len(p) for p in vocab), default=1)
+
+    def _enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        memo: dict[str, list[str]] = {}
+
+        def tok(word: str) -> list[str]:
+            got = memo.get(word)
+            if got is None:
+                got = memo[word] = maxmatch(word, vset, max_len)
+            return got
+
+        for pdf in it:
+            n_out, n_unk, digests = [], [], []
+            for text in pdf["text"]:
+                toks: list[str] = []
+                for w in str(text).lower().split(" "):
+                    if w:
+                        toks.extend(tok(w))
+                n_out.append(len(toks))
+                n_unk.append(sum(1 for t in toks if t == UNK))
+                digests.append(hashlib.md5(" ".join(toks).encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": n_out,
+                    "n_unk": n_unk,
+                    "tokens_md5": digests,
+                }
+            )
+
+    src = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(
+        _enc, "doc_id long, n_tokens long, n_unk long, tokens_md5 string"
+    )
