@@ -1141,6 +1141,25 @@ def q_tok_wordpiece_encode(spark, sf_dir):
     return wordpiece.wordpiece_encode(docs, vocab)
 
 
+def q_events_exact_quantiles(spark, sf_dir):
+    """EXACT order-statistic quantiles with NO global sort
+    (quantiles.exact_quantiles — Munro-Paterson selection-in-rounds as
+    Catalyst counting aggregates): one shared full-range histogram pass,
+    then per-quantile refinement into the surviving bin (membership = the
+    same floor expression, plus a slopped range predicate parquet CAN
+    prune), terminating by bounded distinct enumeration. Rank bookkeeping
+    is exact int64; result values are actual data elements."""
+    from ztdf_spark import quantiles
+
+    return quantiles.exact_quantiles(
+        _t(spark, sf_dir, "events"),
+        "value",
+        [0.25, 0.5, 0.9, 0.99],
+        n_buckets=1024,
+        distinct_cap=4096,
+    )
+
+
 def q_tok_pack_bestfit(spark, sf_dir):
     """Best-fit-decreasing whole-document packing (tokops.pack_bestfit):
     md5-sharded (pure function of doc_id — layout-invariant), ONE hash
@@ -1823,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_wordpiece_vocab": q_tok_wordpiece_vocab,
         "tok_wordpiece_encode": q_tok_wordpiece_encode,
         "tok_pack_bestfit": q_tok_pack_bestfit,
+        "events_exact_quantiles": q_events_exact_quantiles,
         # CDC engine semantics (SURVEY.md §2.3 stages)
         "cdc_latest_wins": q_cdc_latest_wins,
         "cdc_merge_state_agg": q_cdc_merge_state_agg,
@@ -2083,6 +2103,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                COUNT(*) AS n_events
         FROM g GROUP BY user_id
+        """,
+        "events_exact_quantiles": """
+        WITH src AS (SELECT CAST("value" AS DOUBLE) AS v FROM events
+                     WHERE "value" IS NOT NULL),
+        ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+                          COUNT(*) OVER () AS n FROM src),
+        probs AS (SELECT CAST(p AS DOUBLE) AS p
+                  FROM (VALUES (0.25),(0.5),(0.9),(0.99)) t(p))
+        SELECT p, CAST(GREATEST(1, CEIL(p * ranked.n)) AS BIGINT) AS k,
+               v AS value, CAST(n AS BIGINT) AS n
+        FROM probs JOIN ranked
+          ON ranked.rn = CAST(GREATEST(1, CEIL(p * ranked.n)) AS BIGINT)
         """,
         "events_windowed": """
         SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS w_start,

@@ -633,6 +633,20 @@ def main():
         ],
     )
 
+    # Exact quantiles: the RESULT is a bounded driver-assembled relation
+    # (4 rows); the scale-bearing work happened in the counting passes,
+    # whose no-sort/partial-combine property is pinned in
+    # tests/test_quantiles.py::test_counting_pass_never_sorts
+    dump(
+        "events_exact_quantiles",
+        em.q_events_exact_quantiles(spark, sf),
+        [
+            ("bounded local result (selection ran as counting passes)",
+             r"LocalTableScan|LocalRelation|ExistingRDD", True),
+            ("no sort anywhere in the assembled result", r"Sort ", False),
+        ],
+    )
+
     # Best-fit-decreasing packing: ONE hash exchange on the md5 shard key,
     # per-shard BFD in a grouped Arrow stage — never a global sort and
     # never a single-partition funnel

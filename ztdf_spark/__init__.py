@@ -69,6 +69,10 @@ SimpleOpenTDFControllerService), re-expressed Spark-first:
                    merges count(l,r)/(count(l)·count(r)) selected exactly
                    (float-band prefilter + big-int cross-multiplication),
                    map-only MaxMatch encode with whole-word [UNK]
+- ``quantiles``  — exact order-statistic percentiles with NO global sort:
+                   histogram-refinement selection (Munro-Paterson rounds)
+                   as partial-combine counting aggregates with parquet
+                   range pruning on the later passes
 - ``mlops``      — integer-exact hashed linear text classifier (the
                    fastText/CCNet-style corpus quality filter): distributed
                    full-batch logistic regression whose cross-partition math
