@@ -67,3 +67,29 @@ def test_wav_container_roundtrip_any_codec(vals, codec):
         assert np.array_equal(s, x)
     feat = mmops.decode_media(blob, "audio")
     assert feat[0] == 1.0 and feat[2] > 0
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(min_value=1, max_value=3), st.integers(min_value=1, max_value=10),
+       st.integers(min_value=1, max_value=10), st.integers(min_value=1, max_value=10),
+       st.integers(min_value=0, max_value=2**31 - 1))
+def test_h264_ipcm_lossless_for_any_geometry(n, h2, w2, fps, seed):
+    """I_PCM carries raw samples: decode(encode(x)) == x bit-for-bit for
+    EVERY even geometry, frame count, and content — including the
+    zero-heavy inputs that force emulation-prevention escapes."""
+    from ztdf_spark.h264 import decode_h264, encode_h264
+
+    w, h = 2 * w2, 2 * h2
+    rng = np.random.default_rng(seed)
+    frames = [
+        (rng.integers(0, 256, (h, w), dtype=np.uint8),
+         rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8),
+         rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8))
+        for _ in range(n)
+    ]
+    if seed % 3 == 0:  # zero-run-heavy variant: escape-path pressure
+        frames = [(y // 64 * 0, u, v) for y, u, v in frames]
+    dec, got_fps, dw, dh = decode_h264(encode_h264(frames, fps))
+    assert (dw, dh, got_fps, len(dec)) == (w, h, float(fps), n)
+    for a, b in zip(frames, dec):
+        assert all(np.array_equal(x, y) for x, y in zip(a, b))

@@ -1160,6 +1160,17 @@ def _oracle_decode(payload: bytes, mtype: str):
                  float(np.mean(np.abs(np.diff(ys, axis=0)))) if len(frames) > 1 else 0.0,
                  0.0, 0.0, 0.0, 0.0, 3.0]
         return np.asarray(feats, dtype=np.float32)
+    if b[:4] == b"\x00\x00\x00\x01" or b[:3] == b"\x00\x00\x01":
+        (w, h, fps), frames = _oracle_h264(b)
+        ys = np.stack([f[0].astype(np.float64) for f in frames])
+        feats = [float(w), float(h), float(len(frames)), fps,
+                 float(ys.mean()), float(ys.std()),
+                 float(np.mean([f[1].astype(np.float64).mean() for f in frames])),
+                 float(np.mean([f[2].astype(np.float64).mean() for f in frames])),
+                 float(ys[0].mean()), float(ys[-1].mean()),
+                 float(np.mean(np.abs(np.diff(ys, axis=0)))) if len(frames) > 1 else 0.0,
+                 0.0, 0.0, 0.0, 0.0, 8.0]
+        return np.asarray(feats, dtype=np.float32)
     digest = hashlib.blake2b(b, digest_size=64, key=mtype.encode()[:16]).digest()
     return (np.frombuffer(digest, dtype=np.uint32).astype(np.float32) / np.float32(2**32))[:16]
 
@@ -1187,6 +1198,131 @@ def _oracle_y4m(b: bytes):
         v = np.frombuffer(body, np.uint8, count=cw * ch, offset=w * h + cw * ch).reshape(ch, cw)
         frames.append((y, u, v))
     return (w, h, fps), frames
+
+
+def _oracle_h264(data: bytes):
+    """Independent H.264 Annex-B I_PCM parser: stateful generator-based
+    bit reading and table-free header walks — none of ztdf_spark/h264.py's
+    classes. Returns ((w, h, fps), [(y, u, v) planes])."""
+    import numpy as np
+
+    # split NALs on 3-byte start codes, drop start-code-prefix zeros
+    chunks = []
+    i = bytes(data).find(b"\x00\x00\x01")
+    raw = bytes(data)
+    while i != -1:
+        j = raw.find(b"\x00\x00\x01", i + 3)
+        seg = raw[i + 3 : j if j != -1 else len(raw)].rstrip(b"\x00")
+        if seg:
+            chunks.append(seg)
+        i = j
+
+    def unescape(b):
+        out, z, k = bytearray(), 0, 0
+        while k < len(b):
+            c = b[k]
+            if z >= 2 and c == 3:
+                z, k = 0, k + 1
+                continue
+            out.append(c)
+            z = z + 1 if c == 0 else 0
+            k += 1
+        return bytes(out)
+
+    def bit_iter(b):
+        for byte in b:
+            for s in range(7, -1, -1):
+                yield (byte >> s) & 1
+
+    class R:
+        def __init__(self, b):
+            self.b = b
+            self.it = bit_iter(b)
+            self.n = 0
+
+        def u(self, k):
+            v = 0
+            for _ in range(k):
+                v = (v << 1) | next(self.it)
+            self.n += k
+            return v
+
+        def ue(self):
+            z = 0
+            while self.u(1) == 0:
+                z += 1
+            return (1 << z) - 1 + (self.u(z) if z else 0)
+
+        def se(self):
+            k = self.ue()
+            return (k + 1) // 2 if k % 2 else -(k // 2)
+
+        def align(self):
+            while self.n % 8:
+                self.u(1)
+
+        def bytes_(self, k):
+            self.align()
+            return bytes(self.u(8) for _ in range(k))
+
+    sps = None
+    fps = 0.0
+    frames = []
+    for nal in chunks:
+        t = nal[0] & 0x1F
+        r = R(unescape(nal[1:]))
+        if t == 7:
+            r.u(24)
+            r.ue()
+            lmfn = r.ue() + 4
+            poc = r.ue()
+            if poc == 0:
+                r.ue()
+            elif poc == 1:
+                r.u(1); r.se(); r.se()
+                for _ in range(r.ue()):
+                    r.se()
+            r.ue(); r.u(1)
+            wmb, hmb = r.ue() + 1, r.ue() + 1
+            r.u(2)  # frame_mbs_only + direct_8x8
+            crop = [r.ue(), r.ue(), r.ue(), r.ue()] if r.u(1) else [0] * 4
+            if r.u(1) and not any([r.u(1), r.u(1), r.u(1), r.u(1)]) and r.u(1):
+                nuit, ts = r.u(32), r.u(32)
+                if nuit:
+                    fps = ts / (2.0 * nuit)
+            sps = (wmb, hmb, lmfn, crop)
+        elif t == 5 and sps is not None:
+            wmb, hmb, lmfn, crop = sps
+            r.ue(); r.ue(); r.ue()
+            r.u(lmfn)
+            r.ue()  # idr_pic_id
+            r.u(2)  # dec_ref_pic_marking (IDR, ref)
+            r.se()
+            if r.ue() != 1:
+                r.se(); r.se()
+            y = np.zeros((hmb * 16, wmb * 16), np.uint8)
+            u = np.zeros((hmb * 8, wmb * 8), np.uint8)
+            v = np.zeros_like(u)
+            for mb in range(wmb * hmb):
+                assert r.ue() == 25, "oracle: non-I_PCM mb"
+                my, mx = divmod(mb, wmb)
+                y[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = np.frombuffer(
+                    r.bytes_(256), np.uint8).reshape(16, 16)
+                u[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = np.frombuffer(
+                    r.bytes_(64), np.uint8).reshape(8, 8)
+                v[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = np.frombuffer(
+                    r.bytes_(64), np.uint8).reshape(8, 8)
+            cl, _, ct, _ = crop
+            w_ = wmb * 16 - 2 * (crop[0] + crop[1])
+            h_ = hmb * 16 - 2 * (crop[2] + crop[3])
+            frames.append((
+                y[2 * ct:2 * ct + h_, 2 * cl:2 * cl + w_],
+                u[ct:ct + h_ // 2, cl:cl + w_ // 2],
+                v[ct:ct + h_ // 2, cl:cl + w_ // 2],
+            ))
+    w_ = sps[0] * 16 - 2 * (sps[3][0] + sps[3][1])
+    h_ = sps[1] * 16 - 2 * (sps[3][2] + sps[3][3])
+    return (w_, h_, fps), frames
 
 
 def _mm_rows(n=30, seed=42):
@@ -1242,6 +1378,17 @@ def _pandas_mm_frames(sf_dir, n=30, seed=42, every_ms=1000):
             step = max(1, round((100.0 / dcs) * every_ms / 1000.0))
             for fi in range(0, len(gframes), step):
                 hh = hashlib.blake2b(gframes[fi].tobytes(), digest_size=8).hexdigest()
+                recs.append((mid, fi, hh))
+            continue
+        if b[:4] == b"\x00\x00\x00\x01" or b[:3] == b"\x00\x00\x01":
+            # real H.264 I_PCM decode: stride from the stream's VUI rate
+            (_w, _h, hfps), hframes = _oracle_h264(b)
+            step = max(1, round(hfps * every_ms / 1000.0)) if hfps else 1
+            for fi in range(0, len(hframes), step):
+                y, u, v = hframes[fi]
+                hh = hashlib.blake2b(
+                    y.tobytes() + u.tobytes() + v.tobytes(), digest_size=8
+                ).hexdigest()
                 recs.append((mid, fi, hh))
             continue
         dur = int(meta[2] or 0)

@@ -12,10 +12,13 @@ depths 1/2/4/8/16, gray/RGB/palette/gray-alpha/RGBA, plain + Adam7
 interlaced, ``ztdf_spark/png.py``) and GIF (87a/89a LZW, interlace,
 transparency/disposal composition incl. ANIMATED multi-frame,
 ``ztdf_spark/gif.py``) images, Y4M (YUV4MPEG2, C444 + C420*),
-animated-GIF and AVI/MJPEG (RIFF container walk + per-frame baseline
-JPEG, ``ztdf_spark/avi.py``) video — no external media libraries
+animated-GIF, AVI/MJPEG (RIFF container walk + per-frame baseline
+JPEG, ``ztdf_spark/avi.py``) and H.264 Annex-B I_PCM (real NAL/SPS/PPS/
+slice parsing, Exp-Golomb, emulation prevention, VUI frame rate,
+``ztdf_spark/h264.py``) video — no external media libraries
 needed. Formats this container cannot decode
-(h264, opus, arithmetic-coded jpeg) still fall back to the
+(residual-coded h264 — CAVLC/CABAC macroblocks, opus,
+arithmetic-coded jpeg) still fall back to the
 disclosed deterministic fake (content-hash-derived vector) when
 ``deterministic_fake=True``, else ``NotImplementedError``; a real codec
 library (PIL/ffmpeg/torchaudio) drops in behind the same ``decode_media``
@@ -135,6 +138,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "png"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:4] == b"\x00\x00\x00\x01" or payload[:3] == b"\x00\x00\x01":
+        return "h264"  # Annex-B elementary stream
     return None
 
 
@@ -288,6 +293,26 @@ def _gif_frames(payload: bytes):
     frames, delays = decode_gif(bytes(payload))
     delay_cs = delays[0] if delays and delays[0] > 0 else 10
     return frames, 100.0 / delay_cs
+
+
+def _h264_features(payload: bytes) -> np.ndarray:
+    """Video feature vector from REALLY decoded H.264 I_PCM planes
+    (ztdf_spark/h264.py): same statistic layout as _y4m_features, fps
+    from the stream's own VUI timing. fmt_tag 8.0."""
+    from .h264 import decode_h264
+
+    frames, fps, w, h = decode_h264(payload)
+    ys = np.stack([f[0].astype(np.float64) for f in frames])
+    feats = [
+        float(w), float(h), float(len(frames)), fps,
+        float(ys.mean()), float(ys.std()),
+        float(np.mean([f[1].astype(np.float64).mean() for f in frames])),
+        float(np.mean([f[2].astype(np.float64).mean() for f in frames])),
+        float(ys[0].mean()), float(ys[-1].mean()),
+        float(np.mean(np.abs(np.diff(ys, axis=0)))) if len(frames) > 1 else 0.0,
+        0.0, 0.0, 0.0, 0.0, 8.0,
+    ]
+    return np.asarray(feats, dtype=np.float32)
 
 
 def _rgb_features(px: np.ndarray, fmt_tag: float) -> np.ndarray:
@@ -495,7 +520,12 @@ def decode_media(payload: bytes, media_type: str, *, deterministic_fake: bool = 
             # REAL GIF decode (ztdf_spark/gif.py, round 6): first composited
             # frame; animation is sample_frames' concern
             return _rgb_features(_gif_rgb(bytes(payload)), fmt_tag=6.0)
-    except ValueError:
+        if fmt == "h264":
+            # REAL H.264 decode (ztdf_spark/h264.py, round 6): I_PCM-only
+            # baseline streams; residual-coded macroblocks (CAVLC/CABAC)
+            # raise NotImplementedError → disclosed fall-through
+            return _h264_features(bytes(payload))
+    except (ValueError, NotImplementedError):
         pass  # sniffed but malformed/unsupported variant → fall through
     if not deterministic_fake:
         raise NotImplementedError(
@@ -585,11 +615,12 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
 def sample_frames(media: DataFrame, every_ms: int = 1000, *, deterministic_fake: bool = True) -> DataFrame:
     """Frame sampling for video rows: one output row per sampled frame.
 
-    Y4M (YUV4MPEG2) rows are REALLY decoded — the sampling stride comes
-    from the stream's own frame rate (one frame per ``every_ms``, never
-    below 1) and ``frame_hash`` fingerprints the sampled frame's actual
-    YUV plane bytes, so a plane-parse or stride bug changes the output.
-    Compressed video (h264...) cannot be decoded without ffmpeg — those
+    Y4M (YUV4MPEG2), H.264 I_PCM, AVI/MJPEG and animated-GIF rows are
+    REALLY decoded — the sampling stride comes from the stream's own
+    frame rate (one frame per ``every_ms``, never below 1) and
+    ``frame_hash`` fingerprints the sampled frame's actual decoded bytes,
+    so a parse or stride bug changes the output. Residual-coded video
+    (CAVLC/CABAC h264, vp9...) cannot be decoded without ffmpeg — those
     rows keep the disclosed positional stand-in (fan-out driven by
     duration metadata) when ``deterministic_fake=True``, else raise."""
 
@@ -621,6 +652,30 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, *, deterministic_fake:
                             hashes.append(
                                 hashlib.blake2b(
                                     y.tobytes() + u.tobytes() + v.tobytes(), digest_size=8
+                                ).hexdigest()
+                            )
+                        continue
+                if sniff_format(b) == "h264":
+                    # REAL H.264 I_PCM decode (round 6): stride from the
+                    # stream's own VUI frame rate, frame_hash over decoded
+                    # YUV planes (every frame is an IDR — independently
+                    # decodable, so at scale only sampled frames need work)
+                    from .h264 import decode_h264
+
+                    try:
+                        hframes, hfps, _w, _h = decode_h264(b)
+                    except (ValueError, NotImplementedError):
+                        hframes = None  # residual-coded/malformed → fake path
+                    if hframes is not None:
+                        step = max(1, round(hfps * every_ms / 1000.0)) if hfps else 1
+                        for fi in range(0, len(hframes), step):
+                            y, u, v = hframes[fi]
+                            ids.append(mid)
+                            idxs.append(fi)
+                            hashes.append(
+                                hashlib.blake2b(
+                                    y.tobytes() + u.tobytes() + v.tobytes(),
+                                    digest_size=8,
                                 ).hexdigest()
                             )
                         continue
@@ -686,10 +741,10 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, *, deterministic_fake:
 
 
 def synthetic_media_rows(n: int = 20, seed: int = 42) -> list:
-    """Deterministic media rows: REAL WAV payloads for audio, REAL
+    """Deterministic media rows: REAL WAV/FLAC payloads for audio, REAL
     PPM/BMP/PNG (rotating: Paeth, Adam7-interlaced, 16-bit RGB, 4-bit
-    palette) for images, REAL Y4M / animated-GIF / AVI-MJPEG payloads
-    plus opaque bytes (h264 stand-in) for video. Shared
+    palette) for images, REAL Y4M / animated-GIF / AVI-MJPEG / H.264
+    I_PCM payloads for video. Shared
     by the Spark fixture below and the independent pandas oracle (the
     fixture is test INPUT; the decode path under test is not shared)."""
     from .gif import encode_gif
@@ -801,9 +856,24 @@ def synthetic_media_rows(n: int = 20, seed: int = 42) -> list:
             payload = encode_avi_mjpeg(rframes, fps, lossy=bool(i % 2))
             meta = (w, h, int(n_frames * 1000 / fps), "mjpeg")
         else:
-            payload = rng.integers(0, 256, size=int(rng.integers(64, 256)), dtype=np.uint8).tobytes()
-            meta = (int(rng.integers(16, 512)), int(rng.integers(16, 512)),
-                    int(rng.integers(1000, 10000)), "h264")
+            # REAL H.264: Annex-B baseline stream of I_PCM IDR frames
+            # (round 6) — NAL/SPS/PPS/slice headers, Exp-Golomb, emulation
+            # prevention and VUI frame rate all on the real decode path
+            from .h264 import encode_h264
+
+            w, h = int(rng.integers(2, 13)) * 2, int(rng.integers(2, 13)) * 2
+            fps = int(rng.integers(2, 7))
+            n_frames = int(rng.integers(2, 7))
+            hframes = [
+                (
+                    rng.integers(0, 256, size=(h, w), dtype=np.uint8),
+                    rng.integers(0, 256, size=(h // 2, w // 2), dtype=np.uint8),
+                    rng.integers(0, 256, size=(h // 2, w // 2), dtype=np.uint8),
+                )
+                for _ in range(n_frames)
+            ]
+            payload = encode_h264(hframes, fps)
+            meta = (w, h, int(n_frames * 1000 / fps), "h264")
         rows.append((i, mtype, bytearray(payload), meta))
     return rows
 
