@@ -1141,6 +1141,21 @@ def q_tok_wordpiece_encode(spark, sf_dir):
     return wordpiece.wordpiece_encode(docs, vocab)
 
 
+def q_corpus_temperature_sample(spark, sf_dir):
+    """mT5-style temperature-scaled source sampling
+    (textops.temperature_sample, T=2, budget 1/2): kept count per source
+    ∝ sqrt(n_source) — head domains flattened, tail protected. Fully
+    INTEGER-exact: nested isqrt weights, Python big-int floor-division
+    thresholds embedded as int64 literals, row decision = uint32 md5
+    draw < threshold (row-local, zero shuffle at scan time)."""
+    return textops.temperature_sample(
+        _t(spark, sf_dir, "documents"),
+        temperature_log2=1,
+        target_num=1,
+        target_den=2,
+    ).select("doc_id", "source", "lang")
+
+
 def q_events_exact_quantiles(spark, sf_dir):
     """EXACT order-statistic quantiles with NO global sort
     (quantiles.exact_quantiles — Munro-Paterson selection-in-rounds as
@@ -1843,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_wordpiece_encode": q_tok_wordpiece_encode,
         "tok_pack_bestfit": q_tok_pack_bestfit,
         "events_exact_quantiles": q_events_exact_quantiles,
+        "corpus_temperature_sample": q_corpus_temperature_sample,
         # CDC engine semantics (SURVEY.md §2.3 stages)
         "cdc_latest_wins": q_cdc_latest_wins,
         "cdc_merge_state_agg": q_cdc_merge_state_agg,
@@ -2103,6 +2119,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                COUNT(*) AS n_events
         FROM g GROUP BY user_id
+        """,
+        "corpus_temperature_sample": """
+        WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM documents GROUP BY source),
+        f AS (SELECT source, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS f0 FROM c),
+        w AS (SELECT source, n,
+                 CASE WHEN (f0+1)*(f0+1) <= n THEN f0+1
+                      WHEN f0*f0 > n THEN f0-1 ELSE f0 END AS w FROM f),
+        tot AS (SELECT CAST(SUM(n) AS HUGEINT) AS tot_n,
+                       CAST(SUM(w) AS HUGEINT) AS sum_w FROM w),
+        thr AS (SELECT source,
+                  LEAST(CAST(4294967296 AS HUGEINT),
+                    (CAST(1 AS HUGEINT) * tot_n * w * 4294967296)
+                      // (CAST(2 AS HUGEINT) * sum_w * n)) AS t
+                FROM w, tot)
+        SELECT d.doc_id, d.source, d.lang
+        FROM documents d JOIN thr USING (source)
+        WHERE ('0x' || substr(md5('temp-' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT < t
         """,
         "events_exact_quantiles": """
         WITH src AS (SELECT CAST("value" AS DOUBLE) AS v FROM events

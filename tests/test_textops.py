@@ -661,3 +661,69 @@ def test_decontaminate_bloom_probe_is_mapside_catalyst(spark, docs):
             ._jdf.queryExecution().executedPlan().toString())
     assert "xxhash64" in plan and "shiftright" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------------------- temperature
+
+
+def test_temperature_sample_flattens_head_domains(spark):
+    from ztdf_spark.textops import temperature_sample
+
+    # one head domain (900 docs) vs two tails (90, 9): T=2 keeps counts
+    # proportional to sqrt(n) -> 30 : 9.48 : 3 -- the head/tail keep-RATE
+    # ratio collapses from 100x to ~10x
+    rows = [(i, "head" if i < 900 else ("mid" if i < 990 else "tail"))
+            for i in range(999)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = temperature_sample(
+        df, temperature_log2=1, target_num=1, target_den=2,
+        domain_col="source",
+    ).groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in kept}
+    import math
+    n = {"head": 900, "mid": 90, "tail": 9}
+    total, sw = 999, sum(math.isqrt(v) for v in n.values())
+    for s, c in got.items():
+        exp_rate = min(1.0, (total / 2) * math.isqrt(n[s]) / sw / n[s])
+        # md5 draw is uniform: expected rate within generous binomial slack
+        assert abs(c / n[s] - exp_rate) < 0.2, (s, c, exp_rate)
+    # tail keep-rate must exceed head keep-rate (the whole point)
+    assert got["tail"] / 9 > got["head"] / 900
+
+
+def test_temperature_sample_exact_thresholds_and_layout(spark):
+    from ztdf_spark.textops import temperature_sample
+
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kw = dict(temperature_log2=1, target_num=1, target_den=3, domain_col="source")
+    a = sorted(r["doc_id"] for r in temperature_sample(df.coalesce(1), **kw).collect())
+    b = sorted(r["doc_id"] for r in temperature_sample(df.repartition(7), **kw).collect())
+    assert a == b
+    # independent recompute of the exact integer rule
+    import hashlib
+    import math
+    from collections import Counter
+
+    cnt = Counter(f"s{i % 3}" for i in range(300))
+    total, sw = 300, sum(math.isqrt(v) for v in cnt.values())
+    thr = {d: min(1 << 32, (1 * total * math.isqrt(cnt[d]) * (1 << 32))
+                  // (3 * sw * cnt[d])) for d in cnt}
+    exp = sorted(i for i in range(300)
+                 if int(hashlib.md5(f"temp-{i}".encode()).hexdigest()[:8], 16)
+                 < thr[f"s{i % 3}"])
+    assert a == exp
+
+
+def test_temperature_sample_t1_is_plain_subsample(spark):
+    from ztdf_spark.textops import temperature_sample
+
+    # temperature_log2=0 -> T=1 -> w=n -> every domain gets the same rate
+    rows = [(i, f"s{i % 2}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = temperature_sample(df, temperature_log2=0, target_num=1,
+                              target_den=2, domain_col="source")
+    import hashlib
+    exp = [i for i in range(200)
+           if int(hashlib.md5(f"temp-{i}".encode()).hexdigest()[:8], 16) < (1 << 31)]
+    assert sorted(r["doc_id"] for r in kept.collect()) == exp

@@ -633,6 +633,19 @@ def main():
         ],
     )
 
+    # Temperature sampling: after the bounded count aggregate (eager,
+    # during construction), the returned plan is scan + row-local md5
+    # filter — zero exchanges, no join, nothing Python
+    dump(
+        "corpus_temperature_sample",
+        em.q_corpus_temperature_sample(spark, sf),
+        [
+            ("row-local filter only: zero exchanges", r"Exchange", False),
+            ("no join (thresholds are literals)", r"Join", False),
+            ("pure Catalyst (no Python workers)", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
+        ],
+    )
+
     # Exact quantiles: the RESULT is a bounded driver-assembled relation
     # (4 rows); the scale-bearing work happened in the counting passes,
     # whose no-sort/partial-combine property is pinned in

@@ -1340,3 +1340,84 @@ def bm25_topk(
         .filter(F.col("rank") <= top_k)
         .select("query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source sampling (mT5-style multilingual reweighting)
+# ---------------------------------------------------------------------------
+
+
+def temperature_sample(
+    docs: DataFrame,
+    *,
+    temperature_log2: int = 1,
+    target_num: int = 1,
+    target_den: int = 2,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling (the mT5 / multilingual-T5
+    rule, Xue et al. 2021 — public literature): sample so the kept count
+    per domain is proportional to ``n_domain^(1/T)`` instead of
+    ``n_domain`` — flattening head domains and protecting tail ones —
+    with an overall budget of ``target_num/target_den`` of the corpus.
+
+    INTEGER-EXACT construction (the repo's cross-engine discipline; no
+    float pow/sqrt anywhere, so no libm/ulp portability hazard):
+
+    - ``T = 2^temperature_log2``; the weight ``w = n^(1/T)`` is computed
+      as ``temperature_log2`` NESTED integer square roots
+      (``isqrt(isqrt(n))`` for T=4, etc. — ``floor(sqrt(floor(sqrt(n))))
+      == floor(n^(1/4))`` holds exactly for integers).
+    - Domain counts come from ONE bounded aggregate (O(#domains) driver
+      rows). The per-domain keep threshold is a PYTHON BIG-INT floor
+      division ``(target_num * N * w * 2^32) // (target_den * sw * n)``
+      (capped at 2^32 — filtering cannot upsample), embedded as an int64
+      literal.
+    - The row decision is ``uint32(md5(salt||id)) < threshold`` — the
+      engine-portable md5 draw shared with mixture_sample, row-local,
+      zero shuffle, stable under retries and any partitioning.
+
+    Expected kept rows per domain: ``target·N·w_s/Σw`` (exact rate
+    ``thr_s/2^32``). Returns the surviving rows unchanged."""
+    if temperature_log2 < 0:
+        raise ValueError("temperature_log2 must be >= 0")
+    if target_num <= 0 or target_den <= 0:
+        raise ValueError("target fraction must be positive")
+    import math
+
+    counts = {
+        r["d"]: int(r["n"])
+        for r in docs.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    if not counts:
+        return docs
+    total = sum(counts.values())
+
+    def w(n: int) -> int:
+        for _ in range(temperature_log2):
+            n = math.isqrt(n)
+        return n
+
+    weights = {d: w(n) for d, n in counts.items()}
+    sw = sum(weights.values())
+    thr = {
+        d: min(
+            1 << 32,
+            (target_num * total * weights[d] * (1 << 32))
+            // (target_den * sw * counts[d]),
+        )
+        for d in counts
+    }
+    h32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "-"), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    expr = F.lit(0).cast("long")
+    for d, t in sorted(thr.items()):
+        expr = F.when(F.col(domain_col) == d, F.lit(t).cast("long")).otherwise(expr)
+    return docs.filter(h32 < expr)
