@@ -133,9 +133,15 @@ def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cdc_latest_wins(spark, sf_dir):
+    # latest_wins_join, not latest_wins: (doc_id, lsn) is unique in any
+    # binlog, so winner-keys (pure codegen HashAggregate with map-side
+    # combine) + a broadcast join back returns the identical row set while
+    # max_by(struct(*)) would fall back to SortAggregate and sort the full
+    # rows twice (the exact cost latest_wins_join exists to avoid;
+    # measured ~2.7x at sf1, plans/r07/cdc_latest_wins_*.txt)
     b = _binlog(spark, sf_dir)
     return (
-        ops.latest_wins(b, key="doc_id", seq="lsn")
+        ops.latest_wins_join(b, key="doc_id", seq="lsn")
         .filter(F.col("op") != "D")
         .select("doc_id", "lsn", "n_tok", "source")
     )
@@ -143,9 +149,12 @@ def q_cdc_latest_wins(spark, sf_dir):
 
 def q_cdc_merge_state_agg(spark, sf_dir):
     """Full pipeline semantics in SQL: drop failure-routed rows, latest-wins,
-    drop tombstones, aggregate final state per source."""
+    drop tombstones, aggregate final state per source. Latest-wins runs as
+    the narrow winner-keys + broadcast join-back shape (identical rows —
+    lsn is unique per key; avoids max_by(struct)'s SortAggregate, see
+    q_cdc_latest_wins)."""
     r = _routed(spark, sf_dir).filter((F.col("op") == "D") | (F.col("route") == "success"))
-    final = ops.latest_wins(r, key="doc_id", seq="lsn").filter(F.col("op") != "D")
+    final = ops.latest_wins_join(r, key="doc_id", seq="lsn").filter(F.col("op") != "D")
     return final.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").cast("long").alias("sum_n_tok")
     )
@@ -974,13 +983,15 @@ def q_text_line_dedup_nl(spark, sf_dir):
     word-chunk variant. Pins the split('\\n') branch end to end
     (VERDICT r5 next-round #7)."""
     docs = _t(spark, sf_dir, "documents")
-    w = F.split("text", " ")
+    # slice a MATERIALIZED word array: slicing the raw split(text) tree
+    # inside the lambda re-runs the split per chunk (textops._shingle_array)
+    w = F.col("_ws")
     n = F.ceil(F.size(w) / F.lit(10)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(1), n),
         lambda i: F.concat_ws(" ", F.slice(w, (i - F.lit(1)) * 10 + F.lit(1), 10)),
     )
-    nl_docs = docs.select(
+    nl_docs = docs.select("doc_id", F.split("text", " ").alias("_ws")).select(
         "doc_id",
         F.concat(
             F.lit("shared boilerplate header\n"), F.concat_ws("\n", chunks)

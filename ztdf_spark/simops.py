@@ -332,26 +332,43 @@ def emb_near_dup_lsh(
     ≈ 0.71^12 < 2%) → distinct candidate pairs → exact cosine rerank →
     threshold filter. Shuffle is O(n · n_tables) + bucket-local pair
     expansion; no all-pairs stage anywhere. Recall vs the exact GEMM
-    baseline is MEASURED (tests/test_simops.py, planted dups: ≥ 0.9)."""
+    baseline is MEASURED (tests/test_simops.py, planted dups: ≥ 0.9).
+
+    Physical shape (r7): the bucket self-join and the candidate-pair
+    dedup carry ONLY ``(vec_id, probe)`` / ``(vec_a, vec_b)`` — 12-24 B
+    rows. A first cut shipped both full double vectors and both norms
+    through the bucket join and the dropDuplicates exchange (~1 KB/row,
+    ~25 GB at 20 k vectors × 16 tables): the §8-guide anti-pattern of
+    shuffling heavy payloads to make a decision that only needs keys.
+    Vectors and norms are attached AFTER the dedup by two equi-joins on
+    the (tiny relative to the pair stream) vector table, and the rerank
+    evaluates the same ``_dot/_norm`` double expressions as before —
+    identical pairs, bit-identical cosines."""
     sig = _lsh_probes_udf(dim, n_planes, n_tables, seed, multiprobe=0)
     d = F.col("embedding").cast("array<double>")
-    tagged = emb.select(
-        F.col("vec_id").cast("long").alias("vec_id"), d.alias("v"),
+    slim = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
         F.explode(sig("embedding")).alias("probe"),
     )
-    a = tagged.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), _norm(F.col("v")).alias("na"), "probe"
-    )
-    b = tagged.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), _norm(F.col("v")).alias("nb"), "probe"
-    )
     cands = (
-        a.join(b, "probe")
+        slim.select(F.col("vec_id").alias("vec_a"), "probe")
+        .join(slim.select(F.col("vec_id").alias("vec_b"), "probe"), "probe")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    vecs = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"), d.alias("v"), _norm(d).alias("nrm")
+    )
     return (
-        cands.withColumn("cos", _dot("va", "vb") / (F.col("na") * F.col("nb")))
+        cands.join(
+            vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")),
+            "vec_a",
+        )
+        .join(
+            vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")),
+            "vec_b",
+        )
+        .withColumn("cos", _dot("va", "vb") / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= min_cos)
         .select("vec_a", "vec_b", "cos")
     )
