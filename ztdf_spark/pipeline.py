@@ -325,6 +325,41 @@ def warm_python_workers(spark: SparkSession, rounds: int = 3) -> None:
     for _ in range(rounds):
         spark.range(0, cores * 4, 1, cores * 2).select(F.sum(_touch("id"))).collect()
 
+    # End-to-end PLAN warm-up: push one tiny synthetic batch through the
+    # real route-gate + encrypt-UDF + parquet-write path. The worker-pool
+    # rounds above warm fork/import cost, but batch 0 of a replay still
+    # paid whole-stage-codegen compilation of the route/encrypt plan
+    # shapes, Arrow serializer setup, per-worker encryptor construction,
+    # and parquet output-committer classloading INSIDE the timed window
+    # (measured ~7.5 s batch-0 vs ~2.3 s steady at 1M events/local[32];
+    # ~4 s of it is this one-time compilation, not data). No result is
+    # kept — this is JIT/pool warm-up, the exact cost BASELINE.md's
+    # steady-state protocol already excludes by contract.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from . import ops as _ops
+    from .settings import Settings as _Settings
+
+    dry = spark.range(0, cores, 1, cores).select(
+        F.col("id").alias("lsn"),
+        F.when(F.col("id") % 4 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.concat(F.lit("warm-"), F.col("id").cast("string")).alias("doc_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(8)), lambda x: x.cast("int")).alias("tokens"),
+        F.lit(8).alias("n_tok"),
+        F.lit("warm").alias("source"),
+        F.lit(None).cast("string").alias("kas_url"),
+        F.lit("https://kas.example.com/attr/a/value/b").alias("tdf_attribute"),
+        F.lit(None).cast("string").alias("assertions"),
+    )
+    winners = _ops.latest_wins_join(dry, broadcast_keys=True)
+    enc = _ops.encrypt_batch(winners, _Settings(), "ztdf")
+    d = _tempfile.mkdtemp(prefix="ztdf-warm-")
+    try:
+        enc.write.partitionBy("route").mode("overwrite").parquet(d)
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
+
 
 class CdcPipeline:
     def __init__(self, spark: SparkSession, settings: Settings, cfg: PipelineConfig):
@@ -335,6 +370,10 @@ class CdcPipeline:
         # last observed update amplification (events / distinct keys) for
         # dedup_mode='auto'; None → batch 0 dedups conservatively
         self._last_amp: float | None = None
+        # last observed approx distinct-key count: lets batches ≥ 1 pick
+        # broadcast-vs-shuffled-hash for the winner-keys join WITHOUT the
+        # separate count job (see process_batch)
+        self._last_keys: int | None = None
         # UpdateAttribute-with-EL stage: property templates compile ONCE per
         # pipeline into Catalyst Column trees (reference evaluates EL per
         # FlowFile, AbstractTDFProcessor.java:113-115 — here the compiled
@@ -482,11 +521,12 @@ class CdcPipeline:
                 and (self._last_amp is None or self._last_amp >= self.cfg.dedup_min_amplification)
             )
             wk = None
-            if do_dedup:
-                # job 1 (NARROW): winner keys = max(lsn) per key over valid
-                # events. Column-pruned scan — the route gate never
-                # references `tokens` — so the dominant-width column is not
-                # decoded here.
+            if do_dedup and self._last_keys is None:
+                # batch 0 (no key-count history yet): job 1 (NARROW) counts
+                # the winner keys = max(lsn) per key over valid events so
+                # the join strategy below is chosen from a REAL count.
+                # Column-pruned scan — the route gate never references
+                # `tokens` — so the dominant-width column is not decoded.
                 wk = (
                     routed.filter(F.col("route") == ops.ROUTE_SUCCESS)
                     .select("doc_id", "lsn")
@@ -495,6 +535,18 @@ class CdcPipeline:
                     .persist()
                 )
                 n_keys = wk.count()
+            elif do_dedup:
+                # batches ≥ 1: the previous batch's observed
+                # approx_count_distinct stands in for the count, so the
+                # whole batch is ONE fused Spark job — the winner-keys
+                # subtree builds inside the wide query (as the broadcast /
+                # shuffled-hash build side) instead of a separate
+                # persist+count job (measured ~1.0 s of a 2.5 s steady
+                # batch at 1M events/local[32]). A wrong guess after a
+                # drastic key-count jump costs one batch a slower JOIN
+                # STRATEGY, never correctness, and self-corrects next
+                # batch from that batch's own observation.
+                n_keys = self._last_keys
             t_dlq = time.monotonic()  # narrow-pass timing (cow: dlq job)
             try:
                 # the only WIDE pass: every event is scanned once; bad rows
@@ -504,7 +556,13 @@ class CdcPipeline:
                 # broadcast — read-time latest-wins resolves supersessions.
                 observed = routed.observe(obs, *route_metrics)
                 if do_dedup:
-                    wk_m = wk.withColumn("_w", F.lit(True))
+                    wk_src = wk if wk is not None else (
+                        routed.filter(F.col("route") == ops.ROUTE_SUCCESS)
+                        .select("doc_id", "lsn")
+                        .groupBy("doc_id")
+                        .agg(F.max("lsn").alias("lsn"))
+                    )
+                    wk_m = wk_src.withColumn("_w", F.lit(True))
                     wk_m = (
                         F.broadcast(wk_m)
                         if n_keys <= ops.broadcast_key_limit(self.spark)
@@ -537,6 +595,7 @@ class CdcPipeline:
                 return {"batch_id": batch_id, "n_events": 0, "noop": True}
             n_keys_approx = int(counts["n_keys_approx"] or 0)
             self._last_amp = n_events / max(1, n_keys_approx)
+            self._last_keys = n_keys_approx
             sink_counts["dedup"] = do_dedup
             sink_counts["amplification_est"] = round(self._last_amp, 3)
             # rows in failure partitions = pre-gate bad + in-UDF failures
