@@ -51,7 +51,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _binlog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+    from ztdf_spark.spread import spread
+
+    # the events fixture is a single-row-group file at every sf — without
+    # the spread every binlog-derived query's route/EL expressions run in
+    # ONE scan task (ztdf_spark/spread.py)
+    e = spread(_t(spark, sf_dir, "events"))
     return e.select(
         F.col("event_id").alias("lsn"),
         F.when(F.col("event_type") == "purchase", "D")

@@ -305,7 +305,11 @@ def main():
         "text_chunks",
         tch,
         [
-            ("map-only: ZERO exchanges", r"Exchange", False),
+            # the only allowed exchange is the small-input scan-width guard
+            # (ztdf_spark/spread.py): a ROUND-ROBIN repartition that never
+            # fires on a ≥cluster-width scan — no hash/range shuffle exists
+            ("map-only after the scan-width spread (no hash/range exchange)",
+             r"Exchange (hash|range)partitioning", False),
             ("row explosion via Generate (posexplode), scan-side", r"Generate", True),
             ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
             ("scan prunes to (doc_id, text)", r"ReadSchema: struct<doc_id:bigint,text:string>", True),
@@ -538,12 +542,14 @@ def main():
     )
 
     # PII scrub: four regexp_counts + chained replace, all row-local —
-    # map-only, no exchange, no Python
+    # map-only bar the scan-width spread (ztdf_spark/spread.py: round-robin
+    # only, never fires on a ≥cluster-width scan), no Python
     dump(
         "text_pii_scrub",
         em.q_text_pii_scrub(spark, sf),
         [
-            ("map-only (no shuffle of any kind)", r"Exchange", False),
+            ("map-only after the scan-width spread (no hash/range exchange)",
+             r"Exchange (hash|range)partitioning", False),
             ("pure Catalyst (no Python workers)", r"ArrowEvalPython|BatchEvalPython", False),
         ],
     )

@@ -49,6 +49,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .spread import spread
+
 EOW = "</w>"  # end-of-word marker symbol (Sennrich)
 
 
@@ -74,6 +76,7 @@ def _sampled_docs(docs: DataFrame, sample_docs: int, seed: int) -> DataFrame:
 def _word_freq(docs: DataFrame) -> DataFrame:
     """(word, freq, symbols array<string>) — the ONLY corpus-sized shuffle;
     everything after runs on the distinct-word table."""
+    docs = spread(docs)  # single-row-group scans serialize the map work
     words = docs.select(
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
     ).filter(F.length("word") > 0)

@@ -58,8 +58,10 @@ def hashed_features(
     """(doc_id, idx, cnt): hashed bag-of-words term counts. One
     partial-combine aggregate over the exploded tokens — the corpus-sized
     shuffle of the classifier, paid once and cached across iterations."""
+    from .spread import spread
+
     return (
-        docs.select(
+        spread(docs).select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
         )

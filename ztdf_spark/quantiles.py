@@ -48,6 +48,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+
 def _bucket(col: str, lo: float, w: float, n_buckets: int) -> Column:
     """Clamped equal-width bin id — the ONE float expression both the
     histogram and the refinement filter share."""

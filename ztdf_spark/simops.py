@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .spread import spread
+
 
 def _quantized(col) -> "F.Column":
     """array<float> → array<long> of floor(x_double * 1000): exact integer
@@ -48,6 +50,7 @@ def ann_topk_quantized(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataF
     Plan-guarded in tools/explain_plans.py. FLOPs stay O(Q×N) by design:
     this is the exact recall baseline; the bucketed variants are the
     scale path."""
+    emb = spread(emb)  # single-row-group scans serialize the vector work
     q = F.broadcast(
         emb.filter(F.col("vec_id") < n_queries).select(
             F.col("vec_id").alias("query_id"), _quantized(F.col("embedding")).alias("qv")
@@ -93,6 +96,7 @@ def ann_topk_cosine(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFram
     space — 3x the higher-order-function work for identical doubles).
     Top-k prunes per-partition before the exchange via Spark's partial
     ``WindowGroupLimit`` — see ann_topk_quantized's scale note."""
+    emb = spread(emb)  # single-row-group scans serialize the vector work
     d = F.col("embedding").cast("array<double>")
     q = F.broadcast(
         emb.filter(F.col("vec_id") < n_queries).select(
@@ -157,6 +161,7 @@ def lsh_ann_topk(
     in tests/test_simops.py (planted-neighbor data: recall@5 ≥ 0.9 at <15%
     scan; the structureless synthetic `embeddings` table: any sublinear
     index degrades toward recall ≈ scan fraction, documented there)."""
+    emb = spread(emb)  # single-row-group scans serialize the vector work
     cand_sig = _lsh_probes_udf(dim, n_planes, n_tables, seed, multiprobe=0)
     query_sig = _lsh_probes_udf(dim, n_planes, n_tables, seed, multiprobe=multiprobe)
     d = F.col("embedding").cast("array<double>")
@@ -195,6 +200,7 @@ def signbit_lsh_topk(
 
     Pure Catalyst: the bucket id is a static unrolled sum of ``CASE WHEN
     emb[i] >= 0`` bit terms (whole-stage codegen, no Python)."""
+    emb = spread(emb)  # single-row-group scans serialize the vector work
     if (n_tables * n_bits) > 64:
         raise ValueError("n_tables * n_bits must fit the embedding dim (64)")
 
@@ -252,6 +258,7 @@ def ann_ivf_topk(
     At 100 TB: training stays O(train_sample · dim); assignment is one
     map-only pass; the per-cell candidate join is the only exchange.
     """
+    emb = spread(emb)  # single-row-group scans serialize the vector work
     d = F.col("embedding").cast("array<double>")
     cand = emb.filter(F.col("vec_id") >= n_queries)
     # a bounded uniform sample that is also partition-layout-INVARIANT:
@@ -344,6 +351,7 @@ def emb_near_dup_lsh(
     the (tiny relative to the pair stream) vector table, and the rerank
     evaluates the same ``_dot/_norm`` double expressions as before —
     identical pairs, bit-identical cosines."""
+    emb = spread(emb)  # single-row-group scans serialize the vector work
     sig = _lsh_probes_udf(dim, n_planes, n_tables, seed, multiprobe=0)
     d = F.col("embedding").cast("array<double>")
     slim = emb.select(
@@ -403,6 +411,7 @@ def embedding_near_dup_pairs(emb: DataFrame, min_dot_q: int, n_chunks: int | Non
     use ``emb_near_dup_lsh`` (banded LSH + rerank, measured recall) as the
     approximate scale path for high-cosine thresholds.
     """
+    emb = spread(emb)  # single-row-group scans serialize the vector work
     if n_chunks is None:
         p = emb.sparkSession.sparkContext.defaultParallelism
         n_chunks = max(4, int((2 * p) ** 0.5) + 1)
@@ -485,6 +494,7 @@ def ann_pq_topk(
     equi-join back to the float vectors) — standard PQ-then-rerank, so
     recall is measured against exact search in tests, not assumed.
     """
+    emb = spread(emb)  # single-row-group scans serialize the vector work
     d = F.col("embedding").cast("array<double>")
     cand = emb.filter(F.col("vec_id") >= n_queries)
     n_cand = cand.count()
@@ -642,6 +652,7 @@ def semdedup(
     for big cells chunk the scan (same blocked pattern as
     ``embedding_near_dup_pairs``).
     """
+    emb = spread(emb)  # single-row-group scans serialize the map work
     d = F.col("embedding").cast("array<double>")
     n_all = emb.count()
     frac = min(1.0, (train_sample * 1.5) / max(1, n_all))

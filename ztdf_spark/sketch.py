@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .spread import spread
+
 
 def _cms_col(key_col: str, i: int, w: int, seed: int) -> F.Column:
     """Row-i column index for a key: md5-prefix integer mod w."""
@@ -36,6 +38,7 @@ def _cms_col(key_col: str, i: int, w: int, seed: int) -> F.Column:
 
 def cms_build(df: DataFrame, key_col: str, *, d: int = 4, w: int = 1024, seed: int = 42) -> DataFrame:
     """Build a d×w count-min sketch over ``df[key_col]`` → (r, c, n)."""
+    df = spread(df)  # single-row-group scans serialize the map work
     cells = F.array(
         *[
             F.struct(F.lit(i).cast("int").alias("r"), _cms_col(key_col, i, w, seed).alias("c"))
@@ -96,6 +99,7 @@ def hll_registers(df: DataFrame, key_col: str, *, m: int = 64, seed: int = 42) -
     bit-for-bit. ``m`` must be a power of two (bucket = low bits of the
     32-bit md5-prefix hash; w = the remaining high bits).
     """
+    df = spread(df)  # single-row-group scans serialize the map work
     if m & (m - 1) or m < 2:
         raise ValueError("hll: m must be a power of two >= 2")
     shift = m.bit_length() - 1

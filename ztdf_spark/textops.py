@@ -27,6 +27,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .spread import spread
+
 # ---------------------------------------------------------------------------
 # Fingerprinting & exact dedup (hash-groupBy)
 # ---------------------------------------------------------------------------
@@ -96,8 +98,10 @@ def _shingle_hash_array(k: int = 3, ws: str = "ws"):
 
 def _with_ws(docs: DataFrame) -> DataFrame:
     """(doc_id, ws): the lower-cased word array, materialized ONCE per doc
-    so per-window lambdas index it in O(1) (see ``_shingle_array``)."""
-    return docs.select(
+    so per-window lambdas index it in O(1) (see ``_shingle_array``).
+    The scan is ``spread`` first — shingle work off a single-row-group
+    file would otherwise serialize onto one core."""
+    return spread(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"), _words().alias("ws")
     )
 
@@ -140,15 +144,7 @@ def jaccard_pairs(
     the explode onto one core (at 100 TB the scan is already wide and this
     branch never fires).
     """
-    # spread decision from scan metadata, not .rdd (constructing the RDD
-    # plan per call is driver overhead and bypasses Catalyst): a scan of
-    # fewer input files than cores would serialize the explode; at 100 TB
-    # the scan is already wide and this never fires. Non-file sources
-    # (inputFiles() == []) are left to their natural parallelism.
-    p = docs.sparkSession.sparkContext.defaultParallelism
-    n_files = len(docs.inputFiles())
-    if 0 < n_files < p:
-        docs = docs.repartition(2 * p)
+    # scan-width guard now lives in _with_ws (ztdf_spark/spread.py)
     # r7 shape: shingles ride as 64-bit xxhash64 of the k-word tuple — no
     # concat_ws string is ever built and every shuffle row is 16 B instead
     # of doc_id + a ~25 B string (guide §2.3 "narrower types"/"shuffle
@@ -243,6 +239,7 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 64, k: int = 3, seed: in
     with map-side partial combine — shuffle volume is docs × n_hashes
     longs, not shingles. The same work/shuffle shape you'd want at
     100 TB."""
+    docs = spread(docs)  # single-row-group scans serialize the explode
     a_params, b_params = _minhash_params(n_hashes, seed)
     h = (F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long") % F.lit(MINHASH_P)).alias("h")
     lanes = [
@@ -334,6 +331,7 @@ def simhash64(docs: DataFrame, seed: int = 42, n_bits: int = 60) -> DataFrame:
     n_bits longs). A first cut folded the bit loop through nested
     higher-order functions, which Catalyst interprets per element —
     ~100x slower at sf0.1."""
+    docs = spread(docs)  # single-row-group scans serialize the explode
     hcol = F.conv(
         F.substring(F.md5(F.concat(F.lit(f"sim{seed}:"), F.col("w"))), 1, 15), 16, 10
     ).cast("long")
@@ -376,7 +374,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
     """N-gram/stopword heuristic language ID (greatest-hits argmax with a
     deterministic tie order en>es>fr>de, 'und' = undetermined)."""
     w = _words()
-    d = docs.select(F.col("doc_id").cast("long").alias("doc_id"), w.alias("w"))
+    d = spread(docs).select(F.col("doc_id").cast("long").alias("doc_id"), w.alias("w"))
     for lang in _STOPWORDS:
         d = d.withColumn(f"h_{lang}", _stop_hits(F.col("w"), lang))
     best = F.greatest(*[F.col(f"h_{l}") for l in _STOPWORDS])
@@ -389,6 +387,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Length / punctuation / stopword-ratio quality features, integer-
     quantized (×1000) for oracle-stable comparison."""
+    docs = spread(docs)  # regex/stopword filters are per-row heavy
     w = _words()
     n_words = F.size(w)
     n_chars = F.length("text")
@@ -470,7 +469,7 @@ def chunk_overlap(docs: DataFrame, *, window: int = 64, stride: int = 48) -> Dat
             F.least(F.lit(window), n - s).alias("nw"),
         ),
     )
-    ex = docs.select(
+    ex = spread(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.split(F.col("text"), r"\s+").alias("ws"),
     ).select(
@@ -862,6 +861,7 @@ def line_dedup(
     ``array_sort`` (group = one document, never a global sort). The r6
     form instead shuffle-joined every (doc_id, pos, line) row against the
     df table on the line string — two token-scale string exchanges."""
+    docs = spread(docs)  # single-row-group scans serialize the chunking
     if delimiter is not None:
         import re as _re
 
@@ -960,7 +960,7 @@ def vocab_top_terms(docs: DataFrame, top_n: int = 100) -> DataFrame:
     is a rank over ONE column set, computed as a global sort LIMIT (Spark's
     TakeOrderedAndProject — a per-partition top-N + single merge, never a
     full sort shuffle)."""
-    terms = docs.select(
+    terms = spread(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(F.split(F.col("text"), " ")).alias("term"),
     ).filter(F.col("term") != "")
@@ -1046,7 +1046,7 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}")
         for name, pat, _ in PII_PATTERNS
     ]
-    return docs.select(
+    return spread(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         *counts,
         F.md5(pii_scrub_text(F.col(text_col))).alias("scrubbed_md5"),
@@ -1102,7 +1102,7 @@ def ngram_repetition(docs: DataFrame, top_n: int = 2, dup_n: int = 5) -> DataFra
                 lambda i: F.xxhash64(F.slice(w, i, n)),
             ),
         ).otherwise(F.array().cast("array<long>"))
-        return docs.select(
+        return spread(docs).select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.split(F.col("text"), " ").alias("ws"),
         ).select(
@@ -1187,8 +1187,8 @@ def dsir_weights(
         .cast("long") % n_buckets
     ).alias("b")
 
-    raw_toks = docs.select(F.explode(w).alias("w")).select(bucket)
-    tgt_toks = target.select(F.explode(w).alias("w")).select(bucket)
+    raw_toks = spread(docs).select(F.explode(w).alias("w")).select(bucket)
+    tgt_toks = spread(target).select(F.explode(w).alias("w")).select(bucket)
     cr = raw_toks.groupBy("b").agg(F.count("*").alias("cr"))
     ct = tgt_toks.groupBy("b").agg(F.count("*").alias("ct"))
     score = cr.join(ct, "b", "full").select(
@@ -1214,7 +1214,7 @@ def dsir_weights(
         ).alias("shift")
     )
 
-    doc_toks = docs.select(
+    doc_toks = spread(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"), F.explode(w).alias("w")
     ).select("doc_id", bucket)
     per_doc = (
@@ -1304,11 +1304,11 @@ def corpus_lm_score(
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     pairs = (
-        docs.select(d.alias("doc_id"), w.alias("ws"))
+        spread(docs).select(d.alias("doc_id"), w.alias("ws"))
         .select("doc_id", F.explode(prs).alias("p"))
         .select("doc_id", "p.w1", "p.w2")
     )
-    toks = docs.filter(d % train_mod == 0).select(
+    toks = spread(docs).filter(d % train_mod == 0).select(
         F.explode(w).alias("w")
     )
     c1 = toks.groupBy("w").agg(F.count("*").alias("c1"))
@@ -1388,6 +1388,7 @@ def substring_dedup(docs: DataFrame, k: int = 6, text_col: str = "text") -> Data
     covered positions was dropped: ``collect_set`` already deduplicates
     in-group (with partial merge), so the distinct was a second full
     exchange of the same rows for nothing."""
+    docs = spread(docs)  # single-row-group scans serialize the explode
     w = F.split(F.col(text_col), " ")
     base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), w.alias("w"))
     # (doc_id, start, gram-hash) for every k-window; start is 0-based
@@ -1470,7 +1471,7 @@ def bm25_topk(
         spark.createDataFrame(qterms, "query_id long, term string").distinct()
     )
     w = F.split(F.col(text_col), " ")
-    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), w.alias("w"))
+    base = spread(docs).select(F.col("doc_id").cast("long").alias("doc_id"), w.alias("w"))
     terms = base.select(
         "doc_id", F.size("w").cast("long").alias("dl"), F.explode("w").alias("term")
     ).join(qdf.select("term").distinct(), "term", "left_semi")

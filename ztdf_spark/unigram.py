@@ -47,6 +47,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .spread import spread
+
 UNK = "<unk>"
 
 
@@ -121,6 +123,7 @@ def _segment_or_unk(word: str, counts: dict, total: int, max_len: int):
 
 def _word_freq(docs: DataFrame) -> DataFrame:
     """(word, freq) — the only corpus-sized shuffle."""
+    docs = spread(docs)  # single-row-group scans serialize the map work
     return (
         docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"))
         .filter(F.length("word") > 0)

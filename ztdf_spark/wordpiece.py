@@ -58,6 +58,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .spread import spread
+
 from .bpeops import _merge_expr, _sampled_docs
 
 UNK = "[UNK]"
@@ -67,6 +69,7 @@ CONT = "##"
 def _word_freq(docs: DataFrame) -> DataFrame:
     """(word, freq, symbols) with BERT continuation symbols: first char
     bare, later chars ##-prefixed. The ONLY corpus-sized shuffle."""
+    docs = spread(docs)  # single-row-group scans serialize the map work
     words = docs.select(
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
     ).filter(F.length("word") > 0)
