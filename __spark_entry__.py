@@ -1812,74 +1812,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering note: the driver's correctness capture has a ~50-entry
-    # window; entries that had no driver-green row in CORRECTNESS_r05.json
-    # (dedup_clusters … mm_frames) are listed FIRST so round 6 lands a
-    # driver row for every operator, with the previously-verified set after.
+    # Ordering note (VERDICT r6 next-round #1 — window rotation
+    # discipline): the driver's correctness capture has a ~50-entry window.
+    # Round 7 rotation: the 44 entries whose last driver-hash-green row is
+    # from ROUND 5 (they rotated out of the r6 window) run FIRST so every
+    # DuckDB-oracled query regains a driver row dated ≤2 rounds old; the
+    # 34 entries hash-green in the r6 window follow (the first few land in
+    # the r7 window again); the 16 value-oracle entries the driver's
+    # DuckDB-only check can structurally never verify (iterative trainers,
+    # media decodes, true-float ANN) run LAST so they never occupy window
+    # slots — they stay pytest + tools/check_oracles.py(pandas)-verified.
     return {
-        # --- round-5 additions, never driver-checked (run first) ---
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_canonicalize": q_dedup_canonicalize,
-        "text_line_dedup": q_text_line_dedup,
-        "corpus_split": q_corpus_split,
-        "vocab_top_terms": q_vocab_top_terms,
-        "corpus_shuffle": q_corpus_shuffle,
-        "events_asof_join": q_events_asof_join,
-        "tok_pack_spans": q_tok_pack_spans,
-        "tok_pack_chunks": q_tok_pack_chunks,
-        "ann_topk_quantized": q_ann_topk_quantized,
-        "ann_topk_cosine": q_ann_topk_cosine,
-        "ann_lsh": q_ann_lsh,
-        "ann_signbit_lsh": q_ann_signbit_lsh,
-        "ann_ivf": q_ann_ivf,
-        "ann_pq": q_ann_pq,
-        "emb_near_dup": q_emb_near_dup,
-        "emb_near_dup_lsh": q_emb_near_dup_lsh,
-        "mm_features": q_mm_features,  # real wav/ppm/bmp/jpeg/png decode; pandas oracle
-        "mm_resize": q_mm_resize,  # real image resample; pandas oracle
-        "mm_frames": q_mm_frames,  # real y4m frame sampling; pandas oracle
-        # r6 upgrades: minhash/simhash gained full DuckDB oracles (md5-based
-        # integer constructions) — placed inside the driver window so their
-        # first hash-green driver rows land this round
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "text_line_dedup_nl": q_text_line_dedup_nl,
-        # r6 additions: PII scrub + Gopher repetition rules (full DuckDB
-        # oracles), inside the driver window for first-round green rows
-        "text_pii_scrub": q_text_pii_scrub,
-        "text_repetition": q_text_repetition,
-        "corpus_lm_score": q_corpus_lm_score,
-        "bpe_train": q_bpe_train,  # pandas oracle (iterative training loop)
-        "bpe_encode": q_bpe_encode,  # pandas oracle
-        # r6 additions (this session): exactly-once event dedup (DuckDB
-        # oracle) and SemDeDup semantic dedup (pandas oracle) — inside the
-        # driver window for first-round green rows
-        "events_dedup": q_events_dedup,
-        "dedup_semantic": q_dedup_semantic,
-        "text_chunks": q_text_chunks,
-        "events_cms_topk": q_events_cms_topk,
-        "events_hll_registers": q_events_hll_registers,
-        "corpus_dsir": q_corpus_dsir,
-        # r6 additions (this session): ExactSubstr-style span dedup and
-        # integer-exact BM25 retrieval, both with full DuckDB oracles —
-        # inside the driver window for first-round green rows
-        "dedup_substring": q_dedup_substring,
-        "text_bm25": q_text_bm25,
-        "cdc_zorder_scan": q_cdc_zorder_scan,
-        "text_decontaminate_bloom": q_text_decontaminate_bloom,
-        "corpus_quality_classifier": q_corpus_quality_classifier,
-        "tok_unigram_vocab": q_tok_unigram_vocab,
-        "tok_unigram_encode": q_tok_unigram_encode,
-        "tok_wordpiece_vocab": q_tok_wordpiece_vocab,
-        "tok_wordpiece_encode": q_tok_wordpiece_encode,
-        "tok_pack_bestfit": q_tok_pack_bestfit,
-        "events_exact_quantiles": q_events_exact_quantiles,
-        "corpus_temperature_sample": q_corpus_temperature_sample,
-        # CDC engine semantics (SURVEY.md §2.3 stages)
-        "cdc_latest_wins": q_cdc_latest_wins,
-        "cdc_merge_state_agg": q_cdc_merge_state_agg,
-        "cdc_route_counts": q_cdc_route_counts,
-        "cdc_kas_resolution": q_cdc_kas_resolution,
+        # --- last driver-green in r5: run first, inside the r7 window ---
         "cdc_attr_explode": q_cdc_attr_explode,
         "cdc_el_properties": q_cdc_el_properties,
         "cdc_changes_feed": q_cdc_changes_feed,
@@ -1904,7 +1848,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_nano_container": q_cdc_nano_container,
         "cdc_rsa_wrap": q_cdc_rsa_wrap,
         "cdc_rewrap_rotation": q_cdc_rewrap_rotation,
-        # relational coverage
         "events_sessionize": q_events_sessionize,
         "events_windowed": q_events_windowed,
         "events_hopping": q_events_hopping,
@@ -1916,7 +1859,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_priority": q_topk_orders_per_priority,
         "part_brand_rollup": q_part_brand_rollup,
         "supplier_nation_agg": q_supplier_nation_agg,
-        # training-data pipeline
         "doc_fingerprints": q_doc_fingerprints,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1926,6 +1868,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "text_decontaminate": q_text_decontaminate,
         "corpus_mixture": q_corpus_mixture,
+        # --- hash-green in the r6 window (next few re-enter the window) ---
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_canonicalize": q_dedup_canonicalize,
+        "text_line_dedup": q_text_line_dedup,
+        "corpus_split": q_corpus_split,
+        "vocab_top_terms": q_vocab_top_terms,
+        "corpus_shuffle": q_corpus_shuffle,
+        "events_asof_join": q_events_asof_join,
+        "tok_pack_spans": q_tok_pack_spans,
+        "tok_pack_chunks": q_tok_pack_chunks,
+        "ann_topk_quantized": q_ann_topk_quantized,
+        "ann_topk_cosine": q_ann_topk_cosine,
+        "ann_signbit_lsh": q_ann_signbit_lsh,
+        "emb_near_dup": q_emb_near_dup,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "text_line_dedup_nl": q_text_line_dedup_nl,
+        "text_pii_scrub": q_text_pii_scrub,
+        "text_repetition": q_text_repetition,
+        "corpus_lm_score": q_corpus_lm_score,
+        "events_dedup": q_events_dedup,
+        "text_chunks": q_text_chunks,
+        "events_cms_topk": q_events_cms_topk,
+        "events_hll_registers": q_events_hll_registers,
+        "corpus_dsir": q_corpus_dsir,
+        "dedup_substring": q_dedup_substring,
+        "text_bm25": q_text_bm25,
+        "cdc_zorder_scan": q_cdc_zorder_scan,
+        "text_decontaminate_bloom": q_text_decontaminate_bloom,
+        "events_exact_quantiles": q_events_exact_quantiles,
+        "corpus_temperature_sample": q_corpus_temperature_sample,
+        "cdc_latest_wins": q_cdc_latest_wins,
+        "cdc_merge_state_agg": q_cdc_merge_state_agg,
+        "cdc_route_counts": q_cdc_route_counts,
+        "cdc_kas_resolution": q_cdc_kas_resolution,
+        # --- value-oracle entries (driver check is structurally no_oracle;
+        # pandas-oracled in tools/check_oracles.py + pytest) — run last ---
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "ann_pq": q_ann_pq,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
+        "mm_features": q_mm_features,  # real wav/ppm/bmp/jpeg/png decode; pandas oracle
+        "mm_resize": q_mm_resize,  # real image resample; pandas oracle
+        "mm_frames": q_mm_frames,  # real y4m frame sampling; pandas oracle
+        "bpe_train": q_bpe_train,  # pandas oracle (iterative training loop)
+        "bpe_encode": q_bpe_encode,  # pandas oracle
+        "dedup_semantic": q_dedup_semantic,
+        "corpus_quality_classifier": q_corpus_quality_classifier,
+        "tok_unigram_vocab": q_tok_unigram_vocab,
+        "tok_unigram_encode": q_tok_unigram_encode,
+        "tok_wordpiece_vocab": q_tok_wordpiece_vocab,
+        "tok_wordpiece_encode": q_tok_wordpiece_encode,
+        "tok_pack_bestfit": q_tok_pack_bestfit,
     }
 
 
