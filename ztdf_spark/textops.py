@@ -712,53 +712,93 @@ def connected_components(
     dir). Convergence is detected by an order-insensitive (count,
     bit_xor(xxhash64)) edge-set signature — one tiny action per round.
     """
-    e = (
-        edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d"))
-        .filter(F.col("s") != F.col("d"))
-        .distinct()
-    )
     sig_agg = [
         F.count("*").alias("n"),
         F.bit_xor(F.xxhash64("s", "d")).alias("x"),
     ]
-    prev = None
+    # materialize the input edge set ONCE (lazy checkpoint — the signature
+    # aggregate below is the job that computes it): round 1 otherwise
+    # re-evaluates the full upstream pair-generation pipeline for each of
+    # its self-references, and the convergence check gets its baseline
+    # signature from the same single job (guide §1.2: remove redundant
+    # passes before tuning anything else)
+    e = (
+        edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    row = e.agg(*sig_agg).collect()[0]
+    prev = (row["n"], row["x"])
+    n_edges = row["n"]
+    spark = edges.sparkSession
+    base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     rounds = 0
-    prev_e = None
-    for _ in range(max_iter):
-        rounds += 1
-        # large-star: every node u emits (v, min(Γ+(u))) for its LARGER
-        # neighbors v — after this every edge points large → small
-        sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-        mins = sym.groupBy("s").agg(F.least(F.min("d"), F.first("s")).alias("m"))
-        e = (
-            sym.join(mins, "s")
-            .filter(F.col("d") > F.col("s"))
-            .select(F.col("d").alias("s"), F.col("m").alias("d"))
-            .distinct()
-        )
-        # small-star: u (all its neighbors now smaller) rewires itself and
-        # every non-min neighbor to min(N(u) ∪ {u})
-        mn = e.groupBy("s").agg(F.min("d").alias("m"))
-        e = (
-            e.join(mn, "s")
-            .filter(F.col("d") != F.col("m"))
-            .select(F.col("d").alias("s"), F.col("m").alias("d"))
-            .union(mn.select("s", F.col("m").alias("d")))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        if prev_e is not None:
-            # the new checkpoint is materialized (eager) and self-contained:
-            # release the previous round's blocks, or O(rounds) edge-list
-            # copies pile up in executor memory (the FINAL round's blocks
-            # stay — the returned labels read them)
-            prev_e.unpersist()
-        prev_e = e
-        row = e.agg(*sig_agg).collect()[0]
-        sig = (row["n"], row["x"])
-        if sig == prev or sig[0] == 0:
-            break
-        prev = sig
+    prev_e = e
+    try:
+        for _ in range(max_iter):
+            if n_edges == 0:
+                break
+            rounds += 1
+            # Scale-adaptive round sizing (guide §2: derive partitioning
+            # from input size, never a constant): each round's working set
+            # is the CURRENT edge list, whose exact count the previous
+            # signature job already produced for free. Small rounds run
+            # with few shuffle partitions and AQE off — profiling showed
+            # the loop's wall is dominated by per-round DRIVER latency
+            # (inter-stage idle: AQE re-plans every exchange of every tiny
+            # round as its own query stage), not by task work. At scale
+            # (parts == base_parts) the conf is untouched and AQE keeps
+            # its skew/coalesce role.
+            parts = max(1, min(base_parts, (n_edges >> 18) + 1))
+            if parts < base_parts:
+                spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
+            else:
+                spark.conf.set("spark.sql.shuffle.partitions", str(base_parts))
+                spark.conf.set("spark.sql.adaptive.enabled", base_aqe)
+            # large-star: every node u emits (v, min(Γ+(u))) for its LARGER
+            # neighbors v — after this every edge points large → small
+            sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+            mins = sym.groupBy("s").agg(F.least(F.min("d"), F.first("s")).alias("m"))
+            e = (
+                sym.join(mins, "s")
+                .filter(F.col("d") > F.col("s"))
+                .select(F.col("d").alias("s"), F.col("m").alias("d"))
+                .distinct()
+            )
+            # small-star: u (all its neighbors now smaller) rewires itself
+            # and every non-min neighbor to min(N(u) ∪ {u})
+            mn = e.groupBy("s").agg(F.min("d").alias("m"))
+            e = (
+                e.join(mn, "s")
+                .filter(F.col("d") != F.col("m"))
+                .select(F.col("d").alias("s"), F.col("m").alias("d"))
+                .union(mn.select("s", F.col("m").alias("d")))
+                .distinct()
+                # lazy checkpoint: the signature aggregate below is the ONE
+                # job per round — it materializes the checkpoint blocks and
+                # produces (count, xor) in the same pass (the eager form
+                # paid a second full job per round just to checkpoint)
+                .localCheckpoint(eager=False)
+            )
+            row = e.agg(*sig_agg).collect()[0]
+            if prev_e is not None:
+                # the new checkpoint is materialized and self-contained:
+                # release the previous round's blocks, or O(rounds)
+                # edge-list copies pile up in executor memory (the FINAL
+                # round's blocks stay — the returned labels read them)
+                prev_e.unpersist()
+            prev_e = e
+            sig = (row["n"], row["x"])
+            n_edges = row["n"]
+            if sig == prev or sig[0] == 0:
+                break
+            prev = sig
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(base_parts))
+        spark.conf.set("spark.sql.adaptive.enabled", base_aqe)
     if stats is not None:
         stats["rounds"] = rounds  # convergence evidence for BENCH/cc_scale.json
     # converged: edges form stars (non-root → component min)
