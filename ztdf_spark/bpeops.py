@@ -116,40 +116,45 @@ def bpe_train(
     KB), exactly like simops' trained centroids/codebooks."""
     wf = _word_freq(_sampled_docs(docs, sample_docs, seed)).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, str]] = []
+    from .loopconf import small_loop_conf
+
+    # the merge loop iterates over the BOUNDED distinct-word table; size
+    # the per-round jobs from its measured count (see loopconf.py)
     try:
-        for rank in range(n_merges):
-            pairs = (
-                wf.filter(F.size("symbols") >= 2)
-                .select(
-                    "freq",
-                    F.explode(
-                        F.expr(
-                            "transform(sequence(1, size(symbols) - 1), i -> "
-                            "struct(element_at(symbols, i) AS left, "
-                            "element_at(symbols, i + 1) AS right))"
-                        )
-                    ).alias("p"),
+        with small_loop_conf(docs.sparkSession, wf.count()):
+            for rank in range(n_merges):
+                pairs = (
+                    wf.filter(F.size("symbols") >= 2)
+                    .select(
+                        "freq",
+                        F.explode(
+                            F.expr(
+                                "transform(sequence(1, size(symbols) - 1), i -> "
+                                "struct(element_at(symbols, i) AS left, "
+                                "element_at(symbols, i + 1) AS right))"
+                            )
+                        ).alias("p"),
+                    )
+                    .groupBy("p.left", "p.right")
+                    .agg(F.sum("freq").alias("cnt"))
                 )
-                .groupBy("p.left", "p.right")
-                .agg(F.sum("freq").alias("cnt"))
-            )
-            # deterministic winner under a total order: count desc, pair asc
-            best = pairs.orderBy(
-                F.desc("cnt"), F.asc("left"), F.asc("right")
-            ).first()
-            if best is None or best["cnt"] < 2:
-                break
-            left, right = best["left"], best["right"]
-            token = left + right
-            merges.append((rank, left, right, token))
-            nxt = wf.withColumn("symbols", _merge_expr(left, right, token)).localCheckpoint(
-                eager=True
-            )
-            # the new checkpoint is fully materialized (eager) and no longer
-            # reads the old one — release the old blocks now, or rounds x
-            # word-table blocks pile up in executor memory
-            wf.unpersist()
-            wf = nxt
+                # deterministic winner under a total order: count desc, pair asc
+                best = pairs.orderBy(
+                    F.desc("cnt"), F.asc("left"), F.asc("right")
+                ).first()
+                if best is None or best["cnt"] < 2:
+                    break
+                left, right = best["left"], best["right"]
+                token = left + right
+                merges.append((rank, left, right, token))
+                nxt = wf.withColumn("symbols", _merge_expr(left, right, token)).localCheckpoint(
+                    eager=True
+                )
+                # the new checkpoint is fully materialized (eager) and no longer
+                # reads the old one — release the old blocks now, or rounds x
+                # word-table blocks pile up in executor memory
+                wf.unpersist()
+                wf = nxt
     finally:
         # the merge LIST is the model (driver-side); no checkpoint block
         # may outlive training

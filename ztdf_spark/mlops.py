@@ -147,35 +147,56 @@ def train_classifier(
     labels = dict(
         zip(lpdf["doc_id"].to_numpy(np.int64).tolist(), lpdf["y"].to_numpy(np.int64).tolist())
     )
+    # Materialize the feature cache NOW, under the session's normal config
+    # (this is the one corpus-sized shuffle and needs full parallelism +
+    # AQE); the count doubles as the exact working-set size for the loop.
+    n_feat = feats.count()
+    # Scale-adaptive loop config (guide §2; same rationale as the
+    # connected-components loop): the 2·iters jobs below each move only
+    # (train-doc logits) / (dim gradient rows) — profiling shows their
+    # wall is per-round DRIVER latency (AQE re-planning every tiny
+    # exchange), not task work. Derive partitions from the measured
+    # feature count and drop AQE only in the small regime; a 100 TB-scale
+    # train sample (parts == base) keeps the session config untouched.
+    base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    parts = max(1, min(base_parts, int(n_feat) // 250_000 + 1))
     w = np.zeros(dim, dtype=np.float64)
     b = 0.0
-    for _ in range(iters):
-        wq = np.rint(w * Q_SCALE).astype(np.int64)
-        zpdf = _dot_q(feats, wq.tolist()).toPandas()
-        ids = zpdf["doc_id"].to_numpy(np.int64)
-        z = zpdf["zq"].to_numpy(np.float64) / Q_SCALE + b
-        y = np.array([labels[i] for i in ids.tolist()], dtype=np.float64)
-        # clip keeps exp() in range; the oracle clips identically
-        p = 1.0 / (1.0 + np.exp(-np.clip(z, -30.0, 30.0)))
-        eq = np.rint((p - y) * Q_SCALE).astype(np.int64)
-        edf = F.broadcast(
-            spark.createDataFrame(
-                pa.table({"doc_id": pa.array(ids, pa.int64()), "eq": pa.array(eq, pa.int64())})
+    try:
+        if parts < base_parts:
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        for _ in range(iters):
+            wq = np.rint(w * Q_SCALE).astype(np.int64)
+            zpdf = _dot_q(feats, wq.tolist()).toPandas()
+            ids = zpdf["doc_id"].to_numpy(np.int64)
+            z = zpdf["zq"].to_numpy(np.float64) / Q_SCALE + b
+            y = np.array([labels[i] for i in ids.tolist()], dtype=np.float64)
+            # clip keeps exp() in range; the oracle clips identically
+            p = 1.0 / (1.0 + np.exp(-np.clip(z, -30.0, 30.0)))
+            eq = np.rint((p - y) * Q_SCALE).astype(np.int64)
+            edf = F.broadcast(
+                spark.createDataFrame(
+                    pa.table({"doc_id": pa.array(ids, pa.int64()), "eq": pa.array(eq, pa.int64())})
+                )
             )
-        )
-        gpdf = (
-            feats.join(edf, "doc_id")
-            .groupBy("idx")
-            .agg(F.sum(F.col("cnt") * F.col("eq")).alias("gq"))
-            .toPandas()
-        )
-        grad = np.zeros(dim, dtype=np.float64)
-        grad[gpdf["idx"].to_numpy(np.int64)] = gpdf["gq"].to_numpy(np.float64)
-        grad /= Q_SCALE * n
-        # docs with zero train-set features contribute 0 to grad but must
-        # still pull the bias (their p comes from b alone)
-        w -= lr * (grad + l2 * w)
-        b -= lr * float(np.sum(eq)) / (Q_SCALE * n)
+            gpdf = (
+                feats.join(edf, "doc_id")
+                .groupBy("idx")
+                .agg(F.sum(F.col("cnt") * F.col("eq")).alias("gq"))
+                .toPandas()
+            )
+            grad = np.zeros(dim, dtype=np.float64)
+            grad[gpdf["idx"].to_numpy(np.int64)] = gpdf["gq"].to_numpy(np.float64)
+            grad /= Q_SCALE * n
+            # docs with zero train-set features contribute 0 to grad but must
+            # still pull the bias (their p comes from b alone)
+            w -= lr * (grad + l2 * w)
+            b -= lr * float(np.sum(eq)) / (Q_SCALE * n)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(base_parts))
+        spark.conf.set("spark.sql.adaptive.enabled", base_aqe)
     feats.unpersist()
     return {
         "wq": np.rint(w * Q_SCALE).astype(np.int64).tolist(),

@@ -213,34 +213,39 @@ def unigram_train(
     characters are always retained (full coverage of the sample)."""
     from .bpeops import _sampled_docs
 
+    from .loopconf import small_loop_conf
+
     wf = _word_freq(_sampled_docs(docs, sample_docs, seed)).localCheckpoint(
         eager=True
     )
     try:
-        vocab = dict(_seed_vocab(wf, seed_size, max_piece_len))
-        for _ in range(max_rounds):
-            used = _estep_counts(wf, vocab, max_piece_len)
-            chars = {p: c for p, c in vocab.items() if len(p) == 1}
-            n_multi = max(0, len(vocab) - len(chars))
-            target_multi = max(
-                max(0, vocab_size - len(chars)), n_multi * shrink_num // shrink_den
-            )
-            # chars keep their E-step usage when used, else count 1 (never
-            # dropped — coverage); multi-char pieces with zero usage drop
-            keep = {p: used.get(p, 1) for p in chars}
-            multi = sorted(
-                ((p, c) for p, c in used.items() if len(p) > 1 and p in vocab),
-                key=lambda pc: (-pc[1], pc[0]),
-            )[:target_multi]
-            keep.update(dict(multi))
-            done = len(keep) <= max(vocab_size, len(chars)) and n_multi == len(multi)
-            vocab = keep
-            if done:
-                break
-        final = _estep_counts(wf, vocab, max_piece_len)
-        out = {p: final.get(p, 1) if len(p) == 1 else final.get(p, 0) for p in vocab}
-        out = {p: c for p, c in out.items() if c > 0 or len(p) == 1}
-        return sorted(out.items(), key=lambda pc: (-pc[1], pc[0]))
+        # the EM loop iterates over the BOUNDED distinct-word table; size
+        # the per-round jobs from its measured count (loopconf.py)
+        with small_loop_conf(docs.sparkSession, wf.count()):
+            vocab = dict(_seed_vocab(wf, seed_size, max_piece_len))
+            for _ in range(max_rounds):
+                used = _estep_counts(wf, vocab, max_piece_len)
+                chars = {p: c for p, c in vocab.items() if len(p) == 1}
+                n_multi = max(0, len(vocab) - len(chars))
+                target_multi = max(
+                    max(0, vocab_size - len(chars)), n_multi * shrink_num // shrink_den
+                )
+                # chars keep their E-step usage when used, else count 1 (never
+                # dropped — coverage); multi-char pieces with zero usage drop
+                keep = {p: used.get(p, 1) for p in chars}
+                multi = sorted(
+                    ((p, c) for p, c in used.items() if len(p) > 1 and p in vocab),
+                    key=lambda pc: (-pc[1], pc[0]),
+                )[:target_multi]
+                keep.update(dict(multi))
+                done = len(keep) <= max(vocab_size, len(chars)) and n_multi == len(multi)
+                vocab = keep
+                if done:
+                    break
+            final = _estep_counts(wf, vocab, max_piece_len)
+            out = {p: final.get(p, 1) if len(p) == 1 else final.get(p, 0) for p in vocab}
+            out = {p: c for p, c in out.items() if c > 0 or len(p) == 1}
+            return sorted(out.items(), key=lambda pc: (-pc[1], pc[0]))
     finally:
         wf.unpersist()
 

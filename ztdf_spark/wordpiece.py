@@ -161,28 +161,33 @@ def wordpiece_train(
     first (piece asc), merges after in learned order (a merge whose
     string already exists is applied but adds no new piece). The list IS
     the model: driver-side state, a few KB, like BPE's merge list."""
+    from .loopconf import small_loop_conf
+
     wf = _word_freq(_sampled_docs(docs, sample_docs, seed)).localCheckpoint(eager=True)
     try:
-        alphabet = sorted(
-            r["sym"]
-            for r in wf.select(F.explode("symbols").alias("sym")).distinct().collect()
-        )
-        vocab: list[str] = list(alphabet)
-        have = set(vocab)
-        while len(vocab) < vocab_size:
-            got = _best_pair(wf)
-            if got is None:
-                break
-            left, right, _cnt = got
-            token = _merge_token(left, right)
-            if token not in have:
-                vocab.append(token)
-                have.add(token)
-            nxt = wf.withColumn(
-                "symbols", _merge_expr(left, right, token)
-            ).localCheckpoint(eager=True)
-            wf.unpersist()
-            wf = nxt
+        # the merge loop iterates over the BOUNDED distinct-word table;
+        # size the per-round jobs from its measured count (loopconf.py)
+        with small_loop_conf(docs.sparkSession, wf.count()):
+            alphabet = sorted(
+                r["sym"]
+                for r in wf.select(F.explode("symbols").alias("sym")).distinct().collect()
+            )
+            vocab: list[str] = list(alphabet)
+            have = set(vocab)
+            while len(vocab) < vocab_size:
+                got = _best_pair(wf)
+                if got is None:
+                    break
+                left, right, _cnt = got
+                token = _merge_token(left, right)
+                if token not in have:
+                    vocab.append(token)
+                    have.add(token)
+                nxt = wf.withColumn(
+                    "symbols", _merge_expr(left, right, token)
+                ).localCheckpoint(eager=True)
+                wf.unpersist()
+                wf = nxt
     finally:
         wf.unpersist()
     return vocab
