@@ -66,10 +66,15 @@ def gen_documents(rng: np.random.Generator, n: int) -> pa.Table:
 
 
 def gen_embeddings(rng: np.random.Generator, n: int) -> pa.Table:
+    # calibrated to the driver fixture: pairwise cosine ~ N(0, 1/sqrt(dim))
+    # (p90 ≈ 0.16, essentially no pairs above 0.8) — near-random vectors
+    # with only a faint label-cluster pull, NOT tight clusters (a tight-
+    # cluster version made every LSH bucket quadratic, which the real
+    # fixture never does)
     dim, k = 64, 10
-    centers = rng.normal(0, 1, size=(k, dim))
+    centers = rng.normal(0, 1, size=(k, dim)) * 0.25
     labels = rng.integers(0, k, size=n)
-    vecs = centers[labels] + rng.normal(0, 0.35, size=(n, dim))
+    vecs = centers[labels] + rng.normal(0, 1.0, size=(n, dim))
     return pa.table({
         "vec_id": pa.array(np.arange(n), pa.int64()),
         "embedding": pa.array(list(vecs.astype(np.float32))),
