@@ -51,12 +51,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _binlog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ztdf_spark.spread import spread
-
-    # the events fixture is a single-row-group file at every sf — without
-    # the spread every binlog-derived query's route/EL expressions run in
-    # ONE scan task (ztdf_spark/spread.py)
-    e = spread(_t(spark, sf_dir, "events"))
+    # Deliberately NOT spread: the binlog's route/EL expressions are LIGHT
+    # per row (CASE/concat — 1M rows scan+derive in ~0.14 s serialized),
+    # and every downstream consumer either aggregates immediately or runs
+    # the column-pruned winner-keys shape. A/B-measured r7: the spread
+    # exchange cost more than it saved at BOTH sf0.1 and 10x
+    # (latest_wins 1.77 s spread vs 1.03 s unspread at 10x) — the guard
+    # belongs in front of HEAVY map work only (shingle/gram/vector ops).
+    e = _t(spark, sf_dir, "events")
     return e.select(
         F.col("event_id").alias("lsn"),
         F.when(F.col("event_type") == "purchase", "D")

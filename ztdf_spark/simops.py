@@ -161,7 +161,10 @@ def lsh_ann_topk(
     in tests/test_simops.py (planted-neighbor data: recall@5 ≥ 0.9 at <15%
     scan; the structureless synthetic `embeddings` table: any sublinear
     index degrades toward recall ≈ scan fraction, documented there)."""
-    emb = spread(emb)  # single-row-group scans serialize the vector work
+    # NOT spread (A/B r7): the signature UDF batches are light (one GEMM
+    # per Arrow batch) and the candidate join reshuffles immediately — the
+    # spread exchange measured 1.26 s vs 0.81 s unspread at sf0.1 and was
+    # neutral at 10x.
     cand_sig = _lsh_probes_udf(dim, n_planes, n_tables, seed, multiprobe=0)
     query_sig = _lsh_probes_udf(dim, n_planes, n_tables, seed, multiprobe=multiprobe)
     d = F.col("embedding").cast("array<double>")
@@ -258,7 +261,9 @@ def ann_ivf_topk(
     At 100 TB: training stays O(train_sample · dim); assignment is one
     map-only pass; the per-cell candidate join is the only exchange.
     """
-    emb = spread(emb)  # single-row-group scans serialize the vector work
+    # NOT spread (A/B r7): encoding is one light GEMM per Arrow batch and
+    # the ADC scan reads only the 8-byte code column — the spread exchange
+    # measured 1.66 s vs 0.91 s unspread at sf0.1 and was neutral at 10x.
     d = F.col("embedding").cast("array<double>")
     cand = emb.filter(F.col("vec_id") >= n_queries)
     # a bounded uniform sample that is also partition-layout-INVARIANT:
@@ -494,7 +499,9 @@ def ann_pq_topk(
     equi-join back to the float vectors) — standard PQ-then-rerank, so
     recall is measured against exact search in tests, not assumed.
     """
-    emb = spread(emb)  # single-row-group scans serialize the vector work
+    # NOT spread (A/B r7): encoding is one light GEMM per Arrow batch and
+    # the ADC scan reads only the 8-byte code column — the spread exchange
+    # measured 1.66 s vs 0.91 s unspread at sf0.1 and was neutral at 10x.
     d = F.col("embedding").cast("array<double>")
     cand = emb.filter(F.col("vec_id") >= n_queries)
     n_cand = cand.count()

@@ -1036,7 +1036,11 @@ def vocab_top_terms(docs: DataFrame, top_n: int = 100) -> DataFrame:
     is a rank over ONE column set, computed as a global sort LIMIT (Spark's
     TakeOrderedAndProject — a per-partition top-N + single merge, never a
     full sort shuffle)."""
-    terms = spread(docs).select(
+    # NOT spread (A/B r7): the explode feeds a partial aggregate whose
+    # per-task state collapses to vocabulary size immediately, so the
+    # serialized map work is cheap; the spread exchange cost 1.17 s vs
+    # 0.33 s unspread at sf0.1 and was neutral at 10x.
+    terms = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(F.split(F.col("text"), " ")).alias("term"),
     ).filter(F.col("term") != "")
@@ -1547,7 +1551,13 @@ def bm25_topk(
         spark.createDataFrame(qterms, "query_id long, term string").distinct()
     )
     w = F.split(F.col(text_col), " ")
-    base = spread(docs).select(F.col("doc_id").cast("long").alias("doc_id"), w.alias("w"))
+    # NOT spread (A/B r7): the exploded terms are semi-join-filtered to
+    # query terms before any shuffle and the scalar/df aggregates collapse
+    # map-side, so the serialized map work is light; the spread exchange
+    # measured 2.16 s vs 1.01 s unspread at sf0.1 and 3.38 s vs 1.95 s at
+    # 10x (it forced the wide `base` through an extra round-robin pass
+    # consumed by BOTH the terms and scalars subtrees).
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), w.alias("w"))
     terms = base.select(
         "doc_id", F.size("w").cast("long").alias("dl"), F.explode("w").alias("term")
     ).join(qdf.select("term").distinct(), "term", "left_semi")
