@@ -325,40 +325,42 @@ def warm_python_workers(spark: SparkSession, rounds: int = 3) -> None:
     for _ in range(rounds):
         spark.range(0, cores * 4, 1, cores * 2).select(F.sum(_touch("id"))).collect()
 
-    # End-to-end PLAN warm-up: push one tiny synthetic batch through the
-    # real route-gate + encrypt-UDF + parquet-write path. The worker-pool
-    # rounds above warm fork/import cost, but batch 0 of a replay still
-    # paid whole-stage-codegen compilation of the route/encrypt plan
-    # shapes, Arrow serializer setup, per-worker encryptor construction,
-    # and parquet output-committer classloading INSIDE the timed window
-    # (measured ~7.5 s batch-0 vs ~2.3 s steady at 1M events/local[32];
-    # ~4 s of it is this one-time compilation, not data). No result is
-    # kept — this is JIT/pool warm-up, the exact cost BASELINE.md's
-    # steady-state protocol already excludes by contract.
+    # End-to-end PLAN warm-up: replay a tiny SYNTHETIC binlog through the
+    # real ``CdcPipeline.process_batch`` into a throwaway temp root. The
+    # worker-pool rounds above warm fork/import cost, but batch 0 of a
+    # replay still paid whole-stage-codegen compilation of the EXACT fused
+    # batch plan (route gate + observe metrics + winner-keys broadcast join
+    # + encrypt UDF + route-partitioned staged write + metadata commit),
+    # Arrow serializer setup, per-worker encryptor construction, and
+    # parquet committer classloading INSIDE the timed window — an earlier
+    # simplified dry-run (plain latest_wins_join + write, no observe node)
+    # compiled DIFFERENT codegen classes and left several seconds of
+    # first-execution cost in batch 0. Two mini-batches cover both
+    # strategy-selection paths (row-bound batch 0, history-driven ≥ 1),
+    # which share the fused shape. Everything (input, table, DLQ, audits)
+    # lives under a temp dir and is deleted — JIT/pool warm-up only, the
+    # exact cost BASELINE.md's steady-state protocol excludes by contract;
+    # no result derived from any real input is kept.
     import shutil as _shutil
     import tempfile as _tempfile
 
-    from . import ops as _ops
+    from .datagen import BinlogSpec as _BinlogSpec
+    from .datagen import write_binlog as _write_binlog
     from .settings import Settings as _Settings
 
-    dry = spark.range(0, cores, 1, cores).select(
-        F.col("id").alias("lsn"),
-        F.when(F.col("id") % 4 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
-        F.concat(F.lit("warm-"), F.col("id").cast("string")).alias("doc_id"),
-        F.transform(F.sequence(F.lit(1), F.lit(8)), lambda x: x.cast("int")).alias("tokens"),
-        F.lit(8).alias("n_tok"),
-        F.lit("warm").alias("source"),
-        F.lit(None).cast("string").alias("kas_url"),
-        F.lit("https://kas.example.com/attr/a/value/b").alias("tdf_attribute"),
-        F.lit(None).cast("string").alias("assertions"),
-    )
-    winners = _ops.latest_wins_join(dry, broadcast_keys=True)
-    enc = _ops.encrypt_batch(winners, _Settings(), "ztdf")
-    d = _tempfile.mkdtemp(prefix="ztdf-warm-")
+    root = _tempfile.mkdtemp(prefix="ztdf-warmpipe-")
     try:
-        enc.write.partitionBy("route").mode("overwrite").parquet(d)
+        src = os.path.join(root, "binlog")
+        _write_binlog(
+            src,
+            _BinlogSpec(
+                n_events=cores * 64, n_docs=max(64, cores * 8), n_files=cores * 2, seed=7
+            ),
+        )
+        cfg = PipelineConfig(root=os.path.join(root, "pipe"), target_file_rows=1_000_000)
+        CdcPipeline(spark, _Settings(), cfg).replay_in_batches(src, n_batches=2)
     finally:
-        _shutil.rmtree(d, ignore_errors=True)
+        _shutil.rmtree(root, ignore_errors=True)
 
 
 class CdcPipeline:
@@ -522,19 +524,35 @@ class CdcPipeline:
             )
             wk = None
             if do_dedup and self._last_keys is None:
-                # batch 0 (no key-count history yet): job 1 (NARROW) counts
-                # the winner keys = max(lsn) per key over valid events so
-                # the join strategy below is chosen from a REAL count.
-                # Column-pruned scan — the route gate never references
-                # `tokens` — so the dominant-width column is not decoded.
-                wk = (
-                    routed.filter(F.col("route") == ops.ROUTE_SUCCESS)
-                    .select("doc_id", "lsn")
-                    .groupBy("doc_id")
-                    .agg(F.max("lsn").alias("lsn"))
-                    .persist()
-                )
-                n_keys = wk.count()
+                # batch 0 (no key-count history yet): distinct winner keys
+                # can never exceed the batch's TOTAL row count, and the
+                # source footers were already read driver-side for lineage —
+                # when that row bound fits the broadcast limit, broadcast is
+                # provably safe and batch 0 fuses into ONE job exactly like
+                # batches ≥ 1 (the separate narrow persist+count job cost
+                # ~1-2.5 s of the batch-0 wall at 1M events/local[32]).
+                row_bound = None
+                if lineage_parts is not None:
+                    ns = [e.get("n_events") for e in lineage_parts]
+                    if ns and all(isinstance(n, int) for n in ns):
+                        row_bound = sum(ns)
+                if row_bound is not None and row_bound <= ops.broadcast_key_limit(self.spark):
+                    n_keys = row_bound
+                else:
+                    # unbounded source (streaming/non-parquet) or a batch too
+                    # big to prove broadcast-safe: job 1 (NARROW) counts the
+                    # winner keys = max(lsn) per key over valid events so the
+                    # join strategy below is chosen from a REAL count.
+                    # Column-pruned scan — the route gate never references
+                    # `tokens` — so the dominant-width column is not decoded.
+                    wk = (
+                        routed.filter(F.col("route") == ops.ROUTE_SUCCESS)
+                        .select("doc_id", "lsn")
+                        .groupBy("doc_id")
+                        .agg(F.max("lsn").alias("lsn"))
+                        .persist()
+                    )
+                    n_keys = wk.count()
             elif do_dedup:
                 # batches ≥ 1: the previous batch's observed
                 # approx_count_distinct stands in for the count, so the
