@@ -331,3 +331,20 @@ def test_minor_compaction_policy_bounds_delta_files(spark, tmp_path, binlog_dir)
     )
     pipe2.run_stream(binlog_dir)
     assert pipe2.table.current_version() == v
+
+
+def test_overlapped_replay_matches_sequential(spark, tmp_path, binlog_dir):
+    """Overlapped replay (computation concurrent, commits ordered) must land
+    the exact sequential final state: same ciphertexts, same versions, same
+    route counts per batch."""
+    seq = _pipe(spark, tmp_path / "seq")
+    seq_audits = seq.replay_in_batches(binlog_dir, n_batches=4, max_in_flight=1)
+    ovl = _pipe(spark, tmp_path / "ovl")
+    ovl_audits = ovl.replay_in_batches(binlog_dir, n_batches=4, max_in_flight=3)
+    assert _state_fingerprint(seq) == _state_fingerprint(ovl)
+    assert [a["snapshot_version"] for a in seq_audits] == [
+        a["snapshot_version"] for a in ovl_audits
+    ]
+    for a, b in zip(seq_audits, ovl_audits):
+        for k in ("batch_id", "n_events", "n_success", "n_failure", "n_winners"):
+            assert a[k] == b[k], k

@@ -376,6 +376,9 @@ class CdcPipeline:
         # broadcast-vs-shuffled-hash for the winner-keys join WITHOUT the
         # separate count job (see process_batch)
         self._last_keys: int | None = None
+        # commit-ordering handle for overlapped replay (replay_in_batches):
+        # None = sequential processing, no gating
+        self._order: dict | None = None
         # UpdateAttribute-with-EL stage: property templates compile ONCE per
         # pipeline into Catalyst Column trees (reference evaluates EL per
         # FlowFile, AbstractTDFProcessor.java:113-115 — here the compiled
@@ -712,6 +715,27 @@ class CdcPipeline:
         )
         return audit
 
+    def _await_commit_turn(self, batch_id: int) -> None:
+        """Block until this batch may COMMIT (overlapped replay only).
+
+        Computation of independent batches overlaps freely; everything that
+        mutates table metadata (merge commit, compaction) must apply in
+        batch_id order for fencing and ``_cseq`` ordering to match the
+        sequential replay. No-op outside an overlapped replay. If an
+        earlier batch failed, raises instead of committing on top of a
+        hole — matching the sequential loop, which never reaches this
+        batch at all."""
+        o = self._order
+        if o is None:
+            return
+        with o["cv"]:
+            while o["turn"] < batch_id and o["failed"] is None:
+                o["cv"].wait()
+            if o["failed"] is not None and o["failed"] < batch_id:
+                raise RuntimeError(
+                    f"batch {o['failed']} failed; aborting commit of batch {batch_id}"
+                )
+
     def _sink_mor(
         self, enc: DataFrame, batch_id: int, extra_cols: list[str],
         collect_lineage: bool = False,
@@ -786,6 +810,7 @@ class CdcPipeline:
 
         succ_dir = os.path.join(staging, f"route={ops.ROUTE_SUCCESS}")
         batch_schema = T.StructType([out.schema[cn] for cn in lake_cols])
+        self._await_commit_turn(batch_id)
         if os.path.isdir(succ_dir):
             mstats = self.table.commit_staged(
                 succ_dir,
@@ -823,6 +848,7 @@ class CdcPipeline:
             good = enc_slim.filter(F.col("route") == ops.ROUTE_SUCCESS).select(
                 "op", "doc_id", "lsn", "ciphertext", "mime_type", "n_tok", "source", *extra_cols
             )
+            self._await_commit_turn(batch_id)
             mstats = self.table.merge(
                 good,
                 batch_id=batch_id,
@@ -898,23 +924,72 @@ class CdcPipeline:
         df = self._read_source(binlog_dir)
         return self.process_batch(df, batch_id)
 
-    def replay_in_batches(self, binlog_dir: str, n_batches: int = 4) -> list[dict]:
-        """Replay the binlog directory as ``n_batches`` sequential micro-
-        batches of whole files (LSN-ordered), without streaming-checkpoint
-        overhead — the bench path for *sustained* throughput: batch 0 also
-        absorbs residual session warm-up, batches 1.. are steady state."""
+    def replay_in_batches(
+        self, binlog_dir: str, n_batches: int = 4, max_in_flight: int = 3
+    ) -> list[dict]:
+        """Replay the binlog directory as ``n_batches`` micro-batches of
+        whole files (LSN-ordered), without streaming-checkpoint overhead —
+        the bench path for *sustained* throughput.
+
+        Batches of a historical replay are DATA-independent — dedup is
+        intra-batch and cross-batch supersession is resolved by the lake's
+        read-time latest-wins over ordered commits — so their computation
+        (scan → route → winner join → encrypt → staged write) overlaps
+        across a small thread pool while the METADATA COMMITS stay strictly
+        ordered by ``batch_id`` (``_await_commit_turn``): the next batch's
+        tasks back-fill executors idled by the current batch's stage tails
+        and driver-side gaps, exactly the backfill pattern for independent
+        jobs sharing one application. Final table state, fencing, audits
+        and DLQ contents are identical to the sequential replay (per-batch
+        staging/DLQ dirs are keyed by batch_id; the lake commit itself is
+        driver-side file metadata, serialized here). 2-3 in flight is
+        enough at any cluster size — enough to fill the tail, not so many
+        that batches fight for executors; ``max_in_flight=1`` restores the
+        strictly sequential loop."""
         ext = ".parquet" if self.cfg.source_format == "parquet" else ""
         files = sorted(
             f for f in os.listdir(binlog_dir)
             if f.endswith(ext) and not f.startswith("_") and not f.startswith(".")
         )
         per = max(1, -(-len(files) // n_batches))  # ceil: no runt trailing batch
-        audits = []
-        for bid, i in enumerate(range(0, len(files), per)):
-            group = [os.path.join(binlog_dir, f) for f in files[i : i + per]]
-            df = self._read_source(*group)
-            audits.append(self.process_batch(df, bid))
-        return audits
+        groups = [
+            [os.path.join(binlog_dir, f) for f in files[i : i + per]]
+            for i in range(0, len(files), per)
+        ]
+        if max_in_flight <= 1 or len(groups) <= 1:
+            return [
+                self.process_batch(self._read_source(*g), bid)
+                for bid, g in enumerate(groups)
+            ]
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._order = {"turn": 0, "cv": threading.Condition(), "failed": None}
+
+        def one(bid: int, group: list[str]) -> dict:
+            o = self._order
+            try:
+                return self.process_batch(self._read_source(*group), bid)
+            except BaseException:
+                with o["cv"]:
+                    if o["failed"] is None or bid < o["failed"]:
+                        o["failed"] = bid
+                raise
+            finally:
+                # advance the commit turn even on failure so later batches
+                # unblock (and then abort via the `failed` marker)
+                with o["cv"]:
+                    o["turn"] = max(o["turn"], bid + 1)
+                    o["cv"].notify_all()
+
+        try:
+            with ThreadPoolExecutor(
+                max_workers=min(max_in_flight, len(groups))
+            ) as pool:
+                futs = [pool.submit(one, bid, g) for bid, g in enumerate(groups)]
+                return [f.result() for f in futs]
+        finally:
+            self._order = None
 
     # ------------------------------------------------------------ verify/obs
 
