@@ -43,7 +43,12 @@ def main():
         print(f"unknown queries: {unknown}", file=sys.stderr)
         sys.exit(2)
 
-    # same warm-up protocol as bench.py
+    # same warm-up protocol as bench.py — including the Python worker pool
+    # (bench.py warms it inside run_replay before the sweep; without it,
+    # wide UDF stages here hit cold workers the real sweep never sees)
+    from ztdf_spark.pipeline import warm_python_workers
+
+    warm_python_workers(spark)
     bench.canary_time(spark)
     for wname in ("doc_fingerprints", "cdc_latest_wins"):
         if wname in qs:

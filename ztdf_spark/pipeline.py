@@ -317,7 +317,16 @@ def warm_python_workers(spark: SparkSession, rounds: int = 3) -> None:
         import pandas as _pd  # noqa: F401
         from cryptography.hazmat.primitives.ciphers.aead import AESGCM  # noqa: F401
 
-        from ztdf_spark import tdf  # noqa: F401
+        from ztdf_spark import rsakas, tdf  # noqa: F401
+        from ztdf_spark.settings import Settings as _S
+
+        # pre-derive the default-KAS RSA-2048 key pair into the worker's
+        # module-level LRU: deterministic prime search costs ~0.6 s per
+        # process, and a pooled worker that skipped it stalls the first
+        # rsa-oaep wrap/unwrap task it ever receives by that much
+        _s = _S()
+        if _s.default_kas_url:
+            rsakas.kas_rsa_private_key(_s.master_secret, _s.default_kas_url)
 
         for s in it:
             yield s
