@@ -1326,12 +1326,11 @@ def q_corpus_quality_classifier(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     marker = "size(filter(split(lower(text), ' '), w -> w = '{}'))"
-    model = mlops.train_classifier(
+    return mlops.train_and_score(
         d,
         label_expr=f"{marker.format('table')} > {marker.format('key')}",
         dim=256, iters=12, lr=2.0,
     )
-    return mlops.score_classifier(d, model)
 
 
 def q_corpus_mixture(spark, sf_dir):

@@ -135,7 +135,6 @@ def train_classifier(
         )
     import pyarrow as pa
 
-    feats = hashed_features(train, dim=dim, salt=salt, text_col=text_col).cache()
     lpdf = train.select("doc_id", "y").toPandas()  # train-sample-bounded by contract
     n = len(lpdf)
     if n > max_train_rows:
@@ -146,6 +145,20 @@ def train_classifier(
         )
     labels = dict(
         zip(lpdf["doc_id"].to_numpy(np.int64).tolist(), lpdf["y"].to_numpy(np.int64).tolist())
+    )
+    # Cache the feature table CLUSTERED BY doc_id (partition count derived
+    # from the measured train-doc count, capped at the session default):
+    # every iteration's logit job then aggregates per doc WITHOUT an
+    # exchange (the cached HashPartitioning already satisfies the groupBy's
+    # distribution), which removes one shuffle stage from each of the
+    # ``iters`` round trips. Layout never affects results — every
+    # cross-partition sum is int64-exact by construction.
+    feat_parts = max(1, min(int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+                            n // 6_000 + 1))
+    feats = (
+        hashed_features(train, dim=dim, salt=salt, text_col=text_col)
+        .repartition(feat_parts, "doc_id")
+        .cache()
     )
     # Materialize the feature cache NOW, under the session's normal config
     # (this is the one corpus-sized shuffle and needs full parallelism +
@@ -161,6 +174,26 @@ def train_classifier(
     base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     base_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     parts = max(1, min(base_parts, int(n_feat) // 250_000 + 1))
+    w, b = _fit(
+        feats, labels, dim=dim, iters=iters, lr=lr, l2=l2, n=n,
+        parts=parts, base_parts=base_parts, base_aqe=base_aqe,
+    )
+    feats.unpersist()
+    return {
+        "wq": np.rint(w * Q_SCALE).astype(np.int64).tolist(),
+        "bq": int(np.rint(b * Q_SCALE)),
+        "dim": dim,
+        "salt": salt,
+        "n_train": n,
+    }
+
+
+def _fit(feats, labels, *, dim, iters, lr, l2, n, parts, base_parts, base_aqe):
+    """The iteration loop over an already-cached feature table; returns
+    (w, b) float64. Extracted so train_and_score can share the cache."""
+    import pyarrow as pa
+
+    spark = feats.sparkSession
     w = np.zeros(dim, dtype=np.float64)
     b = 0.0
     try:
@@ -197,14 +230,76 @@ def train_classifier(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(base_parts))
         spark.conf.set("spark.sql.adaptive.enabled", base_aqe)
-    feats.unpersist()
-    return {
-        "wq": np.rint(w * Q_SCALE).astype(np.int64).tolist(),
-        "bq": int(np.rint(b * Q_SCALE)),
-        "dim": dim,
-        "salt": salt,
-        "n_train": n,
-    }
+    return w, b
+
+
+def train_and_score(
+    docs: DataFrame,
+    *,
+    label_expr: str,
+    dim: int = 512,
+    iters: int = 30,
+    lr: float = 0.5,
+    l2: float = 1e-3,
+    max_train_rows: int = 5_000_000,
+    salt: str = "qc",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train on the FULL corpus and score it — over ONE shared cached
+    feature table (the train_frac=1 fast path: score_classifier after
+    train_classifier would re-extract and re-shuffle the identical
+    features). Bit-identical to that two-call composition — the scoring
+    dot is the same int64 aggregate over the same (doc_id, idx, cnt)
+    multiset. At 100 TB use train_classifier on an md5-rule sample +
+    score_classifier instead; this path is for corpora whose full feature
+    table is worth one cache."""
+    spark = docs.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    train = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(text_col),
+        F.expr(label_expr).cast("int").alias("y"),
+    )
+    lpdf = train.select("doc_id", "y").toPandas()
+    n = len(lpdf)
+    if n > max_train_rows:
+        raise ValueError(
+            f"train set has {n} rows > max_train_rows={max_train_rows}; "
+            "use train_classifier(train_frac=...) + score_classifier"
+        )
+    labels = dict(
+        zip(lpdf["doc_id"].to_numpy(np.int64).tolist(), lpdf["y"].to_numpy(np.int64).tolist())
+    )
+    feat_parts = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                            n // 6_000 + 1))
+    feats = (
+        hashed_features(train, dim=dim, salt=salt, text_col=text_col)
+        .repartition(feat_parts, "doc_id")
+        .cache()
+    )
+    n_feat = feats.count()
+    base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    parts = max(1, min(base_parts, int(n_feat) // 250_000 + 1))
+    w, b = _fit(
+        feats, labels, dim=dim, iters=iters, lr=lr, l2=l2, n=n,
+        parts=parts, base_parts=base_parts, base_aqe=base_aqe,
+    )
+    wq = np.rint(w * Q_SCALE).astype(np.int64)
+    bq = int(np.rint(b * Q_SCALE))
+    # scoring over the SAME cached features (left join keeps zero-feature
+    # docs, scored by bias alone); the cache stays alive inside the
+    # returned plan and is evicted LRU / on session end
+    zq = _dot_q(feats, wq.tolist())
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    return (
+        base.join(zq, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("zq"), F.lit(0)) + F.lit(bq)).alias("score_q"),
+        )
+        .withColumn("pred", (F.col("score_q") > 0).cast("int"))
+    )
 
 
 def score_classifier(

@@ -115,14 +115,43 @@ def _best_pair(wf: DataFrame) -> tuple[str, str, int] | None:
         .groupBy("sym")
         .agg(F.sum("freq").alias("scnt"))
     )
-    scored = (
-        pairs.join(F.broadcast(syms.withColumnsRenamed({"sym": "left", "scnt": "cl"})), "left")
-        .join(F.broadcast(syms.withColumnsRenamed({"sym": "right", "scnt": "cr"})), "right")
-        .withColumn(
-            "score",
-            F.col("cnt") / (F.col("cl").cast("double") * F.col("cr").cast("double")),
+    # The symbol-count table is BOUNDED (alphabet + learned merges, i.e.
+    # O(vocab_size) rows), so collect it once per round and attach the
+    # counts as a literal-map lookup: the per-round job count drops from
+    # one action plus TWO broadcast builds (each re-running the symbol
+    # aggregate — ReuseExchange does not canonicalize the two build
+    # subtrees together) to two plain jobs, and the scoring join
+    # disappears from the plan entirely. Collecting also materializes the
+    # pending lazy checkpoint before the pair job scans it. An unusually
+    # large alphabet (e.g. CJK) falls back to the broadcast-join shape
+    # rather than growing the plan without bound.
+    sym_rows = syms.collect()
+    if len(sym_rows) <= 4096:
+        m = F.create_map(
+            *[x for r in sym_rows for x in (F.lit(r["sym"]), F.lit(int(r["scnt"])))]
         )
-    )
+        scored = (
+            pairs.withColumn("cl", F.element_at(m, F.col("left")))
+            .withColumn("cr", F.element_at(m, F.col("right")))
+            .withColumn(
+                "score",
+                F.col("cnt") / (F.col("cl").cast("double") * F.col("cr").cast("double")),
+            )
+        )
+    else:
+        syms_b = F.broadcast(syms)
+        scored = (
+            pairs.join(syms_b, F.col("left") == F.col("sym"))
+            .withColumnRenamed("scnt", "cl")
+            .drop("sym")
+            .join(syms_b, F.col("right") == F.col("sym"))
+            .withColumnRenamed("scnt", "cr")
+            .drop("sym")
+            .withColumn(
+                "score",
+                F.col("cnt") / (F.col("cl").cast("double") * F.col("cr").cast("double")),
+            )
+        )
     # ONE TakeOrderedAndProject job covers the common case: the float band
     # around the max is almost always a handful of rows, so the top-64
     # contains it. Only if the band fills the whole collected prefix (mass
@@ -163,7 +192,9 @@ def wordpiece_train(
     the model: driver-side state, a few KB, like BPE's merge list."""
     from .loopconf import small_loop_conf
 
-    wf = _word_freq(_sampled_docs(docs, sample_docs, seed)).localCheckpoint(eager=True)
+    # lazy checkpoint: the count() below is the materializing action
+    wf = _word_freq(_sampled_docs(docs, sample_docs, seed)).localCheckpoint(eager=False)
+    prev = None
     try:
         # the merge loop iterates over the BOUNDED distinct-word table;
         # size the per-round jobs from its measured count (loopconf.py)
@@ -175,7 +206,17 @@ def wordpiece_train(
             vocab: list[str] = list(alphabet)
             have = set(vocab)
             while len(vocab) < vocab_size:
+                # ONE job per round: this action also materializes wf's
+                # pending LAZY checkpoint (the previous round's merge), so
+                # the merge application stops being its own eager job —
+                # the same fusion the connected-components loop uses. The
+                # previous table's blocks can only be dropped AFTER the
+                # action that materialized its child, hence the one-round
+                # unpersist lag.
                 got = _best_pair(wf)
+                if prev is not None:
+                    prev.unpersist()
+                    prev = None
                 if got is None:
                     break
                 left, right, _cnt = got
@@ -185,10 +226,11 @@ def wordpiece_train(
                     have.add(token)
                 nxt = wf.withColumn(
                     "symbols", _merge_expr(left, right, token)
-                ).localCheckpoint(eager=True)
-                wf.unpersist()
-                wf = nxt
+                ).localCheckpoint(eager=False)
+                prev, wf = wf, nxt
     finally:
+        if prev is not None:
+            prev.unpersist()
         wf.unpersist()
     return vocab
 
