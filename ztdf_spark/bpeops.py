@@ -114,8 +114,10 @@ def bpe_train(
     0-based in learned order. Stops early when no pair occurs at least
     twice. The merge list is driver-side state (it IS the model — a few
     KB), exactly like simops' trained centroids/codebooks."""
-    wf = _word_freq(_sampled_docs(docs, sample_docs, seed)).localCheckpoint(eager=True)
+    # lazy checkpoint: the count() below is the materializing action
+    wf = _word_freq(_sampled_docs(docs, sample_docs, seed)).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, str]] = []
+    prev = None
     from .loopconf import small_loop_conf
 
     # the merge loop iterates over the BOUNDED distinct-word table; size
@@ -139,25 +141,32 @@ def bpe_train(
                     .agg(F.sum("freq").alias("cnt"))
                 )
                 # deterministic winner under a total order: count desc, pair asc
+                # — this action also materializes wf's pending LAZY
+                # checkpoint (the previous round's merge), making it the
+                # round's ONLY job; the previous table's blocks are
+                # released one round later, once this action has
+                # materialized its child (same fusion as the
+                # connected-components and WordPiece loops)
                 best = pairs.orderBy(
                     F.desc("cnt"), F.asc("left"), F.asc("right")
                 ).first()
+                if prev is not None:
+                    prev.unpersist()
+                    prev = None
                 if best is None or best["cnt"] < 2:
                     break
                 left, right = best["left"], best["right"]
                 token = left + right
                 merges.append((rank, left, right, token))
                 nxt = wf.withColumn("symbols", _merge_expr(left, right, token)).localCheckpoint(
-                    eager=True
+                    eager=False
                 )
-                # the new checkpoint is fully materialized (eager) and no longer
-                # reads the old one — release the old blocks now, or rounds x
-                # word-table blocks pile up in executor memory
-                wf.unpersist()
-                wf = nxt
+                prev, wf = wf, nxt
     finally:
         # the merge LIST is the model (driver-side); no checkpoint block
         # may outlive training
+        if prev is not None:
+            prev.unpersist()
         wf.unpersist()
     return merges
 
