@@ -133,8 +133,6 @@ def train_classifier(
         train = train.filter(
             _hash8(F.col("doc_id"), salt + "-train") < F.lit(_rate_threshold(train_frac))
         )
-    import pyarrow as pa
-
     lpdf = train.select("doc_id", "y").toPandas()  # train-sample-bounded by contract
     n = len(lpdf)
     if n > max_train_rows:
