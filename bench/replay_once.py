@@ -29,6 +29,9 @@ def main():
     # protocol measures the ingest path; compaction is scheduled off-path
     # on a real deployment and its cost is reported by the scale10x run)
     ap.add_argument("--compact", default="ratio", choices=["ratio", "off"])
+    # pipelined batch computation width (commits always ordered);
+    # 1 = strictly sequential micro-batches
+    ap.add_argument("--max-in-flight", type=int, default=3, dest="max_in_flight")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -75,7 +78,9 @@ def main():
             shutil.rmtree(warm_dir, ignore_errors=True)
         warmup_s = round(time.monotonic() - t_w, 3)
         t0 = time.monotonic()
-        audits = pipe.replay_in_batches(args.binlog, n_batches=args.batches)
+        audits = pipe.replay_in_batches(
+            args.binlog, n_batches=args.batches, max_in_flight=args.max_in_flight
+        )
         wall = time.monotonic() - t0
         n_total = sum(a["n_events"] for a in audits)
         steady = audits[1:] if len(audits) > 1 else audits

@@ -31,7 +31,7 @@ def build_zip() -> str:
 
 def run_level(cores: int, binlog: str, zpath: str, verify: bool, batches: int = 4,
               exec_mode: str = "local", exec_cores: int = 8, exec_mem_mb: int = 14336,
-              dedup_mode: str = "never") -> dict:
+              dedup_mode: str = "never", max_in_flight: int = 3) -> dict:
     # lake + shuffle on tmpfs when available: the sandbox's single shared
     # local disk (~550 MB/s) does not scale with cores, while a real
     # cluster's aggregate disk bandwidth scales with executor count — tmpfs
@@ -96,6 +96,7 @@ def run_level(cores: int, binlog: str, zpath: str, verify: bool, batches: int = 
         # (its cost at 10x volume is measured and disclosed separately by
         # bench/scale10x.py, which runs the default ratio policy)
         "--compact", "off",
+        "--max-in-flight", str(max_in_flight),
     ] + (["--verify"] if verify else [])
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
     errpath = f"/tmp/ztdf-scaling-{master.replace('[', '_').replace(']', '').replace(',', '-')}.err"
@@ -150,8 +151,16 @@ def main_impl(args):
         for _ in range(args.repeat):
             r = run_level(cores, binlog, zpath, args.verify, args.batches,
                           exec_mode=args.exec_mode, exec_cores=args.exec_cores,
-                          dedup_mode=args.dedup_mode)
-            r["eps"] = r.get("steady_events_per_sec") or r["events_per_sec"]
+                          dedup_mode=args.dedup_mode, max_in_flight=args.max_in_flight)
+            # events_per_sec = timed events / timed wall (the disclosed
+            # warm-up batch is OUTSIDE the timed region). Since the replay
+            # pipelines its batches (ordered commits, overlapped
+            # computation), per-batch durations overlap and any
+            # sum-or-median of them (the old steady_events_per_sec)
+            # double-counts shared wall time and understates the true rate
+            # — wall is the only denominator that measures work rate under
+            # pipelining. steady_events_per_sec stays disclosed per level.
+            r["eps"] = r["events_per_sec"]
             attempts[cores].append({"eps": r["eps"], "batch_wall_s": r["batch_wall_s"]})
             if best is None or r["eps"] > best["eps"]:
                 best = r
@@ -176,7 +185,7 @@ def main_impl(args):
             "exec_mode": args.exec_mode, "exec_cores": args.exec_cores,
             "batches": args.batches, "dedup_mode": args.dedup_mode,
             "repeat": args.repeat, "verify": bool(args.verify),
-            "levels": level_list,
+            "levels": level_list, "max_in_flight": args.max_in_flight,
         },
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -219,10 +228,13 @@ chart the curve (efficiency vs N normalized by the core ratio).
 {verify_line}
 ## Protocol (both levels share every setting)
 
-- {args.batches} sequential micro-batches of {args.events // args.batches:,} events; sustained
-  throughput = MEDIAN steady batch (batch 0 excluded), best of
-  --repeat runs (this VM shows sporadic multi-second stalls unrelated to
-  load).
+- {args.batches} micro-batches of {args.events // args.batches:,} events, computation
+  pipelined up to 3 wide with commits strictly ordered by batch id;
+  sustained throughput = total timed events / timed wall (per-batch
+  durations OVERLAP under pipelining, so a sum/median of them no longer
+  measures rate — steady_events_per_sec remains disclosed per level in
+  scaling.json), best of --repeat runs (this VM shows sporadic
+  multi-second stalls unrelated to load).
 - One disclosed warm-up batch before the timed region (separate executor
   JVMs each pay C2-JIT/codegen warm-up once; event-log forensics measured
   +33% task-time on cold batches vs +6% converged — see tools/evlog.py).
@@ -349,5 +361,7 @@ if __name__ == "__main__":
     # (map-only ingest) is what dedup_mode=auto picks for this workload's
     # measured amplification (~2.3 < threshold 3)
     ap.add_argument("--dedup-mode", default="never", choices=["auto", "always", "never"], dest="dedup_mode")
+    ap.add_argument("--max-in-flight", type=int, default=3, dest="max_in_flight",
+                    help="pipelined batch width (1 = sequential micro-batches)")
     ap.add_argument("--verify", action="store_true")
     main_impl(ap.parse_args())
