@@ -88,3 +88,23 @@ def test_bpe_early_stop_when_no_repeating_pairs(spark):
     docs = spark.createDataFrame([(0, "ab cd")], "doc_id long, text string")
     merges = bpeops.bpe_train(docs, n_merges=10)
     assert merges == []  # every pair occurs once -> nothing to learn
+
+
+def test_bpe_driver_and_distributed_paths_identical(spark):
+    """The size-gated driver fast path must reproduce the distributed
+    merge loop bit-for-bit (same integer counts, same total order)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vocab = ["low", "lower", "newest", "widest", "new", "est", "wid", "er"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 9))) for _ in range(80)]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    base = spark.conf.get("spark.ztdf.trainDriverMaxWords", "200000")
+    try:
+        spark.conf.set("spark.ztdf.trainDriverMaxWords", "200000")
+        fast = bpeops.bpe_train(docs, n_merges=10)
+        spark.conf.set("spark.ztdf.trainDriverMaxWords", "0")
+        slow = bpeops.bpe_train(docs, n_merges=10)
+    finally:
+        spark.conf.set("spark.ztdf.trainDriverMaxWords", base)
+    assert fast == slow and len(fast) == 10

@@ -98,3 +98,25 @@ def test_vocab_df_shape(spark, corpus):
     rows = df.collect()
     assert [r["rank"] for r in rows] == list(range(len(rows)))
     assert df.columns == ["rank", "piece", "cnt"]
+
+
+def test_unigram_driver_and_distributed_paths_identical(spark):
+    """The size-gated driver fast path must reproduce the distributed
+    hard-EM loop bit-for-bit (same seed order, Viterbi, usage sums)."""
+    import numpy as np
+
+    from ztdf_spark import unigram
+
+    rng = np.random.default_rng(5)
+    stems = ["walking", "talked", "jumper", "looks", "the", "a", "of"]
+    texts = [" ".join(rng.choice(stems, size=rng.integers(2, 8))) for _ in range(70)]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    base = spark.conf.get("spark.ztdf.unigramDriverMaxWords", "4096")
+    try:
+        spark.conf.set("spark.ztdf.unigramDriverMaxWords", "4096")
+        fast = unigram.unigram_train(docs, 48)
+        spark.conf.set("spark.ztdf.unigramDriverMaxWords", "0")
+        slow = unigram.unigram_train(docs, 48)
+    finally:
+        spark.conf.set("spark.ztdf.unigramDriverMaxWords", base)
+    assert fast == slow and len(fast) >= 20

@@ -142,3 +142,19 @@ def test_encode_is_deterministic_across_layouts(spark, corpus):
     a = wordpiece.wordpiece_encode(corpus.coalesce(1), vocab).orderBy("doc_id").collect()
     b = wordpiece.wordpiece_encode(corpus.repartition(7), vocab).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_wordpiece_driver_and_distributed_paths_identical(spark, corpus):
+    """The size-gated driver fast path must reproduce the distributed
+    likelihood-merge loop bit-for-bit (exact rational argmax, same ties)."""
+    from ztdf_spark import wordpiece
+
+    base = spark.conf.get("spark.ztdf.trainDriverMaxWords", "200000")
+    try:
+        spark.conf.set("spark.ztdf.trainDriverMaxWords", "200000")
+        fast = wordpiece.wordpiece_train(corpus, 48)
+        spark.conf.set("spark.ztdf.trainDriverMaxWords", "0")
+        slow = wordpiece.wordpiece_train(corpus, 48)
+    finally:
+        spark.conf.set("spark.ztdf.trainDriverMaxWords", base)
+    assert fast == slow and len(fast) == 48

@@ -104,6 +104,49 @@ def _merge_expr(left: str, right: str, token: str):
     )
 
 
+def _merge_apply(syms: list[str], left: str, right: str, token: str) -> list[str]:
+    """Driver twin of ``_merge_expr``: greedy left-to-right fusion."""
+    out: list[str] = []
+    for s in syms:
+        if out and out[-1] == left and s == right:
+            out[-1] = token
+        else:
+            out.append(s)
+    return out
+
+
+def _bpe_train_driver(
+    rows: list, n_merges: int
+) -> list[tuple[int, str, str, str]]:
+    """Driver-side twin of the distributed merge loop — IDENTICAL results
+    (integer pair counts under the same (count desc, pair asc) total
+    order; pytest pins path equality). Used only when the measured
+    distinct-word table fits ``spark.ztdf.trainDriverMaxWords``: below
+    that, 2·n_merges Spark-job round trips cost orders of magnitude more
+    than the arithmetic they schedule."""
+    words = [(list(r["symbols"]), int(r["freq"])) for r in rows]
+    merges: list[tuple[int, str, str, str]] = []
+    for rank in range(n_merges):
+        cnt: dict[tuple[str, str], int] = {}
+        for syms, freq in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                cnt[p] = cnt.get(p, 0) + freq
+        best = None
+        for p, c in cnt.items():
+            if c < 2:
+                continue
+            if best is None or c > best[1] or (c == best[1] and p < best[0]):
+                best = (p, c)
+        if best is None:
+            break
+        (left, right), _c = best
+        token = left + right
+        merges.append((rank, left, right, token))
+        words = [(_merge_apply(s, left, right, token), f) for s, f in words]
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 32,
@@ -120,10 +163,25 @@ def bpe_train(
     prev = None
     from .loopconf import small_loop_conf
 
+    n_words = wf.count()
+    # tiny-vocabulary fast path: when the measured distinct-word table is
+    # driver-sized (it is BOUNDED by the doc sample's vocabulary, never
+    # corpus size), collect it once and run the identical integer loop
+    # in-process — the distributed loop's per-round Spark jobs are pure
+    # scheduling latency at this size. Same gate philosophy as spread()/
+    # small_loop_conf: derived from a measured input property, a no-op at
+    # scale (conf: spark.ztdf.trainDriverMaxWords).
+    gate = int(docs.sparkSession.conf.get("spark.ztdf.trainDriverMaxWords", "200000"))
+    if n_words <= gate:
+        try:
+            return _bpe_train_driver(wf.collect(), n_merges)
+        finally:
+            wf.unpersist()
+
     # the merge loop iterates over the BOUNDED distinct-word table; size
     # the per-round jobs from its measured count (see loopconf.py)
     try:
-        with small_loop_conf(docs.sparkSession, wf.count()):
+        with small_loop_conf(docs.sparkSession, n_words):
             for rank in range(n_merges):
                 pairs = (
                     wf.filter(F.size("symbols") >= 2)

@@ -192,6 +192,65 @@ def _estep_counts(wf: DataFrame, counts: dict, max_len: int) -> dict:
     return {r["piece"]: int(r["cnt"]) for r in used if r["piece"] != UNK}
 
 
+def _estep_local(words: list, counts: dict, max_len: int) -> dict:
+    """In-process twin of ``_estep_counts`` — same ``_segment_or_unk``,
+    same integer sums (addition order cannot change an int sum)."""
+    total = sum(counts.values())
+    cache: dict = {}
+    agg: dict = {}
+    for word, freq in words:
+        pieces = cache.get(word)
+        if pieces is None:
+            pieces = cache[word] = _segment_or_unk(word, counts, total, max_len)
+        for p in pieces:
+            agg[p] = agg.get(p, 0) + freq
+    agg.pop(UNK, None)
+    return agg
+
+
+def _unigram_train_driver(
+    words: list, vocab_size: int, *, seed_size: int, max_piece_len: int,
+    shrink_num: int, shrink_den: int, max_rounds: int,
+) -> list[tuple[str, int]]:
+    """Driver-side twin of the distributed hard-EM loop — IDENTICAL
+    results (same seed total order, same Viterbi, same integer usage
+    sums; pytest pins path equality)."""
+    subs: dict = {}
+    for word, freq in words:
+        n = len(word)
+        for i in range(n):
+            for l in range(1, min(max_piece_len, n - i) + 1):
+                p = word[i : i + l]
+                subs[p] = subs.get(p, 0) + freq
+    chars = [(p, c) for p, c in subs.items() if len(p) == 1]
+    multi = sorted(
+        ((p, c) for p, c in subs.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:seed_size]
+    vocab = dict(chars + multi)
+    for _ in range(max_rounds):
+        used = _estep_local(words, vocab, max_piece_len)
+        cs = {p: c for p, c in vocab.items() if len(p) == 1}
+        n_multi = max(0, len(vocab) - len(cs))
+        target_multi = max(
+            max(0, vocab_size - len(cs)), n_multi * shrink_num // shrink_den
+        )
+        keep = {p: used.get(p, 1) for p in cs}
+        mult = sorted(
+            ((p, c) for p, c in used.items() if len(p) > 1 and p in vocab),
+            key=lambda pc: (-pc[1], pc[0]),
+        )[:target_multi]
+        keep.update(dict(mult))
+        done = len(keep) <= max(vocab_size, len(cs)) and n_multi == len(mult)
+        vocab = keep
+        if done:
+            break
+    final = _estep_local(words, vocab, max_piece_len)
+    out = {p: final.get(p, 1) if len(p) == 1 else final.get(p, 0) for p in vocab}
+    out = {p: c for p, c in out.items() if c > 0 or len(p) == 1}
+    return sorted(out.items(), key=lambda pc: (-pc[1], pc[0]))
+
+
 def unigram_train(
     docs: DataFrame,
     vocab_size: int = 64,
@@ -218,10 +277,26 @@ def unigram_train(
     wf = _word_freq(_sampled_docs(docs, sample_docs, seed)).localCheckpoint(
         eager=True
     )
+    n_words = wf.count()
+    # tiny-vocabulary fast path (same gate family as bpe/wordpiece, but a
+    # LOWER default: the driver twin runs the per-round Viterbi E-step
+    # single-threaded, O(words × len² × rounds), so it only pays off for
+    # genuinely small word tables; above the gate the distributed
+    # mapInPandas E-step keeps the cores busy)
+    gate = int(docs.sparkSession.conf.get("spark.ztdf.unigramDriverMaxWords", "4096"))
+    if n_words <= gate:
+        try:
+            words = [(r["word"], int(r["freq"])) for r in wf.collect()]
+        finally:
+            wf.unpersist()
+        return _unigram_train_driver(
+            words, vocab_size, seed_size=seed_size, max_piece_len=max_piece_len,
+            shrink_num=shrink_num, shrink_den=shrink_den, max_rounds=max_rounds,
+        )
     try:
         # the EM loop iterates over the BOUNDED distinct-word table; size
         # the per-round jobs from its measured count (loopconf.py)
-        with small_loop_conf(docs.sparkSession, wf.count()):
+        with small_loop_conf(docs.sparkSession, n_words):
             vocab = dict(_seed_vocab(wf, seed_size, max_piece_len))
             for _ in range(max_rounds):
                 used = _estep_counts(wf, vocab, max_piece_len)

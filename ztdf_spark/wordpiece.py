@@ -176,6 +176,50 @@ def _best_pair(wf: DataFrame) -> tuple[str, str, int] | None:
     return (best[2], best[3], best[0]) if best else None
 
 
+def _wp_train_driver(rows: list, vocab_size: int) -> list[str]:
+    """Driver-side twin of the distributed merge loop — IDENTICAL results
+    (exact rational argmax by big-int cross-multiplication under the same
+    (score desc, pair asc) total order; pytest pins path equality). Used
+    only when the measured distinct-word table fits
+    ``spark.ztdf.trainDriverMaxWords`` — the same gate as BPE's."""
+    from .bpeops import _merge_apply
+
+    words = [(list(r["symbols"]), int(r["freq"])) for r in rows]
+    alphabet = sorted({s for syms, _ in words for s in syms})
+    vocab: list[str] = list(alphabet)
+    have = set(vocab)
+    while len(vocab) < vocab_size:
+        cnt: dict[tuple[str, str], int] = {}
+        scnt: dict[str, int] = {}
+        for syms, freq in words:
+            for s in syms:
+                scnt[s] = scnt.get(s, 0) + freq
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                cnt[p] = cnt.get(p, 0) + freq
+        best = None  # (cnt, cl*cr, left, right)
+        for (left, right), c in cnt.items():
+            if c < 2:
+                continue
+            cand = (c, scnt[left] * scnt[right], left, right)
+            if best is None:
+                best = cand
+                continue
+            lhs = cand[0] * best[1]
+            rhs = best[0] * cand[1]
+            if lhs > rhs or (lhs == rhs and (cand[2], cand[3]) < (best[2], best[3])):
+                best = cand
+        if best is None:
+            break
+        left, right = best[2], best[3]
+        token = _merge_token(left, right)
+        if token not in have:
+            vocab.append(token)
+            have.add(token)
+        words = [(_merge_apply(s, left, right, token), f) for s, f in words]
+    return vocab
+
+
 def wordpiece_train(
     docs: DataFrame,
     vocab_size: int = 64,
@@ -195,10 +239,21 @@ def wordpiece_train(
     # lazy checkpoint: the count() below is the materializing action
     wf = _word_freq(_sampled_docs(docs, sample_docs, seed)).localCheckpoint(eager=False)
     prev = None
+    n_words = wf.count()
+    # tiny-vocabulary fast path (see bpe_train): the distinct-word table
+    # is bounded by the sample's vocabulary; when it is driver-sized,
+    # collect once and run the identical exact loop in-process instead of
+    # paying 2 Spark jobs of scheduling latency per merge round
+    gate = int(docs.sparkSession.conf.get("spark.ztdf.trainDriverMaxWords", "200000"))
+    if n_words <= gate:
+        try:
+            return _wp_train_driver(wf.collect(), vocab_size)
+        finally:
+            wf.unpersist()
     try:
         # the merge loop iterates over the BOUNDED distinct-word table;
         # size the per-round jobs from its measured count (loopconf.py)
-        with small_loop_conf(docs.sparkSession, wf.count()):
+        with small_loop_conf(docs.sparkSession, n_words):
             alphabet = sorted(
                 r["sym"]
                 for r in wf.select(F.explode("symbols").alias("sym")).distinct().collect()
