@@ -727,3 +727,23 @@ def test_temperature_sample_t1_is_plain_subsample(spark):
     exp = [i for i in range(200)
            if int(hashlib.md5(f"temp-{i}".encode()).hexdigest()[:8], 16) < (1 << 31)]
     assert sorted(r["doc_id"] for r in kept.collect()) == exp
+
+
+def test_cc_driver_and_distributed_paths_identical(spark):
+    """The size-gated driver union-find must reproduce the distributed
+    large-star/small-star labels exactly (component = min node id)."""
+    import random
+
+    random.seed(77)
+    edges = sorted({(random.randrange(300), random.randrange(300)) for _ in range(500)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    base = spark.conf.get("spark.ztdf.ccDriverMaxEdges", "1000000")
+    try:
+        spark.conf.set("spark.ztdf.ccDriverMaxEdges", "1000000")
+        fast = {(r["node"], r["component"]) for r in textops.connected_components(df).collect()}
+        spark.conf.set("spark.ztdf.ccDriverMaxEdges", "0")
+        slow = {(r["node"], r["component"]) for r in textops.connected_components(df).collect()}
+    finally:
+        spark.conf.set("spark.ztdf.ccDriverMaxEdges", base)
+    assert fast == slow and len(fast) > 0
