@@ -124,3 +124,20 @@ def test_train_frac_rule_is_deterministic(spark, planted):
     m2 = mlops.train_classifier(df.repartition(9), **kw)
     assert m1 == m2
     assert 0 < m1["n_train"] < len(planted)
+
+
+def test_classifier_driver_and_distributed_paths_identical(spark, planted):
+    """The size-gated driver descent must reproduce the distributed
+    iteration loop bit-for-bit (same int64 logit/gradient sums, same
+    float update sequence)."""
+    df = spark.createDataFrame(planted, DOCS_DDL)
+    kw = dict(label_expr="text like '%alpha%'", dim=64, iters=8, lr=0.5)
+    base = spark.conf.get("spark.ztdf.classifierDriverMaxFeatures", "2000000")
+    try:
+        spark.conf.set("spark.ztdf.classifierDriverMaxFeatures", "2000000")
+        fast = mlops.train_classifier(df, **kw)
+        spark.conf.set("spark.ztdf.classifierDriverMaxFeatures", "0")
+        slow = mlops.train_classifier(df, **kw)
+    finally:
+        spark.conf.set("spark.ztdf.classifierDriverMaxFeatures", base)
+    assert fast == slow

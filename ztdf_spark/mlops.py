@@ -162,20 +162,24 @@ def train_classifier(
     # (this is the one corpus-sized shuffle and needs full parallelism +
     # AQE); the count doubles as the exact working-set size for the loop.
     n_feat = feats.count()
-    # Scale-adaptive loop config (guide §2; same rationale as the
-    # connected-components loop): the 2·iters jobs below each move only
-    # (train-doc logits) / (dim gradient rows) — profiling shows their
-    # wall is per-round DRIVER latency (AQE re-planning every tiny
-    # exchange), not task work. Derive partitions from the measured
-    # feature count and drop AQE only in the small regime; a 100 TB-scale
-    # train sample (parts == base) keeps the session config untouched.
-    base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    base_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    parts = max(1, min(base_parts, int(n_feat) // 250_000 + 1))
-    w, b = _fit(
-        feats, labels, dim=dim, iters=iters, lr=lr, l2=l2, n=n,
-        parts=parts, base_parts=base_parts, base_aqe=base_aqe,
-    )
+    # driver-sized working sets take the in-process descent (bit-identical
+    # — see _fit_driver); larger ones size the distributed loop's jobs
+    # from the measured feature count (guide §2: derive partitioning from
+    # input size; a 100 TB-scale train sample keeps the session config
+    # untouched and the loop distributed).
+    fgate = int(spark.conf.get("spark.ztdf.classifierDriverMaxFeatures", "2000000"))
+    if n_feat <= fgate:
+        w, b = _fit_driver(
+            feats.toPandas(), labels, dim=dim, iters=iters, lr=lr, l2=l2, n=n
+        )
+    else:
+        base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        base_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        parts = max(1, min(base_parts, int(n_feat) // 250_000 + 1))
+        w, b = _fit(
+            feats, labels, dim=dim, iters=iters, lr=lr, l2=l2, n=n,
+            parts=parts, base_parts=base_parts, base_aqe=base_aqe,
+        )
     feats.unpersist()
     return {
         "wq": np.rint(w * Q_SCALE).astype(np.int64).tolist(),
@@ -184,6 +188,39 @@ def train_classifier(
         "salt": salt,
         "n_train": n,
     }
+
+
+def _fit_driver(fpdf, labels, *, dim, iters, lr, l2, n):
+    """Driver-side twin of ``_fit`` over the collected feature table —
+    bit-identical: the per-iteration logit and gradient sums are the same
+    int64 aggregates (``np.add.at`` — exact integer accumulation), and
+    the float update sequence is the exact code ``_fit`` runs on the
+    collected aggregates. Used only when the measured feature-row count
+    fits ``spark.ztdf.classifierDriverMaxFeatures``: below that,
+    2·iters Spark jobs are pure scheduling latency."""
+    doc = fpdf["doc_id"].to_numpy(np.int64)
+    idx = fpdf["idx"].to_numpy(np.int64)
+    cnt = fpdf["cnt"].to_numpy(np.int64)
+    # docs with zero feature rows never appear in the distributed logit
+    # aggregate either — they contribute no error term, matching _fit
+    ids, inv = np.unique(doc, return_inverse=True)
+    y = np.array([labels[i] for i in ids.tolist()], dtype=np.float64)
+    w = np.zeros(dim, dtype=np.float64)
+    b = 0.0
+    for _ in range(iters):
+        wq = np.rint(w * Q_SCALE).astype(np.int64)
+        zq = np.zeros(len(ids), dtype=np.int64)
+        np.add.at(zq, inv, cnt * wq[idx])
+        z = zq.astype(np.float64) / Q_SCALE + b
+        p = 1.0 / (1.0 + np.exp(-np.clip(z, -30.0, 30.0)))
+        eq = np.rint((p - y) * Q_SCALE).astype(np.int64)
+        gq = np.zeros(dim, dtype=np.int64)
+        np.add.at(gq, idx, cnt * eq[inv])
+        grad = gq.astype(np.float64)
+        grad /= Q_SCALE * n
+        w -= lr * (grad + l2 * w)
+        b -= lr * float(np.sum(eq)) / (Q_SCALE * n)
+    return w, b
 
 
 def _fit(feats, labels, *, dim, iters, lr, l2, n, parts, base_parts, base_aqe):
@@ -276,13 +313,19 @@ def train_and_score(
         .cache()
     )
     n_feat = feats.count()
-    base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    base_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    parts = max(1, min(base_parts, int(n_feat) // 250_000 + 1))
-    w, b = _fit(
-        feats, labels, dim=dim, iters=iters, lr=lr, l2=l2, n=n,
-        parts=parts, base_parts=base_parts, base_aqe=base_aqe,
-    )
+    fgate = int(spark.conf.get("spark.ztdf.classifierDriverMaxFeatures", "2000000"))
+    if n_feat <= fgate:
+        w, b = _fit_driver(
+            feats.toPandas(), labels, dim=dim, iters=iters, lr=lr, l2=l2, n=n
+        )
+    else:
+        base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        base_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        parts = max(1, min(base_parts, int(n_feat) // 250_000 + 1))
+        w, b = _fit(
+            feats, labels, dim=dim, iters=iters, lr=lr, l2=l2, n=n,
+            parts=parts, base_parts=base_parts, base_aqe=base_aqe,
+        )
     wq = np.rint(w * Q_SCALE).astype(np.int64)
     bq = int(np.rint(b * Q_SCALE))
     # scoring over the SAME cached features (left join keeps zero-feature
